@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries are materialized with the noop sink (full execution, no driver
+collect) — the number measures the engine, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tigerbeetle_cdc_nats_spark import registry
+from tigerbeetle_cdc_nats_spark.session import get_spark
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark(app_name="bench")
+
+    queries = registry.all_queries()
+    timings: dict[str, float] = {}
+    # Warm the JVM + file listing once so per-query numbers measure the plan.
+    next(iter(queries.values())).fn(spark, sf_dir).count()
+
+    total = 0.0
+    for name, q in sorted(queries.items()):
+        t0 = time.perf_counter()
+        materialize(q.fn(spark, sf_dir))
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+
+    print(json.dumps({
+        "metric": "total wall seconds for all registered queries (noop-materialized)",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

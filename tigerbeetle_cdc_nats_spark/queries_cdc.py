@@ -1,0 +1,225 @@
+"""CDC pipeline operators as driver queries (SURVEY.md §2.1, §2.2, §2.8,
+§2.9 keys), each with its DuckDB oracle.
+
+All queries read the ``events`` table (ts = BIGINT nanos on both engines:
+Spark via session.NANOS_AS_LONG, DuckDB via epoch_ns()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tigerbeetle_cdc_nats_spark.functions.events import (
+    event_type_name,
+    msg_id_column,
+    subject_column,
+)
+from tigerbeetle_cdc_nats_spark.functions.json_codec import (
+    encode_cdc_json,
+    encode_cdc_json_sql,
+)
+from tigerbeetle_cdc_nats_spark.functions.portable import (
+    portable_uint_json,
+    portable_uint_sql,
+)
+from tigerbeetle_cdc_nats_spark.operators import cdc_view
+from tigerbeetle_cdc_nats_spark.operators.scan import (
+    cdc_incremental_scan,
+    timestamp_range_filter,
+)
+from tigerbeetle_cdc_nats_spark.registry import events_table, register
+
+#: Deterministic mid-stream cursor (2024-01-11T...Z in ns); testdata events
+#: span 2024-01-01..2024-01-31.
+CURSOR_NS = 1705000000000000000
+RANGE_LO_NS = 1704500000000000000
+RANGE_HI_NS = 1705500000000000000
+SUBJECT_PREFIX = "tigerbeetle.cdc"  # config.go default prefix semantics
+CLUSTER_ID = "1"
+
+_EV = cdc_view.EVENTS_CTE
+
+
+# --- S1: incremental cursor scan (runner.go:142-164) -----------------------
+
+@register(
+    "cdc_incremental_scan",
+    f"""WITH ev AS ({_EV})
+SELECT event_id, ts, user_id, event_type, value, props
+FROM ev WHERE ts >= {CURSOR_NS + 1} ORDER BY ts LIMIT 4096""",
+    doc="One CDC poll: ts > cursor, ordered, limit 4096 (runner.go:142-164)",
+)
+def q_cdc_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    return cdc_incremental_scan(ev, cursor=CURSOR_NS).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+# --- P4: timestamp range filter (runner.go:147-151) ------------------------
+
+@register(
+    "timestamp_range_filter",
+    f"""WITH ev AS ({_EV})
+SELECT event_id, ts, user_id, event_type, value, props
+FROM ev WHERE ts >= {RANGE_LO_NS} AND ts <= {RANGE_HI_NS}""",
+    doc="Bounded ts window; hi=0 would mean unbounded (runner.go:147-151)",
+)
+def q_timestamp_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    return timestamp_range_filter(ev, RANGE_LO_NS, RANGE_HI_NS).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+# --- S2: progress recovery (runner.go:388-410) -----------------------------
+
+@register(
+    "progress_recovery",
+    f"""WITH ev AS ({_EV})
+SELECT COALESCE(MAX(ts), 0) + 1 AS resume_from,
+       COALESCE(CAST(NULL AS BIGINT), MAX(ts), 0) + 1 AS resume_stored,
+       {CURSOR_NS} + 1 AS resume_override
+FROM ev""",
+    doc="override > stored > 0, +1 cursor advance (runner.go:388-410,726-736)",
+)
+def q_progress_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    return ev.agg(
+        (F.coalesce(F.max("ts"), F.lit(0)) + 1).alias("resume_from"),
+        (F.coalesce(F.lit(None).cast("long"), F.max("ts"), F.lit(0)) + 1)
+        .alias("resume_stored"),
+        F.lit(CURSOR_NS + 1).alias("resume_override"),
+    )
+
+
+# --- P1: event -> document projection (message.go:96-152) ------------------
+
+@register(
+    "event_projection",
+    f"""WITH ev AS ({_EV})
+SELECT event_id, {encode_cdc_json_sql(cdc_view.duck_field)} AS payload
+FROM ev""",
+    doc="Full nested-envelope JSON encoding, byte-exact (message.go:96-152)",
+)
+def q_event_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = cdc_view.with_cdc_event(events_table(spark, sf_dir))
+    return ev.select("event_id", encode_cdc_json("event").alias("payload"))
+
+
+# --- P2: portable number encoding (message.go:12-41) -----------------------
+
+_BIG = "CAST(event_id AS HUGEINT) * 9007199254740993"
+
+@register(
+    "portable_number_encode",
+    f"""WITH ev AS ({_EV})
+SELECT event_id,
+       {portable_uint_sql('ts')} AS ts_json,
+       {portable_uint_sql('event_id')} AS id_json,
+       {portable_uint_sql(f'({_BIG})')} AS big_json
+FROM ev""",
+    doc="number if <= 2^53-1 else decimal string (message.go:12-41)",
+)
+def q_portable_number_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    big = F.col("event_id").cast("decimal(38,0)") * F.lit(9007199254740993).cast(
+        "decimal(38,0)"
+    )
+    return ev.select(
+        "event_id",
+        portable_uint_json("ts").alias("ts_json"),
+        portable_uint_json("event_id").alias("id_json"),
+        portable_uint_json(big).alias("big_json"),
+    )
+
+
+# --- P3: event type dispatch (message.go:79-94) ----------------------------
+
+@register(
+    "event_type_encode",
+    f"""WITH ev AS ({_EV})
+SELECT event_id, {cdc_view.duck_field('type')} AS type_name FROM ev""",
+    doc="int enum -> wire name; unknown raises (message.go:79-94)",
+)
+def q_event_type_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    code = (F.col("event_id") % 5).cast("int")
+    return ev.select("event_id", event_type_name(code).alias("type_name"))
+
+
+# --- P5: header projection (runner.go:586-605) -----------------------------
+
+@register(
+    "header_projection",
+    f"""WITH ev AS ({_EV})
+SELECT event_id,
+       CAST({cdc_view.duck_field('type')} AS VARCHAR) AS event_type,
+       CAST({cdc_view.duck_field('ledger')} AS VARCHAR) AS ledger,
+       CAST({cdc_view.duck_field('transfer.code')} AS VARCHAR) AS transfer_code,
+       CAST({cdc_view.duck_field('debit_account.code')} AS VARCHAR) AS debit_account_code,
+       CAST({cdc_view.duck_field('credit_account.code')} AS VARCHAR) AS credit_account_code
+FROM ev""",
+    doc="5 routing headers per event, as strings (runner.go:586-605)",
+)
+def q_header_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = cdc_view.with_cdc_event(events_table(spark, sf_dir))
+    e = F.col("event")
+    return ev.select(
+        "event_id",
+        e["type"].cast("string").alias("event_type"),
+        e["ledger"].cast("string").alias("ledger"),
+        e["transfer"]["code"].cast("string").alias("transfer_code"),
+        e["debit_account"]["code"].cast("string").alias("debit_account_code"),
+        e["credit_account"]["code"].cast("string").alias("credit_account_code"),
+    )
+
+
+# --- F1: subject routing (config.go:157-162) -------------------------------
+
+@register(
+    "subject_routing",
+    f"""WITH ev AS ({_EV})
+SELECT event_id,
+       '{SUBJECT_PREFIX}' || '.' || CAST({cdc_view.duck_field('ledger')} AS VARCHAR)
+           || '.' || {cdc_view.duck_field('type')} AS subject
+FROM ev""",
+    doc="<prefix>.<ledger>.<event_type> (config.go:157-162)",
+)
+def q_subject_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        subject_column(
+            SUBJECT_PREFIX,
+            cdc_view.spark_field("ledger"),
+            cdc_view.spark_field("type"),
+        ).alias("subject"),
+    )
+
+
+# --- ST3/F2: dedup by deterministic msg id (runner.go:602) -----------------
+
+@register(
+    "dedupe_msgid",
+    f"""WITH ev AS ({_EV}),
+doubled AS (SELECT * FROM ev UNION ALL SELECT * FROM ev),
+dedup AS (
+  SELECT DISTINCT '{CLUSTER_ID}' || '/' || CAST(ts AS VARCHAR) AS msg_id, ts
+  FROM doubled
+)
+SELECT COUNT(*) AS n_events, MIN(ts) AS min_ts, MAX(ts) AS max_ts FROM dedup""",
+    doc="replayed stream collapses to unique <cluster>/<ts> ids "
+        "(runner.go:602; dedupe window runner.go:180)",
+)
+def q_dedupe_msgid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir).select("ts")
+    doubled = ev.unionByName(ev)  # simulate at-least-once replay
+    deduped = doubled.withColumn(
+        "msg_id", msg_id_column(CLUSTER_ID, "ts")
+    ).dropDuplicates(["msg_id"])
+    return deduped.agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )

@@ -1,0 +1,70 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a
+``(spark_fn, duckdb_oracle_sql)`` pair.
+
+The driver runs each Spark query and its oracle side-by-side at sf=0.01 and
+hash-compares values (order-insensitive, columns sorted by name), so:
+- every computed column is aliased identically on both sides;
+- output columns stick to BIGINT / DOUBLE / VARCHAR / DATE (no engine-specific
+  types), with float arithmetic either pass-through or integer-exact.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tigerbeetle_cdc_nats_spark.session import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, or None -> rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = Query(fn=fn, oracle=oracle, doc=doc)
+        return fn
+    return deco
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` with ``ts`` truncated to microsecond precision (still in
+    nanos units).
+
+    Parity shim only: DuckDB 1.0 reads parquet TIMESTAMP(NANOS) as
+    microsecond TIMESTAMP, so the oracle can never observe sub-µs digits.
+    The engine operators (operators/scan.py) work on raw ns longs; truncating
+    here keeps every registered query bit-identical to its oracle. At
+    production scale the raw ``ts`` column is filtered directly so predicate
+    pushdown reaches the parquet scan.
+    """
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn("ts", F.col("ts") - F.col("ts") % 1000)
+
+
+# Importing the query modules populates REGISTRY.
+def _load_all() -> None:
+    from tigerbeetle_cdc_nats_spark import queries_cdc  # noqa: F401
+    for mod in ("queries_relational", "queries_dedup", "queries_text",
+                "queries_similarity", "queries_multimodal"):
+        try:
+            __import__(f"tigerbeetle_cdc_nats_spark.{mod}")
+        except ImportError:
+            pass  # module not built yet
+
+
+def all_queries() -> dict[str, Query]:
+    _load_all()
+    return dict(REGISTRY)

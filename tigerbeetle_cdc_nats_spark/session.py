@@ -1,0 +1,94 @@
+"""SparkSession construction and testdata loading.
+
+Scale notes: every knob here is chosen for the 100 TB case and merely
+*parameterized* for local runs — shuffle partitions track core count locally
+but should be ~2-3x total cluster cores in production; AQE handles runtime
+coalescing and skew joins so the static number only needs to be an upper
+bound.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Spark 4 rejects parquet TIMESTAMP(NANOS) columns outright; this legacy
+#: conf reads them as raw int64 nanoseconds — which is exactly the cursor
+#: arithmetic representation the reference uses (u64 nanos since epoch,
+#: /root/reference/runner.go:726-736), so we keep `ts` as a long everywhere.
+NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables (fit comfortably in driver/executor memory at any
+#: realistic SF) — always broadcast these in joins.
+SMALL_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable session confs we depend on.
+
+    Safe to call on a session we did not build (the driver passes us one).
+    """
+    spark.conf.set(NANOS_AS_LONG, "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass  # non-settable on some deployments; defaults are fine
+    return spark
+
+
+def get_spark(app_name: str = "tigerbeetle-cdc-nats-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cores = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(NANOS_AS_LONG, "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    if master:
+        builder = builder.config("spark.master", master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.config("spark.master", f"local[{cores}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure(spark)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Column pruning + predicate pushdown are left
+    to Catalyst — callers express filters declaratively."""
+    configure(spark)
+    return spark.read.parquet(table_path(sf_dir, name))
