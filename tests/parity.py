@@ -45,7 +45,7 @@ def _normalize(rows: list[dict]) -> list[tuple]:
         return []
     cols = sorted(rows[0].keys())
     return sorted(
-        tuple(_norm(r[c]) for c in cols) for r in rows
+        (tuple(_norm(r[c]) for c in cols) for r in rows), key=repr
     )
 
 

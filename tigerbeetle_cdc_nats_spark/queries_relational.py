@@ -1,0 +1,443 @@
+"""Relational batch surface (SURVEY.md §2.3-§2.8): joins, aggregations,
+windows, sorts, set ops, plus TPC-H-style analytics on the star schema.
+
+Cross-engine exactness rules (see registry module docstring): money math in
+integer cents or DECIMAL-cast-before-SUM; doubles only as pass-through or as
+a final deterministic cast of an exact decimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tigerbeetle_cdc_nats_spark.operators import aggregates as agg
+from tigerbeetle_cdc_nats_spark.operators import windows as win
+from tigerbeetle_cdc_nats_spark.operators.cdc_view import EVENTS_CTE as _EV
+from tigerbeetle_cdc_nats_spark.operators.joins import (
+    anti_join,
+    asof_join,
+    enrichment_join,
+    semi_join,
+)
+from tigerbeetle_cdc_nats_spark.registry import events_table, register
+from tigerbeetle_cdc_nats_spark.schemas import PROPS_SCHEMA
+from tigerbeetle_cdc_nats_spark.session import load_table
+
+_CENTS = agg.CENTS  # "CAST(FLOOR(value * 100) AS BIGINT)"
+
+#: Exact disc-price / charge expressions: 2dp x 2dp -> 4dp exact, x 2dp more
+#: -> 6dp exact; the DECIMAL cast recovers the exact decimal from the double
+#: on both engines (no tie ambiguity — see SKILL.md gotchas).
+_DISC_PRICE = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))"
+_CHARGE = "CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))"
+
+
+# ===========================================================================
+# Joins (§2.3)
+# ===========================================================================
+
+@register(
+    "event_enrichment_join",
+    f"""WITH ev AS ({_EV})
+SELECT event_id, user_id, ts, value, c_name, c_mktsegment
+FROM ev JOIN customer ON user_id = c_custkey""",
+    doc="J1: reconstruct TigerBeetle's pre-join — event x account dim, "
+        "broadcast (message.go:70-77)",
+)
+def q_event_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    return enrichment_join(
+        ev, cust, on=ev.user_id == cust.c_custkey
+    ).select("event_id", "user_id", "ts", "value", "c_name", "c_mktsegment")
+
+
+@register(
+    "left_enrichment_join",
+    f"""WITH ev AS ({_EV}),
+dim AS (SELECT * FROM customer WHERE c_custkey % 3 = 0)
+SELECT event_id, user_id, c_name, c_acctbal
+FROM ev LEFT JOIN dim ON user_id = c_custkey""",
+    doc="J2: left outer join, missing dimension rows -> NULLs",
+)
+def q_left_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 3 == 0)
+    return enrichment_join(
+        ev, dim, on=ev.user_id == dim.c_custkey, how="left"
+    ).select("event_id", "user_id", "c_name", "c_acctbal")
+
+
+@register(
+    "semi_anti_join",
+    f"""WITH ev AS ({_EV}),
+dim AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)
+SELECT event_id, 'matched' AS tag FROM ev
+WHERE EXISTS (SELECT 1 FROM dim WHERE c_custkey = user_id)
+UNION ALL
+SELECT event_id, 'unmatched' AS tag FROM ev
+WHERE NOT EXISTS (SELECT 1 FROM dim WHERE c_custkey = user_id)""",
+    doc="J3: left-semi (EXISTS) + left-anti (NOT EXISTS), tagged union",
+)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 3 == 0
+    ).select("c_custkey")
+    cond = ev.user_id == dim.c_custkey
+    matched = semi_join(ev, dim, cond).select(
+        "event_id", F.lit("matched").alias("tag")
+    )
+    unmatched = anti_join(ev, dim, cond).select(
+        "event_id", F.lit("unmatched").alias("tag")
+    )
+    return matched.unionByName(unmatched)
+
+
+@register(
+    "asof_join",
+    f"""WITH ev AS ({_EV}),
+p AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'purchase'),
+s AS (SELECT user_id, ts AS snap_ts, value AS snap_value FROM ev
+      WHERE event_type = 'signup')
+SELECT event_id, user_id, ts, asof_ts, snap_value FROM (
+  SELECT p.event_id, p.user_id, p.ts, s.snap_ts AS asof_ts,
+         s.snap_value,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY s.snap_ts DESC) AS rn
+  FROM p LEFT JOIN s ON p.user_id = s.user_id AND s.snap_ts <= p.ts
+) WHERE rn = 1""",
+    doc="J4: as-of join — latest account snapshot at event time "
+        "(the *_account.timestamp semantics, message.go:67); union-merge "
+        "implementation, single shuffle",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    snaps = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("snap_ts"), F.col("value").alias("snap_value")
+    )
+    joined = asof_join(
+        purchases, snaps, key="user_id", fact_ts="ts", snap_ts="snap_ts",
+        snap_cols={"snap_value": "snap_value"},
+    )
+    return joined.select("event_id", "user_id", "ts", "asof_ts", "snap_value")
+
+
+# ===========================================================================
+# Aggregations (§2.4)
+# ===========================================================================
+
+@register(
+    "balance_rollup",
+    f"""WITH ev AS ({_EV})
+SELECT user_id,
+  SUM(CASE WHEN event_type = 'purchase' THEN {_CENTS} ELSE 0 END) AS debits_posted_cents,
+  SUM(CASE WHEN event_type = 'signup' THEN {_CENTS} ELSE 0 END) AS debits_pending_cents,
+  SUM(CASE WHEN event_type = 'view' THEN {_CENTS} ELSE 0 END) AS credits_posted_cents,
+  SUM(CASE WHEN event_type = 'click' THEN {_CENTS} ELSE 0 END) AS credits_pending_cents,
+  COUNT(*) AS n_events
+FROM ev GROUP BY user_id""",
+    doc="A3: re-derive the per-account running balances TigerBeetle embeds "
+        "(message.go:56-68); exact integer cents",
+)
+def q_balance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.balance_rollup(events_table(spark, sf_dir))
+
+
+@register(
+    "ledger_event_type_counts",
+    f"""WITH ev AS ({_EV})
+SELECT user_id % 10 AS ledger, event_type,
+       COUNT(*) AS n_events, SUM({_CENTS}) AS sum_cents
+FROM ev GROUP BY 1, 2""",
+    doc="A4: counts per subject-taxonomy key (config.go:157-162)",
+)
+def q_ledger_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.ledger_event_type_counts(events_table(spark, sf_dir))
+
+
+@register(
+    "ledger_rollup",
+    f"""WITH ev AS ({_EV})
+SELECT user_id % 10 AS ledger, event_type, COUNT(*) AS n_events
+FROM ev GROUP BY ROLLUP(1, 2)""",
+    doc="A4: hierarchical rollup (pair / per-ledger / grand total)",
+)
+def q_ledger_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.ledger_rollup(events_table(spark, sf_dir))
+
+
+@register(
+    "distinct_event_count",
+    f"""WITH ev AS ({_EV})
+SELECT COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT event_type) AS n_types
+FROM ev""",
+    doc="A5: exact distinct aggregates over the dedup identity",
+)
+def q_distinct_event_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.distinct_counts(events_table(spark, sf_dir))
+
+
+@register(
+    "duplicate_count",
+    f"""WITH ev AS ({_EV})
+SELECT user_id % 10 AS ledger, COUNT(*) AS n_acks,
+       SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS n_duplicates
+FROM ev GROUP BY 1""",
+    doc="A2: duplicate-ack accounting (runner.go:542-555)",
+)
+def q_duplicate_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.duplicate_counts(events_table(spark, sf_dir))
+
+
+# ===========================================================================
+# Windows / chunking / ordering (§2.5, §2.6)
+# ===========================================================================
+
+@register(
+    "chunk_assignment",
+    f"""WITH ev AS ({_EV}),
+r AS (SELECT event_id, ts, ROW_NUMBER() OVER (ORDER BY ts) AS rn FROM ev)
+SELECT event_id, ts, CAST(FLOOR((rn - 1) / 4096) AS BIGINT) AS chunk FROM r""",
+    doc="W3: rows -> fixed-size publish chunks in ts order "
+        "(runner.go:437-448)",
+)
+def q_chunk_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir).select("event_id", "ts")
+    return win.with_chunk_id(ev).select("event_id", "ts", "chunk")
+
+
+@register(
+    "chunk_max_checkpoint",
+    f"""WITH ev AS ({_EV}),
+r AS (SELECT ts, ROW_NUMBER() OVER (ORDER BY ts) AS rn FROM ev)
+SELECT CAST(FLOOR((rn - 1) / 4096) AS BIGINT) AS chunk,
+       MAX(ts) AS progress_ts, COUNT(*) AS n_events
+FROM r GROUP BY 1""",
+    doc="A1/ST2: per-chunk checkpoint = last (max) ts (runner.go:453-461)",
+)
+def q_chunk_max_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return win.chunk_max_checkpoint(events_table(spark, sf_dir).select("ts"))
+
+
+@register(
+    "rate_window_counts",
+    f"""WITH ev AS ({_EV})
+SELECT ts - ts % 1000000000 AS window_start, COUNT(*) AS n_events
+FROM ev GROUP BY 1""",
+    doc="W1/ST6: tumbling 1 s limiter windows (runner.go:750-793)",
+)
+def q_rate_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return win.rate_window_counts(events_table(spark, sf_dir))
+
+
+@register(
+    "event_sequence_rank",
+    f"""WITH ev AS ({_EV})
+SELECT event_id, user_id, ts,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS seq,
+       ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap_ns
+FROM ev""",
+    doc="W2: per-stream sequence + inter-event gap (runner.go:484-558)",
+)
+def q_event_sequence_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return win.event_sequence_rank(events_table(spark, sf_dir))
+
+
+@register(
+    "top_k_by_amount",
+    f"""WITH ev AS ({_EV})
+SELECT event_id, ts, value FROM ev
+ORDER BY value DESC, ts LIMIT 100""",
+    doc="L2: top-k — compiles to TakeOrderedAndProject (per-partition heap, "
+        "no global sort)",
+)
+def q_top_k_by_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    return (
+        ev.select("event_id", "ts", "value")
+        .orderBy(F.col("value").desc(), F.col("ts"))
+        .limit(100)
+    )
+
+
+# ===========================================================================
+# Set ops (§2.7) and scalar round-trips (§2.8)
+# ===========================================================================
+
+@register(
+    "event_stream_union",
+    f"""WITH ev AS ({_EV}),
+u AS (
+  SELECT * FROM ev WHERE user_id % 10 < 5
+  UNION ALL
+  SELECT * FROM ev WHERE user_id % 10 >= 5
+)
+SELECT COUNT(*) AS n_events, SUM({_CENTS}) AS sum_cents FROM u""",
+    doc="union of per-ledger slices == whole stream (checkable identity)",
+)
+def q_event_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    lo = ev.where(F.col("user_id") % 10 < 5)
+    hi = ev.where(F.col("user_id") % 10 >= 5)
+    return lo.unionByName(hi).agg(
+        F.count("*").alias("n_events"),
+        F.sum(agg.cents()).alias("sum_cents"),
+    )
+
+
+@register(
+    "json_roundtrip",
+    f"""WITH ev AS ({_EV})
+SELECT event_id,
+       CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k,
+       '{{"k":' || regexp_extract(props, '([0-9]+)', 1) || '}}' AS rebuilt
+FROM ev""",
+    doc="F5: from_json -> struct -> to_json round-trip on the props column "
+        "(message.go:146, runner.go:404-413)",
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    parsed = F.from_json("props", PROPS_SCHEMA)
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k"),
+        F.to_json(F.struct(parsed["k"].alias("k"))).alias("rebuilt"),
+    )
+
+
+# ===========================================================================
+# TPC-H-style analytics (flagship batch queries on the star schema)
+# ===========================================================================
+
+@register(
+    "q1_pricing_summary",
+    f"""SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM({_CHARGE}) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus""",
+    doc="TPC-H Q1 shape: full-scan aggregate; decimal-exact partial "
+        "aggregation, map-side combine",
+)
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,4)"
+    )
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(28,6)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    f"""SELECT l_orderkey,
+  CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    doc="TPC-H Q3 shape: selective dim filter -> broadcast join chain -> "
+        "top-k aggregate",
+)
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,4)"
+    )
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey", "revenue",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    f"""SELECT n_name,
+  CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name""",
+    doc="TPC-H Q5 shape: multi-way join with small-dim broadcasts and one "
+        "fact-fact shuffle join",
+)
+def q_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
