@@ -103,7 +103,9 @@ FROM ev""",
     doc="Full nested-envelope JSON encoding, byte-exact (message.go:96-152)",
 )
 def q_event_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = cdc_view.with_cdc_event(events_table(spark, sf_dir))
+    from tigerbeetle_cdc_nats_spark.session import ensure_parallelism
+
+    ev = cdc_view.with_cdc_event(ensure_parallelism(events_table(spark, sf_dir)))
     return ev.select("event_id", encode_cdc_json("event").alias("payload"))
 
 

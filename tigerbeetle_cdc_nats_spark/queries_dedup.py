@@ -1,0 +1,100 @@
+"""Deduplication queries over ``documents`` (north-star surface): exact,
+n-gram Jaccard, MinHash+LSH, SimHash."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tigerbeetle_cdc_nats_spark.operators import dedup as dd
+from tigerbeetle_cdc_nats_spark.registry import register
+from tigerbeetle_cdc_nats_spark.session import load_table
+
+_SHH = dd.sql_word_shingle_hashes("text")
+
+#: The 16 universal-hash MinHash permutations as a SQL literal list.
+_SIG_SQL = "[" + ", ".join(
+    f"list_min(list_transform(sh, h -> ({dd.MINHASH_A[i]} * (h % {dd.MINHASH_P})"
+    f" + {dd.MINHASH_B[i]}) % {dd.MINHASH_P}))"
+    for i in range(dd.MINHASH_K)
+) + "]"
+
+
+@register(
+    "exact_dedup",
+    """SELECT doc_id, md5(text) AS content_hash,
+  MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
+  CAST(doc_id != MIN(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS is_dup
+FROM documents""",
+    doc="exact content dedup: hash-groupBy, keeper = min id "
+        "(north star: exact dedup)",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_dedup",
+    f"""WITH base AS (
+  SELECT doc_id, source AS block, {_SHH} AS sh FROM documents
+), b2 AS (SELECT doc_id, block, sh, len(sh) AS n_sh FROM base WHERE len(sh) > 0),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    len(list_intersect(a.sh, b.sh)) AS n_inter,
+    a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh)) AS n_union
+  FROM b2 a JOIN b2 b ON a.block = b.block AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, n_inter, n_union, n_inter / n_union AS jaccard
+FROM p WHERE n_inter / n_union >= 0.05""",
+    doc="word-3-gram Jaccard within a blocking key over hashed shingles "
+        "(north star: n-gram Jaccard near-dup); blocking avoids all-pairs",
+)
+def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_dedup",
+    f"""WITH d AS (SELECT doc_id, {_SHH} AS sh FROM documents),
+d2 AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+sig AS (SELECT doc_id, {_SIG_SQL} AS sig FROM d2),
+bands AS (SELECT doc_id, sig, unnest(range(0, {dd.MINHASH_BANDS})) AS band FROM sig),
+bk AS (
+  SELECT doc_id, sig, band,
+    CAST(sig[CAST(band * 2 + 1 AS INT)] AS VARCHAR) || ',' ||
+    CAST(sig[CAST(band * 2 + 2 AS INT)] AS VARCHAR) AS bucket
+  FROM bands
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+wsig AS (
+  SELECT p.doc_a, p.doc_b, sa.sig AS sig_a, sb.sig AS sig_b
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b,
+  len(list_filter(range(1, {dd.MINHASH_K + 1}),
+      i -> sig_a[CAST(i AS INT)] = sig_b[CAST(i AS INT)])) / {dd.MINHASH_K}.0
+    AS est_jaccard
+FROM wsig""",
+    doc="MinHash(16, universal-hash perms) + LSH banding (8x2): candidates "
+        "via equality join on (band, bucket) — the 100 TB near-dup path "
+        "(north star: MinHash LSH)",
+)
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
+    return dd.minhash_candidate_pairs(sigs)
+
+
+@register(
+    "simhash_dedup",
+    "WITH " + dd.sql_simhash("SELECT doc_id, text FROM documents"),
+    doc="60-bit SimHash fingerprints via bitwise vote aggregation "
+        "(north star: SimHash near-dup)",
+)
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash(load_table(spark, sf_dir, "documents"))

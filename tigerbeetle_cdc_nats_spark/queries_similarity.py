@@ -1,0 +1,61 @@
+"""Similarity-search queries over ``embeddings`` (north-star surface):
+brute-force cosine top-k baseline + LSH-bucketed ANN scale path."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tigerbeetle_cdc_nats_spark.operators import similarity as sim
+from tigerbeetle_cdc_nats_spark.registry import register
+from tigerbeetle_cdc_nats_spark.session import load_table
+
+QUERY_IDS = (0, 1, 2, 3, 4)
+PLANES = sim.hyperplanes(n_planes=8, dim=64)
+
+_COS = sim.sql_cosine_e6("q_emb", "c_emb")
+_BUCKET = sim.sql_bucket(PLANES)
+
+
+@register(
+    "knn_bruteforce_cosine",
+    f"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+           FROM embeddings WHERE vec_id IN {QUERY_IDS}),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+s AS (SELECT q_id, c_id, {_COS} AS sim_e6 FROM q, c WHERE q_id != c_id),
+r AS (SELECT q_id, c_id, sim_e6,
+        ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY sim_e6 DESC, c_id) AS knn_rank
+      FROM s)
+SELECT q_id, c_id, sim_e6, knn_rank FROM r WHERE knn_rank <= 10""",
+    doc="exact cosine top-10 per query (north star: brute-force ANN "
+        "baseline); broadcast queries, no candidate shuffle",
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.knn_bruteforce(emb, QUERY_IDS, k=10).withColumnRenamed(
+        "rank", "knn_rank"
+    )
+
+
+@register(
+    "ann_lsh_cosine",
+    f"""WITH b AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+      FROM b WHERE vec_id IN {QUERY_IDS}),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket AS c_bucket FROM b),
+s AS (SELECT q_id, c_id, {_COS} AS sim_e6
+      FROM q JOIN c ON q_bucket = c_bucket AND q_id != c_id),
+r AS (SELECT q_id, c_id, sim_e6,
+        ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY sim_e6 DESC, c_id) AS knn_rank
+      FROM s)
+SELECT q_id, c_id, sim_e6, knn_rank FROM r WHERE knn_rank <= 5""",
+    doc="sign-random-projection LSH ANN: exact cosine only within the "
+        "query's bucket — equality join, the IVF/LSH scale path "
+        "(north star: ANN)",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ann_lsh(emb, QUERY_IDS, PLANES, k=5).withColumnRenamed(
+        "rank", "knn_rank"
+    )

@@ -56,13 +56,9 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Importing the query modules populates REGISTRY.
 def _load_all() -> None:
-    from tigerbeetle_cdc_nats_spark import queries_cdc  # noqa: F401
-    for mod in ("queries_relational", "queries_dedup", "queries_text",
-                "queries_similarity", "queries_multimodal"):
-        try:
-            __import__(f"tigerbeetle_cdc_nats_spark.{mod}")
-        except ImportError:
-            pass  # module not built yet
+    for mod in ("queries_cdc", "queries_relational", "queries_dedup",
+                "queries_text", "queries_similarity", "queries_multimodal"):
+        __import__(f"tigerbeetle_cdc_nats_spark.{mod}")
 
 
 def all_queries() -> dict[str, Query]:

@@ -92,3 +92,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to Catalyst — callers express filters declaratively."""
     configure(spark)
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ONLY when the input has fewer partitions than cores.
+
+    Compute-heavy per-row operators (hashing, signatures, JSON assembly) are
+    bottlenecked by input-split count, not data size: a single small parquet
+    row-group serializes the whole stage on one core. At 100 TB the scan has
+    thousands of splits and this is a no-op — the round-robin shuffle only
+    triggers for small-file inputs where shuffling is trivially cheap.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
