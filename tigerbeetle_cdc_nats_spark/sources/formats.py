@@ -1,0 +1,55 @@
+"""File-format sources/sinks (SURVEY.md §2.1 S6).
+
+The reference's only wire format is JSON-over-NATS; the batch engine adds
+parquet (columnar, the testdata format) and JSON-lines with EXPLICIT schemas
+— schema inference is disabled by policy: at 100 TB an inference pass is a
+full extra scan, and a drifting inferred schema breaks the fail-fast
+config-diff contract (sources/provision.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+from tigerbeetle_cdc_nats_spark.session import configure
+
+
+def read_parquet(spark: SparkSession, path: str,
+                 schema: T.StructType | None = None) -> DataFrame:
+    configure(spark)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON-lines with a required schema (no inference pass)."""
+    configure(spark)
+    return spark.read.schema(schema).json(path)
+
+
+def write_parquet(df: DataFrame, path: str, *, mode: str = "append",
+                  partition_by: tuple[str, ...] = ()) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_jsonl(df: DataFrame, path: str, *, mode: str = "append") -> None:
+    """JSON-lines sink — the batch analogue of the reference's JSON wire
+    format (message.go:146)."""
+    df.write.mode(mode).json(path)
+
+
+def stream_parquet(spark: SparkSession, path: str, schema: T.StructType,
+                   max_files_per_trigger: int = 16) -> DataFrame:
+    """Streaming file source with bounded batch size (the event-count-max
+    batching analogue, config.go:40)."""
+    configure(spark)
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
