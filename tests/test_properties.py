@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis) — coverage the reference lacks
+(SURVEY.md §5: "no property-based tests").
+
+The portable-number contract (message.go:12-41) is checked against an
+independent Python model over the full u128 domain with boundary bias; the
+config validator is checked for idempotence (resolving a resolved config is
+a no-op).
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F, types as T
+
+from tigerbeetle_cdc_nats_spark.config import CdcConfig, validate
+from tigerbeetle_cdc_nats_spark.functions.portable import (
+    MAX_PORTABLE_JSON_INT,
+    portable_uint_json_str,
+)
+
+BOUNDARY = [0, 1, MAX_PORTABLE_JSON_INT - 1, MAX_PORTABLE_JSON_INT,
+            MAX_PORTABLE_JSON_INT + 1, 2**63 - 1, 2**64 - 1, 2**127, 2**128 - 1]
+
+
+def model_portable(v: int) -> str:
+    """Independent model of message.go:12-41."""
+    return json.dumps(str(v)) if v > MAX_PORTABLE_JSON_INT else str(v)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(
+    st.one_of(st.sampled_from(BOUNDARY), st.integers(0, 2**128 - 1)),
+    min_size=1, max_size=64,
+))
+def test_portable_encoding_matches_model(spark, values):
+    schema = T.StructType([T.StructField("v", T.StringType())])
+    df = spark.createDataFrame([{"v": str(v)} for v in values], schema)
+    got = [r["j"] for r in
+           df.select(portable_uint_json_str("v").alias("j")).collect()]
+    assert got == [model_portable(v) for v in values]
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    cluster=st.integers(0, 2**128 - 1),
+    ttl=st.floats(1.0, 1e6),
+    prefix=st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Nd")),
+        min_size=1, max_size=20,
+    ),
+    every=st.integers(0, 2**32 - 1),
+)
+def test_validate_idempotent(cluster, ttl, prefix, every):
+    cfg = CdcConfig(cluster_id=str(cluster), lock_ttl_s=ttl,
+                    lock_refresh_s=ttl / 2, subject_prefix=prefix,
+                    progress_every_events=every)
+    once = validate(cfg)
+    assert validate(once) == once
+
+
+def test_portable_json_values_roundtrip_via_spark_json(spark):
+    """Encoded envelopes must be parseable JSON whose big ints survive as
+    exact strings (the reason the portable rule exists)."""
+    from tigerbeetle_cdc_nats_spark.operators.cdc_view import with_cdc_event
+    from tigerbeetle_cdc_nats_spark.functions.json_codec import encode_cdc_json
+    from tigerbeetle_cdc_nats_spark.registry import events_table
+
+    df = with_cdc_event(events_table(spark, "/root/testdata/sf0.001")).limit(20)
+    payloads = df.select(encode_cdc_json("event").alias("p"),
+                         F.col("ts")).collect()
+    for row in payloads:
+        doc = json.loads(row["p"])
+        # ts > 2^53 -> encoded as string, exact round trip
+        assert doc["timestamp"] == str(row["ts"])
+        assert isinstance(doc["ledger"], int)

@@ -441,3 +441,120 @@ def q_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(disc_price).cast("double").alias("revenue"))
     )
+
+
+# ===========================================================================
+# Sessionization, percentiles, pivot (§2.5 extensions)
+# ===========================================================================
+
+#: 30-minute inactivity gap in ns.
+SESSION_GAP_NS = 30 * 60 * 1_000_000_000
+
+
+@register(
+    "sessionization",
+    f"""WITH ev AS ({_EV}),
+flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > {SESSION_GAP_NS}
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM ev
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts
+FROM sessions GROUP BY user_id, session_id""",
+    doc="gaps-and-islands sessionization (30 min inactivity); the streaming "
+        "analogue is F.session_window (streaming/pipeline.py)",
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = events_table(spark, sf_dir).select("user_id", "ts")
+    w = W.partitionBy("user_id").orderBy("ts")
+    lag_ts = F.lag("ts").over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when((F.col("ts") - lag_ts > SESSION_GAP_NS) | lag_ts.isNull(), 1)
+        .otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+    )
+
+
+@register(
+    "value_percentiles",
+    f"""WITH ev AS ({_EV}),
+r AS (
+  SELECT event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, ts) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+)
+SELECT event_type, MAX(n) AS n_events,
+  MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.50) AS BIGINT) + 1
+           THEN value END) AS p50,
+  MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.90) AS BIGINT) + 1
+           THEN value END) AS p90,
+  MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.99) AS BIGINT) + 1
+           THEN value END) AS p99
+FROM r GROUP BY event_type""",
+    doc="positional (type-7 lower) percentiles via rank — deterministic "
+        "cross-engine, no interpolation float drift",
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = events_table(spark, sf_dir).select("event_type", "value", "ts")
+    w = W.partitionBy("event_type").orderBy("value", "ts")
+    r = ev.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n"),
+    )
+
+    def at(q: float):
+        pos = F.floor((F.col("n") - 1) * q).cast("bigint") + 1
+        return F.max(F.when(F.col("rn") == pos, F.col("value")))
+
+    return r.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        at(0.50).alias("p50"),
+        at(0.90).alias("p90"),
+        at(0.99).alias("p99"),
+    )
+
+
+@register(
+    "ledger_pivot",
+    f"""WITH ev AS ({_EV})
+SELECT user_id % 10 AS ledger,
+  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM ev GROUP BY 1""",
+    doc="pivot: ledger x event_type count matrix",
+)
+def q_ledger_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir).withColumn("ledger", F.col("user_id") % 10)
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = ev.groupBy("ledger").pivot("event_type", types).count()
+    return pivoted.select(
+        "ledger", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )

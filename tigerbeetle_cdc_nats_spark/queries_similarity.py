@@ -59,3 +59,34 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_lsh(emb, QUERY_IDS, PLANES, k=5).withColumnRenamed(
         "rank", "knn_rank"
     )
+
+
+@register(
+    "embedding_near_dup",
+    f"""WITH b AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket FROM b),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket AS c_bucket FROM b)
+SELECT q_id AS vec_a, c_id AS vec_b, {_COS} AS sim_e6
+FROM q JOIN c ON q_bucket = c_bucket AND q_id < c_id
+WHERE {_COS} >= 400000""",
+    doc="embedding-cosine near-dup: candidate pairs from LSH bucket "
+        "equality join, cosine >= 0.4 (north star: embedding-cosine "
+        "near-dup); never all-pairs",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = sim.lsh_buckets(emb, PLANES)
+    q = b.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+                 F.col("bucket").alias("q_bucket"))
+    c = b.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
+                 F.col("bucket").alias("c_bucket"))
+    s = sim.cosine_sim_e6(F.col("q_emb"), F.col("c_emb"))
+    return (
+        q.join(c, (F.col("q_bucket") == F.col("c_bucket"))
+               & (F.col("q_id") < F.col("c_id")))
+        .select(F.col("q_id").alias("vec_a"), F.col("c_id").alias("vec_b"),
+                s.alias("sim_e6"))
+        .where(F.col("sim_e6") >= 400000)
+    )
