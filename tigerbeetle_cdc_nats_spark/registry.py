@@ -57,7 +57,8 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Importing the query modules populates REGISTRY.
 def _load_all() -> None:
     for mod in ("queries_cdc", "queries_relational", "queries_dedup",
-                "queries_text", "queries_similarity", "queries_multimodal"):
+                "queries_text", "queries_similarity", "queries_multimodal",
+                "queries_scalar"):
         __import__(f"tigerbeetle_cdc_nats_spark.{mod}")
 
 
