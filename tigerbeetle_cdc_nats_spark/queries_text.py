@@ -95,7 +95,9 @@ FROM documents""",
         "(north star: document fingerprinting)",
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from tigerbeetle_cdc_nats_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         tx.doc_fingerprint("text").alias("fp"),
