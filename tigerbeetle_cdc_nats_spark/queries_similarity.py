@@ -90,3 +90,44 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 s.alias("sim_e6"))
         .where(F.col("sim_e6") >= 400000)
     )
+
+
+@register(
+    "label_centroids",
+    """WITH e AS (SELECT label, embedding FROM embeddings),
+x AS (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS i FROM e)
+SELECT label, i AS dim,
+  CAST(FLOOR(SUM(CAST(v AS DOUBLE)) / COUNT(*) * 1000000) AS BIGINT) AS c_e6
+FROM x GROUP BY label, i""",
+    doc="per-label embedding centroids via grouped applyInPandas (numpy "
+        "mean per Arrow group) — the k-means-update shape; FLOOR(x*1e6) "
+        "stabilizes float summation order across engines",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    import numpy as np
+    from pyspark.sql import types as T
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    schema = T.StructType([
+        T.StructField("label", T.IntegerType()),
+        T.StructField("dim", T.LongType()),
+        T.StructField("c_e6", T.LongType()),
+    ])
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Sum in float64 in row order (matches SQL SUM fold closely; the
+        # e6 floor absorbs association-order ULP differences), then divide.
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        c = mat.sum(axis=0) / len(mat)
+        return pd.DataFrame({
+            "label": pdf["label"].iloc[0],
+            "dim": np.arange(1, len(c) + 1, dtype=np.int64),
+            "c_e6": np.floor(c * 1_000_000).astype(np.int64),
+        })
+
+    return emb.select("label", "embedding").groupBy("label").applyInPandas(
+        centroid, schema=schema
+    )

@@ -63,6 +63,9 @@ def get_spark(app_name: str = "tigerbeetle-cdc-nats-spark",
     cores = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)
+        # local mode: the driver IS the executor — size its heap accordingly
+        # (default 1g causes GC churn across a long multi-query session).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
