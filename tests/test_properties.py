@@ -75,3 +75,34 @@ def test_portable_json_values_roundtrip_via_spark_json(spark):
         # ts > 2^53 -> encoded as string, exact round trip
         assert doc["timestamp"] == str(row["ts"])
         assert isinstance(doc["ledger"], int)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.data())
+def test_asof_join_matches_bruteforce_model(spark, data):
+    """The union-merge as-of join must agree with the obvious O(n*m) model
+    on arbitrary small inputs (ties, missing snapshots, interleavings)."""
+    from tigerbeetle_cdc_nats_spark.operators.joins import asof_join
+
+    keys = st.integers(0, 3)
+    ts = st.integers(0, 30)
+    facts = data.draw(st.lists(st.tuples(keys, ts), min_size=1, max_size=12))
+    snaps = data.draw(st.lists(st.tuples(keys, ts), max_size=12))
+
+    facts_rows = [(i, k, t) for i, (k, t) in enumerate(facts)]
+    # unique (key, ts) snapshots so "the latest" is well-defined
+    snap_rows = [(k, t, float(k * 100 + t))
+                 for k, t in sorted(set(snaps))]
+
+    fdf = spark.createDataFrame(facts_rows, "fact_id long, k long, ts long")
+    sdf = spark.createDataFrame(snap_rows, "k long, snap_ts long, sv double")
+    out = asof_join(fdf, sdf, key="k", fact_ts="ts", snap_ts="snap_ts",
+                    snap_cols={"sv": "sv"})
+    got = {r["fact_id"]: (r["asof_ts"], r["sv"]) for r in out.collect()}
+
+    assert set(got) == {fid for fid, _, _ in facts_rows}
+    for fid, k, t in facts_rows:
+        eligible = [(st_, sv) for (sk, st_, sv) in snap_rows
+                    if sk == k and st_ <= t]
+        expect = max(eligible) if eligible else (None, None)
+        assert got[fid] == expect, (fid, k, t, got[fid], expect)

@@ -87,3 +87,25 @@ def duplicate_counts(events: DataFrame, every: int = 97) -> DataFrame:
             F.sum(F.when(dup, 1).otherwise(0)).alias("n_duplicates"),
         )
     )
+
+
+def skew_salted_agg(events: DataFrame, key: str, *, salt: int = 16) -> DataFrame:
+    """Two-stage aggregation for skewed keys: stage 1 aggregates on
+    (key, salt) — spreading a hot key over ``salt`` reducers — stage 2
+    combines the partials on the bare key.
+
+    Result is identical to a plain groupBy (all metrics here are
+    associative + integer-exact); the plan trades one extra small shuffle
+    for immunity to single-reducer hot spots. AQE's skew handling covers
+    joins; this is the aggregation-side equivalent for known-skewed keys.
+    """
+    amt = cents()
+    partial = (
+        events.withColumn("_salt", (F.col("event_id") % salt).cast("int"))
+        .groupBy(key, "_salt")
+        .agg(F.count("*").alias("_n"), F.sum(amt).alias("_c"))
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_n").alias("n_events"),
+        F.sum("_c").alias("sum_cents"),
+    )

@@ -558,3 +558,16 @@ def q_ledger_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted.select(
         "ledger", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
     )
+
+
+@register(
+    "skew_salted_counts",
+    f"""WITH ev AS ({_EV})
+SELECT event_type, COUNT(*) AS n_events, SUM({_CENTS}) AS sum_cents
+FROM ev GROUP BY event_type""",
+    doc="two-stage salted aggregation over a known-skewed key: partial on "
+        "(key, salt), final on key — identical result to plain groupBy, "
+        "immune to single-reducer hot spots",
+)
+def q_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.skew_salted_agg(events_table(spark, sf_dir), "event_type")
