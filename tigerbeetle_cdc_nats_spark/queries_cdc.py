@@ -225,3 +225,38 @@ def q_dedupe_msgid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
     )
+
+
+# --- decode path: parse the CDC wire JSON back into the typed envelope ----
+
+@register(
+    "event_json_decode",
+    f"""WITH ev AS ({_EV})
+SELECT event_id,
+       ts AS dec_timestamp,
+       {cdc_view.duck_field('type')} AS dec_type,
+       {cdc_view.duck_field('ledger')} AS dec_ledger,
+       {cdc_view.duck_field('transfer.amount')} AS dec_amount,
+       CAST({cdc_view.duck_field('transfer.user_data_128')} AS VARCHAR)
+         AS dec_user_data_128
+FROM ev""",
+    doc="decode path: from_json(wire payload) -> typed envelope; both "
+        "portable forms (bare number, quoted string) coerce into the "
+        "decimal schema. Oracle derives the same fields directly, proving "
+        "the encode->decode round trip is lossless",
+)
+def q_event_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigerbeetle_cdc_nats_spark.schemas import CDC_EVENT_SCHEMA
+    from tigerbeetle_cdc_nats_spark.session import ensure_parallelism
+
+    ev = cdc_view.with_cdc_event(ensure_parallelism(events_table(spark, sf_dir)))
+    payload = ev.select("event_id", encode_cdc_json("event").alias("payload"))
+    d = F.from_json("payload", CDC_EVENT_SCHEMA)
+    return payload.select(
+        "event_id",
+        d["timestamp"].cast("long").alias("dec_timestamp"),
+        d["type"].alias("dec_type"),
+        d["ledger"].cast("long").alias("dec_ledger"),
+        d["transfer"]["amount"].cast("long").alias("dec_amount"),
+        d["transfer"]["user_data_128"].cast("string").alias("dec_user_data_128"),
+    )
