@@ -136,6 +136,11 @@ def minhash_candidate_pairs(sigs: DataFrame, bands: int = MINHASH_BANDS,
     """LSH banding: bucket = md5 of each band's signature slice; candidate
     pairs share (band, bucket). Equality join — the 100 TB path."""
     rows_per_band = k // bands
+    # Exchange boundary: the self-join below references the signature
+    # subtree twice; a repartition here lets the runtime reuse one shuffle
+    # output for both sides instead of recomputing every signature per side.
+    parallelism = sigs.sparkSession.sparkContext.defaultParallelism
+    sigs = sigs.repartition(parallelism, "doc_id")
     band = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = sigs.select("doc_id", "sig", band).select(
         "doc_id",
