@@ -12,7 +12,7 @@ tests port 1:1 (config_test.go:9-108).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 
 # Defaults — config.go:30-51.
 DEFAULT_NATS_URL = "nats://127.0.0.1:4222"

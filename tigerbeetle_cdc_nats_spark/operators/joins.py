@@ -20,7 +20,7 @@ capability over normalized tables, Spark-first:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def enrichment_join(facts: DataFrame, dim: DataFrame, on, *,

@@ -571,3 +571,43 @@ FROM ev GROUP BY event_type""",
 )
 def q_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.skew_salted_agg(events_table(spark, sf_dir), "event_type")
+
+
+@register(
+    "multires_rollup",
+    f"""WITH ev AS ({_EV}),
+sec AS (
+  SELECT ts - ts % 1000000000 AS bucket_s, COUNT(*) AS n, SUM({_CENTS}) AS c
+  FROM ev GROUP BY 1
+),
+minute AS (
+  SELECT bucket_s - bucket_s % 60000000000 AS bucket_m,
+         SUM(n) AS n, SUM(c) AS c
+  FROM sec GROUP BY 1
+)
+SELECT bucket_m - bucket_m % 3600000000000 AS bucket_h,
+       SUM(n) AS n_events, SUM(c) AS sum_cents,
+       COUNT(*) AS n_minutes
+FROM minute GROUP BY 1""",
+    doc="hypertable-style multi-resolution rollup: 1s buckets -> 1min -> "
+        "1h, each level aggregating the level below (continuous-aggregate "
+        "shape; integer-exact so re-aggregation is lossless)",
+)
+def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    sec = (
+        ev.groupBy((F.col("ts") - F.col("ts") % 1_000_000_000).alias("bucket_s"))
+        .agg(F.count("*").alias("n"), F.sum(agg.cents()).alias("c"))
+    )
+    minute = (
+        sec.groupBy((F.col("bucket_s") - F.col("bucket_s") % 60_000_000_000)
+                    .alias("bucket_m"))
+        .agg(F.sum("n").alias("n"), F.sum("c").alias("c"))
+    )
+    return (
+        minute.groupBy(
+            (F.col("bucket_m") - F.col("bucket_m") % 3_600_000_000_000)
+            .alias("bucket_h"))
+        .agg(F.sum("n").alias("n_events"), F.sum("c").alias("sum_cents"),
+             F.count("*").alias("n_minutes"))
+    )

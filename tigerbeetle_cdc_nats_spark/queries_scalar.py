@@ -5,7 +5,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from tigerbeetle_cdc_nats_spark.config import cluster_scoped_resource_name
 from tigerbeetle_cdc_nats_spark.operators.cdc_view import EVENTS_CTE as _EV
 from tigerbeetle_cdc_nats_spark.registry import events_table, register
 

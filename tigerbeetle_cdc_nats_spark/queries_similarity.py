@@ -131,3 +131,58 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("label", "embedding").groupBy("label").applyInPandas(
         centroid, schema=schema
     )
+
+
+@register(
+    "ivf_ann_cosine",
+    f"""WITH cent AS (
+  SELECT label,
+    list_transform(range(1, 65), i -> (
+      SELECT SUM(CAST(e2.embedding[CAST(i AS INT)] AS DOUBLE)) / COUNT(*)
+      FROM embeddings e2 WHERE e2.label = e1.label)) AS c
+  FROM (SELECT DISTINCT label FROM embeddings) e1
+),
+assigned AS (
+  SELECT vec_id, embedding, label AS cell FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, cell AS q_cell
+      FROM assigned WHERE vec_id IN {QUERY_IDS}),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb, cell AS c_cell FROM assigned),
+s AS (SELECT q_id, c_id, {_COS} AS sim_e6
+      FROM q JOIN c ON q_cell = c_cell AND q_id != c_id),
+r AS (SELECT q_id, c_id, sim_e6,
+        ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY sim_e6 DESC, c_id) AS knn_rank
+      FROM s)
+SELECT q_id, c_id, sim_e6, knn_rank FROM r WHERE knn_rank <= 5""",
+    doc="IVF-style ANN: vectors are assigned to coarse cells (here the "
+        "label partition, i.e. the trained-centroid assignment) and search "
+        "runs only within the query's cell — the inverted-file scale path; "
+        "centroid computation itself is label_centroids (north star: IVF)",
+)
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.col("label").alias("cell")
+    )
+    q = emb.where(F.col("vec_id").isin(list(QUERY_IDS))).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        F.col("cell").alias("q_cell"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
+        F.col("cell").alias("c_cell"),
+    )
+    s = sim.cosine_sim_e6(F.col("q_emb"), F.col("c_emb"))
+    scored = (
+        c.join(F.broadcast(q), (F.col("q_cell") == F.col("c_cell"))
+               & (F.col("q_id") != F.col("c_id")))
+        .select("q_id", "c_id", s.alias("sim_e6"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim_e6").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= 5)
+        .select("q_id", "c_id", "sim_e6", "knn_rank")
+    )
