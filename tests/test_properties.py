@@ -106,3 +106,74 @@ def test_asof_join_matches_bruteforce_model(spark, data):
                     if sk == k and st_ <= t]
         expect = max(eligible) if eligible else (None, None)
         assert got[fid] == expect, (fid, k, t, got[fid], expect)
+
+
+def _model_encode(event: dict) -> str:
+    """Independent Python model of encodeEventJSON (message.go:96-152),
+    built from the shared field specs."""
+    from tigerbeetle_cdc_nats_spark.functions.json_codec import (
+        ACCOUNT_SPEC, ENVELOPE_SPEC, TRANSFER_SPEC)
+
+    def enc(kind, v):
+        if kind == "s":
+            return f'"{v}"'
+        n = int(v)
+        if kind == "p" and n > MAX_PORTABLE_JSON_INT:
+            return f'"{n}"'
+        return str(n)
+
+    def obj(spec, values):
+        return "{" + ",".join(
+            f'"{name}":{enc(kind, values[name])}' for name, kind in spec
+        ) + "}"
+
+    parts = [f'"{n}":{enc(k, event[n])}' for n, k in ENVELOPE_SPEC]
+    for nested, spec in (("transfer", TRANSFER_SPEC),
+                         ("debit_account", ACCOUNT_SPEC),
+                         ("credit_account", ACCOUNT_SPEC)):
+        parts.append(f'"{nested}":{obj(spec, event[nested])}')
+    return "{" + ",".join(parts) + "}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.data())
+def test_cdc_encoder_matches_model_on_random_events(spark, data):
+    """Fuzz the Spark encoder against the independent model over random
+    u128/u64/u32/u16 field values (boundary-biased)."""
+    from pyspark.sql import types as T
+    from tigerbeetle_cdc_nats_spark.functions.json_codec import (
+        ACCOUNT_SPEC, TRANSFER_SPEC, encode_cdc_json)
+
+    u128 = st.one_of(st.sampled_from(BOUNDARY), st.integers(0, 2**128 - 1))
+    u64 = st.integers(0, 2**64 - 1)
+    small = st.integers(0, 2**16 - 1)
+    types_ = st.sampled_from(
+        ["single_phase", "two_phase_pending", "two_phase_posted"])
+
+    def draw_fields(spec):
+        out = {}
+        for name, kind in spec:
+            if kind == "p":
+                out[name] = str(data.draw(
+                    u64 if name in ("user_data_64", "timestamp") else u128))
+            else:
+                out[name] = str(data.draw(small))
+        return out
+
+    events = []
+    for _ in range(data.draw(st.integers(1, 8))):
+        events.append({
+            "timestamp": str(data.draw(u64)),
+            "type": data.draw(types_),
+            "ledger": str(data.draw(small)),
+            "transfer": draw_fields(TRANSFER_SPEC),
+            "debit_account": draw_fields(ACCOUNT_SPEC),
+            "credit_account": draw_fields(ACCOUNT_SPEC),
+        })
+
+    from tests.test_json_codec import _string_struct_type
+    schema = T.StructType([T.StructField("event", _string_struct_type())])
+    df = spark.createDataFrame([{"event": e} for e in events], schema)
+    got = [r["j"] for r in df.select(
+        encode_cdc_json("event", from_strings=True).alias("j")).collect()]
+    assert got == [_model_encode(e) for e in events]

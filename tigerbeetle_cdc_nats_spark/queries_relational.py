@@ -611,3 +611,42 @@ def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n_events"), F.sum("c").alias("sum_cents"),
              F.count("*").alias("n_minutes"))
     )
+
+
+@register(
+    "q18_large_orders",
+    f"""WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+  COUNT(*) AS n_lines
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY o_orderkey, o_orderdate""",
+    doc="TPC-H Q18 shape: fact-fact join gated by a grouped-HAVING "
+        "semi-join — the aggregate prefilter shrinks the join's build side "
+        "before the orders join",
+)
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey").agg(F.sum(qty).alias("tq"))
+        .where(F.col("tq") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(qty).cast("double").alias("total_qty"),
+             F.count("*").alias("n_lines"))
+        .select("o_orderkey",
+                F.col("o_orderdate").cast("date").alias("o_orderdate"),
+                "total_qty", "n_lines")
+    )
