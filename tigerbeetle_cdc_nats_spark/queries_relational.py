@@ -650,3 +650,63 @@ def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("o_orderdate").cast("date").alias("o_orderdate"),
                 "total_qty", "n_lines")
     )
+
+
+@register(
+    "q14_promo_revenue",
+    f"""SELECT
+  CAST(100 AS DOUBLE)
+    * (CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_DISC_PRICE}
+                     ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+       / CAST(SUM({_DISC_PRICE}) AS DOUBLE)) AS promo_ratio,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-07-01'""",
+    doc="TPC-H Q14 shape: broadcast part dim, conditional decimal-exact "
+        "revenue ratio",
+)
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,4)")
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(
+        F.lit(0).cast("decimal(28,4)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (F.lit(100.0) * (F.sum(promo).cast("double")
+                             / F.sum(disc).cast("double"))).alias("promo_ratio"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "top_suppliers_by_revenue",
+    f"""SELECT s_suppkey, s_name,
+  CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY revenue DESC, s_suppkey LIMIT 10""",
+    doc="supplier revenue leaderboard: broadcast dim join + heap top-k over "
+        "a decimal-exact aggregate",
+)
+def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,4)")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.sum(disc).cast("double").alias("revenue"),
+             F.count("*").alias("n_lines"))
+        .orderBy(F.col("revenue").desc(), F.col("s_suppkey"))
+        .limit(10)
+    )
