@@ -121,3 +121,11 @@ def test_minhash_lsh_is_equality_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "minhash_dedup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_equality_join(spark, sf_dir):
+    """The bucketized range join must plan as an equality join on the grain
+    bucket — a naive interval join nests loops over the whole 100 TB side."""
+    plan = plan_of(spark, sf_dir, "range_join_windows")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

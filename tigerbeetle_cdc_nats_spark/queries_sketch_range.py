@@ -1,0 +1,106 @@
+"""Range-join and count-min-sketch queries (instructions' named custom
+operators: "range join", "a novel sketch")."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tigerbeetle_cdc_nats_spark.operators import sketches as sk
+from tigerbeetle_cdc_nats_spark.operators.cdc_view import EVENTS_CTE as _EV
+from tigerbeetle_cdc_nats_spark.operators.range_join import range_join
+from tigerbeetle_cdc_nats_spark.registry import events_table, register
+
+HOUR_NS = 3_600_000_000_000
+
+
+@register(
+    "range_join_windows",
+    f"""WITH ev AS ({_EV}),
+purchases AS (
+  SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'
+),
+windows AS (
+  SELECT event_id AS window_id, user_id AS window_user,
+         ts AS lo, ts + {HOUR_NS} AS hi
+  FROM ev WHERE event_type = 'signup'
+)
+SELECT event_id, user_id, ts, window_id, window_user, lo, hi
+FROM purchases JOIN windows ON ts >= lo AND ts <= hi""",
+    doc="range (interval) join: purchases matched to every 1h signup "
+        "window containing them. Spark side uses the bucketized "
+        "formulation (equality join on a coarse grain + exact filter) — "
+        "never a nested-loop join; oracle uses the naive BETWEEN form",
+)
+def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    windows = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("window_id"),
+        F.col("user_id").alias("window_user"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + HOUR_NS).alias("hi"),
+    )
+    return range_join(
+        purchases, windows, ts_col="ts", lo_col="lo", hi_col="hi",
+        grain=HOUR_NS,
+    ).select("event_id", "user_id", "ts", "window_id", "window_user",
+             "lo", "hi")
+
+
+def _cms_col_sql(expr: str) -> str:
+    whens = " ".join(
+        f"WHEN cms_row = {i} THEN {sk.sql_cms_cell(expr, i)}"
+        for i in range(sk.CMS_DEPTH)
+    )
+    return f"CASE {whens} END"
+
+
+@register(
+    "cms_user_counts",
+    f"""WITH ev AS ({_EV}),
+keyed AS (
+  SELECT CAST(user_id AS VARCHAR) AS _k,
+         unnest(range(0, {sk.CMS_DEPTH})) AS cms_row
+  FROM ev
+),
+cells AS (
+  SELECT cms_row, {_cms_col_sql('_k')} AS cms_col, COUNT(*) AS n
+  FROM keyed GROUP BY 1, 2
+),
+probes AS (
+  SELECT CAST(k AS VARCHAR) AS _k, k AS key,
+         unnest(range(0, {sk.CMS_DEPTH})) AS cms_row
+  FROM range(0, 10) t(k)
+),
+pc AS (
+  SELECT key, cms_row, {_cms_col_sql('_k')} AS cms_col FROM probes
+),
+est AS (
+  SELECT pc.key, MIN(COALESCE(cells.n, 0)) AS est_count
+  FROM pc LEFT JOIN cells
+    ON pc.cms_row = cells.cms_row AND pc.cms_col = cells.cms_col
+  GROUP BY pc.key
+)
+SELECT est.key, est.est_count,
+       (SELECT COUNT(*) FROM ev WHERE ev.user_id = est.key) AS true_count
+FROM est""",
+    doc="count-min sketch (4x64, md5-derived universal hashes): mergeable "
+        "frequency sketch, bit-identical across engines so even the sketch "
+        "CELLS are oracle-checked; estimates never undercount (novel-sketch "
+        "north star)",
+)
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    key = F.col("user_id").cast("string")
+    sketch = sk.count_min_sketch(ev, key)
+    probes = spark.range(0, 10).select(F.col("id").alias("key"))
+    est = sk.cms_estimate(sketch, probes, F.col("key").cast("string"))
+    true_counts = ev.groupBy(F.col("user_id").cast("long").alias("key")).agg(
+        F.count("*").alias("true_count"))
+    return (
+        est.withColumn("key", F.col("key").cast("long"))
+        .join(true_counts, "key", "left")
+        .select("key", "est_count",
+                F.coalesce("true_count", F.lit(0)).alias("true_count"))
+    )
