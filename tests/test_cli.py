@@ -45,3 +45,8 @@ def test_module_invocation():
     )
     assert proc.returncode == 0
     assert "TB_CDC_EVENTS_3" in proc.stdout
+
+
+def test_version_flag_exits_zero(capsys):
+    assert run_cli(["--version"]) == 0
+    assert "0.1.0" in capsys.readouterr().out

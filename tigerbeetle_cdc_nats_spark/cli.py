@@ -17,10 +17,14 @@ from tigerbeetle_cdc_nats_spark.config import CdcConfig, ConfigError, validate
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from tigerbeetle_cdc_nats_spark import __version__
+
     p = argparse.ArgumentParser(
         prog="tb-cdc-spark",
         description="TigerBeetle-style CDC pipeline on PySpark",
     )
+    # RunCLI takes a build version and exposes it (app.go:13).
+    p.add_argument("--version", action="version", version=__version__)
     # identity / routing (config.go:180-214 names)
     p.add_argument("--cluster-id", "--cluster", dest="cluster_id", default="")
     p.add_argument("--subject-mode", default="structured")
