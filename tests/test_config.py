@@ -78,3 +78,23 @@ def test_subject_prefix_trailing_dot_trimmed():
 def test_rejections(bad, msg):
     with pytest.raises(ConfigError, match=msg.replace("[", r"\[")):
         validate(bad)
+
+
+def test_parse_addresses():
+    from tigerbeetle_cdc_nats_spark.config import parse_addresses
+    # config.go:373-390 semantics
+    assert parse_addresses("127.0.0.1:3000") == ["127.0.0.1:3000"]
+    assert parse_addresses(" a:1 , b:2 ") == ["a:1", "b:2"]
+    with pytest.raises(ConfigError, match="must not be empty"):
+        parse_addresses("  ")
+    with pytest.raises(ConfigError, match="empty address"):
+        parse_addresses("a:1,,b:2")
+
+
+def test_parse_storage_type():
+    from tigerbeetle_cdc_nats_spark.config import parse_storage_type
+    assert parse_storage_type("file") == "file"
+    assert parse_storage_type(" MEM ") == "memory"
+    assert parse_storage_type("Memory") == "memory"
+    with pytest.raises(ConfigError, match="file, memory"):
+        parse_storage_type("disk")

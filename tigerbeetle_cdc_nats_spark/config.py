@@ -164,3 +164,29 @@ def validate(cfg: CdcConfig) -> CdcConfig:
             DEFAULT_LOCK_BUCKET_BASE, cluster_decimal)
     return replace(cfg, cluster_id=cluster_decimal,
                    subject_mode=mode, publish_mode=pmode, **derived)
+
+
+def parse_addresses(raw: str) -> list[str]:
+    """Comma-separated source addresses (config.go:373-390): empty string
+    or any empty element is rejected."""
+    raw = raw.strip()
+    if not raw:
+        raise ConfigError("invalid --addresses: must not be empty")
+    addresses = []
+    for part in raw.split(","):
+        address = part.strip()
+        if not address:
+            raise ConfigError("invalid --addresses: contains an empty address")
+        addresses.append(address)
+    return addresses
+
+
+def parse_storage_type(raw: str) -> str:
+    """Storage kind for provisioned resources (config.go:409-418):
+    'file' | 'memory' (alias 'mem')."""
+    s = raw.strip().lower()
+    if s == "file":
+        return "file"
+    if s in ("memory", "mem"):
+        return "memory"
+    raise ConfigError("invalid storage: must be one of: file, memory")
