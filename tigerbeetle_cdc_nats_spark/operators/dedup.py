@@ -214,10 +214,11 @@ def ngram_jaccard_pairs(docs: DataFrame, *, block_col: str = "source",
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            inter.alias("n_inter"),
+            inter.cast("bigint").alias("n_inter"),
             # arrays are distinct: |A u B| = |A| + |B| - |A n B| (no second
             # array traversal)
-            (F.col("a.n_sh") + F.col("b.n_sh") - inter).alias("n_union"),
+            (F.col("a.n_sh") + F.col("b.n_sh") - inter).cast("bigint")
+            .alias("n_union"),
         )
     )
     return paired.select(

@@ -65,7 +65,7 @@ def knn_bruteforce(embeddings: DataFrame, query_ids, k: int = 10,
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim_e6").desc(), F.col("c_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
         .select("q_id", "c_id", "sim_e6", "rank")
     )
@@ -121,7 +121,7 @@ def ann_lsh(embeddings: DataFrame, query_ids, planes: list[list[float]],
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim_e6").desc(), F.col("c_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
         .select("q_id", "c_id", "sim_e6", "rank")
     )

@@ -70,6 +70,6 @@ def event_sequence_rank(events: DataFrame, part_col: str = "user_id",
         "event_id",
         part_col,
         ts_col,
-        F.row_number().over(w).alias("seq"),
+        F.row_number().over(w).cast("bigint").alias("seq"),
         (F.col(ts_col) - F.lag(ts_col).over(w)).alias("gap_ns"),
     )

@@ -134,10 +134,10 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "balance_rollup",
     f"""WITH ev AS ({_EV})
 SELECT user_id,
-  SUM(CASE WHEN event_type = 'purchase' THEN {_CENTS} ELSE 0 END) AS debits_posted_cents,
-  SUM(CASE WHEN event_type = 'signup' THEN {_CENTS} ELSE 0 END) AS debits_pending_cents,
-  SUM(CASE WHEN event_type = 'view' THEN {_CENTS} ELSE 0 END) AS credits_posted_cents,
-  SUM(CASE WHEN event_type = 'click' THEN {_CENTS} ELSE 0 END) AS credits_pending_cents,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN {_CENTS} ELSE 0 END) AS BIGINT) AS debits_posted_cents,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN {_CENTS} ELSE 0 END) AS BIGINT) AS debits_pending_cents,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN {_CENTS} ELSE 0 END) AS BIGINT) AS credits_posted_cents,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN {_CENTS} ELSE 0 END) AS BIGINT) AS credits_pending_cents,
   COUNT(*) AS n_events
 FROM ev GROUP BY user_id""",
     doc="A3: re-derive the per-account running balances TigerBeetle embeds "
@@ -151,7 +151,7 @@ def q_balance_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ledger_event_type_counts",
     f"""WITH ev AS ({_EV})
 SELECT user_id % 10 AS ledger, event_type,
-       COUNT(*) AS n_events, SUM({_CENTS}) AS sum_cents
+       COUNT(*) AS n_events, CAST(SUM({_CENTS}) AS BIGINT) AS sum_cents
 FROM ev GROUP BY 1, 2""",
     doc="A4: counts per subject-taxonomy key (config.go:157-162)",
 )
@@ -187,7 +187,7 @@ def q_distinct_event_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "duplicate_count",
     f"""WITH ev AS ({_EV})
 SELECT user_id % 10 AS ledger, COUNT(*) AS n_acks,
-       SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS n_duplicates
+       CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicates
 FROM ev GROUP BY 1""",
     doc="A2: duplicate-ack accounting (runner.go:542-555)",
 )
@@ -278,7 +278,7 @@ u AS (
   UNION ALL
   SELECT * FROM ev WHERE user_id % 10 >= 5
 )
-SELECT COUNT(*) AS n_events, SUM({_CENTS}) AS sum_cents FROM u""",
+SELECT COUNT(*) AS n_events, CAST(SUM({_CENTS}) AS BIGINT) AS sum_cents FROM u""",
     doc="union of per-ledger slices == whole stream (checkable identity)",
 )
 def q_event_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,8 +464,8 @@ flagged AS (
 ),
 sessions AS (
   SELECT user_id, ts,
-    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -563,7 +563,7 @@ def q_ledger_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "skew_salted_counts",
     f"""WITH ev AS ({_EV})
-SELECT event_type, COUNT(*) AS n_events, SUM({_CENTS}) AS sum_cents
+SELECT event_type, COUNT(*) AS n_events, CAST(SUM({_CENTS}) AS BIGINT) AS sum_cents
 FROM ev GROUP BY event_type""",
     doc="two-stage salted aggregation over a known-skewed key: partial on "
         "(key, salt), final on key — identical result to plain groupBy, "
@@ -586,7 +586,7 @@ minute AS (
   FROM sec GROUP BY 1
 )
 SELECT bucket_m - bucket_m % 3600000000000 AS bucket_h,
-       SUM(n) AS n_events, SUM(c) AS sum_cents,
+       CAST(SUM(n) AS BIGINT) AS n_events, CAST(SUM(c) AS BIGINT) AS sum_cents,
        COUNT(*) AS n_minutes
 FROM minute GROUP BY 1""",
     doc="hypertable-style multi-resolution rollup: 1s buckets -> 1min -> "

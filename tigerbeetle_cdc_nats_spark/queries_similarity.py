@@ -182,7 +182,7 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim_e6").desc(), F.col("c_id"))
     return (
-        scored.withColumn("knn_rank", F.row_number().over(w))
+        scored.withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("knn_rank") <= 5)
         .select("q_id", "c_id", "sim_e6", "knn_rank")
     )
