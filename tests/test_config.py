@@ -45,6 +45,12 @@ def test_subject_prefix_trailing_dot_trimmed():
     assert cfg.subject_for_event(2, "single_phase") == "pfx.2.single_phase"
 
 
+def test_subject_prefix_strips_exactly_one_trailing_dot():
+    # strings.TrimSuffix semantics (config.go:296): 'a..' -> 'a.', not 'a'.
+    cfg = validate(CdcConfig(cluster_id="1", subject_prefix="a.."))
+    assert cfg.subject_prefix == "a."
+
+
 @pytest.mark.parametrize("bad,msg", [
     (CdcConfig(), "--cluster-id is required"),
     (CdcConfig(cluster_id="abc"), "invalid --cluster-id"),
@@ -73,6 +79,9 @@ def test_subject_prefix_trailing_dot_trimmed():
     (CdcConfig(cluster_id="1", publish_mode="bogus"), "--publish-mode"),
     (CdcConfig(cluster_id="1", nats_url=""), "--nats-url"),
     (CdcConfig(cluster_id="1", requests_per_second_limit=0),
+     "--requests-per-second-limit"),
+    # negatives rejected too (the reference's uint32 flag parse)
+    (CdcConfig(cluster_id="1", requests_per_second_limit=-5),
      "--requests-per-second-limit"),
 ])
 def test_rejections(bad, msg):

@@ -67,6 +67,30 @@ def test_dim_joins_broadcast(spark, sf_dir, name):
     assert "SortMergeJoin" not in plan
 
 
+@pytest.mark.parametrize("name,expected_hinted", [
+    ("q3_shipping_priority", 0),   # customer/orders/lineitem all SF-scaled
+    ("q5_nation_revenue", 2),      # only nation + region are fixed-size
+    ("q14_promo_revenue", 0),      # part is SF-scaled
+    ("top_suppliers_by_revenue", 0),  # supplier is SF-scaled
+])
+def test_no_forced_broadcast_of_sf_scaled_tables(spark, sf_dir, name,
+                                                 expected_hinted):
+    """Explicit F.broadcast bypasses the autoBroadcast threshold, so a hint
+    on an SF-scaled table (customer/supplier/part/orders) OOMs executors at
+    100 TB. With the threshold disabled, the only BroadcastHashJoins left in
+    the plan are the hinted ones — there must be exactly as many as there
+    are fixed-size dims (nation=25/region=5 rows at ANY SF), never more.
+    AQE still promotes small filtered sides to broadcast at runtime."""
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = QUERIES[name].fn(spark, sf_dir)
+        n_bhj = count_nodes(df, "BroadcastHashJoin")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert n_bhj == expected_hinted
+
+
 def test_q3_filters_pushed_to_scans(spark, sf_dir):
     fs = " ".join(pushed_filters(QUERIES["q3_shipping_priority"].fn(spark, sf_dir)))
     assert "GreaterThan(l_shipdate" in fs

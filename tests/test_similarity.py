@@ -1,0 +1,47 @@
+"""IVF coarse-quantization semantics (queries_similarity.py): the
+assignment step must actually run — not just reuse the label column."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tigerbeetle_cdc_nats_spark.queries_similarity import (
+    centroid_vectors,
+    ivf_assign,
+)
+from tigerbeetle_cdc_nats_spark.session import load_table
+
+
+def test_ivf_assignment_is_not_the_label_column(spark, sf_dir):
+    """Some vectors MUST land in a cell other than their label — if the
+    assignment always equals the label, the argmax never ran and 'IVF' is
+    just label-partitioned search."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, centroid_vectors(emb))
+    moved = (
+        assigned.join(emb.select("vec_id", "label"), "vec_id")
+        .where(F.col("cell") != F.col("label"))
+        .count()
+    )
+    assert moved > 0
+
+
+def test_ivf_assignment_is_total_and_unique(spark, sf_dir):
+    """Coarse quantization is a function: every vector gets exactly one
+    cell."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, centroid_vectors(emb))
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+
+
+def test_ivf_plan_has_no_unbroadcast_cartesian(spark, sf_dir):
+    """The N x k scoring must be a BroadcastNestedLoopJoin against the tiny
+    centroid side — never a CartesianProduct of two shuffled sides."""
+    from tigerbeetle_cdc_nats_spark import registry
+    from tigerbeetle_cdc_nats_spark.plans import physical_plan
+
+    df = registry.all_queries()["ivf_ann_cosine"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan

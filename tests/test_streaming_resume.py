@@ -121,3 +121,77 @@ def test_single_writer_lock(paths):
     pl.release_lock(lock)
     lock2 = pl.acquire_lock(paths, owner="runner-b")
     pl.release_lock(lock2)
+
+
+def test_lock_acquire_is_atomic_create(paths):
+    """Acquire must be create-if-absent, never read-check-write: a file that
+    appears between the existence check and the write must NOT be clobbered.
+    With O_CREAT|O_EXCL the two steps are one syscall — assert the losing
+    side errors even when the dir was empty a moment before."""
+    lock = pl.acquire_lock(paths, owner="first")
+    # second acquire with an identical view of the world loses atomically
+    with pytest.raises(RuntimeError, match="lock held by first"):
+        pl.acquire_lock(paths, owner="second")
+    pl.release_lock(lock)
+
+
+def test_lease_refresh_keeps_lock_past_ttl(paths):
+    """The background refresher (runner.go:666-724) must keep the lease
+    live well past 3x TTL while the holder runs."""
+    import time
+
+    ttl = 0.3
+    lock = pl.acquire_lock(paths, owner="holder", ttl_s=ttl)
+    lock.start_refresh(refresh_s=0.05)
+    try:
+        deadline = time.time() + 3.5 * ttl
+        while time.time() < deadline:
+            with pytest.raises(RuntimeError, match="lock held by holder"):
+                pl.acquire_lock(paths, owner="thief", ttl_s=ttl)
+            time.sleep(0.1)
+        lock.check()  # refresher never failed
+        assert lock.revision > 0  # it actually refreshed
+    finally:
+        pl.release_lock(lock)
+
+
+def test_lease_refresh_failure_surfaces_and_fires_callback(paths):
+    """A stolen/destroyed lease must surface through check() and the
+    on_failure callback — the reference kills the main loop on refresh
+    failure (runner.go:147-151)."""
+    import time
+
+    fired = []
+    lock = pl.acquire_lock(paths, owner="holder", ttl_s=0.2)
+    lock.start_refresh(refresh_s=0.05, on_failure=fired.append)
+    # steal the lease out from under the refresher (revision mismatch)
+    thief = pl.LockLease(lock.path, "thief", 0.2)
+    pl._atomic_write_json(lock.path, thief.record(time.time() + 100))
+    deadline = time.time() + 2.0
+    while lock.failure is None and time.time() < deadline:
+        time.sleep(0.05)
+    assert fired and "thief" in fired[0]
+    with pytest.raises(RuntimeError, match="lease lost"):
+        lock.check()
+    lock.stop()
+
+
+def test_expired_lease_takeover_includes_holder_metadata(paths):
+    """After TTL expiry a new owner takes over; while live, the error names
+    the holder, host and pid (runner.go:636-641 format)."""
+    import json
+    import time
+
+    lock = pl.acquire_lock(paths, owner="old-holder", ttl_s=0.1)
+    err = None
+    try:
+        pl.acquire_lock(paths, owner="any", ttl_s=0.1)
+    except RuntimeError as e:
+        err = str(e)
+    assert err and "old-holder" in err and "pid" in err
+    time.sleep(0.15)  # let the un-refreshed lease expire
+    lock2 = pl.acquire_lock(paths, owner="new-holder", ttl_s=0.1)
+    with open(lock2.path) as f:
+        rec = json.load(f)
+    assert rec["owner"] == "new-holder"
+    pl.release_lock(lock2)

@@ -130,13 +130,21 @@ def run_cli(args: list[str]) -> int:
                                ttl_s=cfg.lock_ttl_s)
         try:
             if ns.once:
+                # a long catch-up can outlive the TTL — keep the lease warm.
+                lock.start_refresh(cfg.lock_refresh_s)
                 pl.run_until_caught_up(spark, cfg, paths)
+                lock.check()
             else:
                 q = pl.build_query(
                     spark, cfg, paths,
                     trigger_seconds=cfg.idle_interval_s,
                 ).start()
+                # refresh failure kills the stream — the reference surfaces
+                # refresh errors to the main loop (runner.go:147-151).
+                lock.start_refresh(cfg.lock_refresh_s,
+                                   on_failure=lambda _reason: q.stop())
                 q.awaitTermination()
+                lock.check()
         finally:
             pl.release_lock(lock)
         return 0

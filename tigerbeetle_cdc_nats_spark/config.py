@@ -130,7 +130,9 @@ def validate(cfg: CdcConfig) -> CdcConfig:
 
     mode = cfg.subject_mode.strip().lower()
     if mode == SUBJECT_MODE_STRUCTURED:
-        prefix = cfg.subject_prefix.strip().rstrip(".")
+        # TrimSuffix semantics: strip exactly ONE trailing dot
+        # (config.go:296) — 'a..' resolves to 'a.', not 'a'.
+        prefix = cfg.subject_prefix.strip().removesuffix(".")
         if not prefix:
             raise ConfigError("--subject-prefix cannot be empty in structured mode")
         cfg = replace(cfg, subject_prefix=prefix)
@@ -148,8 +150,10 @@ def validate(cfg: CdcConfig) -> CdcConfig:
 
     if not cfg.nats_url:
         raise ConfigError("--nats-url cannot be empty")
-    if cfg.requests_per_second_limit is not None and cfg.requests_per_second_limit == 0:
-        raise ConfigError("--requests-per-second-limit must not be zero")
+    if cfg.requests_per_second_limit is not None and cfg.requests_per_second_limit <= 0:
+        # the reference parses this as uint32, so negatives are rejected at
+        # flag-parse time; zero is rejected by its own validation.
+        raise ConfigError("--requests-per-second-limit must be a positive integer")
 
     # Derived resource names (config.go:330-343).
     derived = {}

@@ -18,6 +18,7 @@ Scale design:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from tigerbeetle_cdc_nats_spark.session import ensure_parallelism
@@ -136,11 +137,6 @@ def minhash_candidate_pairs(sigs: DataFrame, bands: int = MINHASH_BANDS,
     """LSH banding: bucket = md5 of each band's signature slice; candidate
     pairs share (band, bucket). Equality join — the 100 TB path."""
     rows_per_band = k // bands
-    # Exchange boundary: the self-join below references the signature
-    # subtree twice; a repartition here lets the runtime reuse one shuffle
-    # output for both sides instead of recomputing every signature per side.
-    parallelism = sigs.sparkSession.sparkContext.defaultParallelism
-    sigs = sigs.repartition(parallelism, "doc_id")
     band = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = sigs.select("doc_id", "sig", band).select(
         "doc_id",
@@ -152,6 +148,16 @@ def minhash_candidate_pairs(sigs: DataFrame, bands: int = MINHASH_BANDS,
         ]).alias("bucket"),
         "sig",
     )
+    # The self-join references the banded/signature subtree twice and Spark's
+    # exchange-reuse rule does not fire across the two join inputs (verified
+    # in the recorded plan: two full Scan->Generate subtrees). Materialize the
+    # banded side ONCE — MEMORY_AND_DISK so a 100 TB corpus spills instead of
+    # recomputing every MinHash signature per join side. The count() is
+    # deliberate eager materialization: without it the two join-side stages
+    # launch concurrently and race to fill the cache, computing most
+    # partitions twice anyway.
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded.count()
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -381,11 +381,13 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(28,4)"
     )
+    # Scale note: customer/orders are SF-scaled — no explicit broadcast
+    # anywhere on this chain. AQE picks broadcast at runtime when the
+    # filtered side actually fits (it does at small SF); at 100 TB both
+    # joins degrade gracefully to shuffle joins on their keys.
     return (
         li.join(
-            F.broadcast(
-                orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-            ),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -428,11 +430,15 @@ def q_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(28,4)"
     )
+    # Scale note: only nation/region (fixed 25/5 rows at ANY SF) carry an
+    # explicit broadcast hint. customer/supplier scale with SF — forcing
+    # them past the autoBroadcast threshold would OOM executors at 100 TB;
+    # AQE still broadcasts them at runtime whenever they genuinely fit.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -677,7 +683,8 @@ def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(
         F.lit(0).cast("decimal(28,4)"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part is SF-scaled: no forced broadcast, AQE decides at runtime.
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (F.lit(100.0) * (F.sum(promo).cast("double")
                              / F.sum(disc).cast("double"))).alias("promo_ratio"),
@@ -703,7 +710,8 @@ def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(28,4)")
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        # supplier is SF-scaled: no forced broadcast, AQE decides at runtime.
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(F.sum(disc).cast("double").alias("revenue"),
              F.count("*").alias("n_lines"))

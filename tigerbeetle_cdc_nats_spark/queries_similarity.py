@@ -133,18 +133,78 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def centroid_vectors(emb: DataFrame) -> DataFrame:
+    """Per-label centroid as an ``array<long>`` of FLOOR(mean_i * 1e6) —
+    the list form of ``label_centroids`` (same math, same e6 flooring, so
+    the values are cross-engine identical). Output: (cell, c_arr)."""
+    import pandas as pd
+    import numpy as np
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("c_arr", T.ArrayType(T.LongType())),
+    ])
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        c = mat.sum(axis=0) / len(mat)
+        return pd.DataFrame({
+            "cell": [int(pdf["label"].iloc[0])],
+            "c_arr": [np.floor(c * 1_000_000).astype(np.int64).tolist()],
+        })
+
+    return emb.select("label", "embedding").groupBy("label").applyInPandas(
+        centroid, schema=schema
+    )
+
+
+def ivf_assign(emb: DataFrame, centv: DataFrame) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its argmax-cosine
+    centroid. Centroids are tiny (k x dim) and broadcast; scoring is a
+    broadcast nested-loop over k cells per vector — O(N*k), the standard
+    IVF assignment cost. Argmax runs on FLOOR(cos*1e6) BIGINTs with the
+    cell id as tie-break, so the assignment is deterministic cross-engine.
+    Output: (vec_id, embedding, cell)."""
+    from pyspark.sql import Window, functions as F
+
+    a_sim = sim.cosine_sim_e6(F.col("embedding"), F.col("c_arr"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("a_sim").desc(), F.col("cell"))
+    return (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(centv))
+        .withColumn("a_sim", a_sim)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+
+
+#: DuckDB mirror of centroid_vectors + ivf_assign (shared CTE prefix).
+_A_COS = sim.sql_cosine_e6("e.embedding", "c.c_arr")
+_IVF_ASSIGN_SQL = f"""cent AS (
+  SELECT label AS cell, i AS dim,
+    CAST(FLOOR(SUM(CAST(v AS DOUBLE)) / COUNT(*) * 1000000) AS BIGINT) AS c_e6
+  FROM (SELECT label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS i FROM embeddings)
+  GROUP BY label, i
+),
+centv AS (SELECT cell, list(c_e6 ORDER BY dim) AS c_arr FROM cent GROUP BY cell),
+sc AS (SELECT e.vec_id, e.embedding, c.cell, {_A_COS} AS a_sim
+       FROM embeddings e CROSS JOIN centv c),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT vec_id, embedding, cell,
+      ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY a_sim DESC, cell) AS rn
+    FROM sc) WHERE rn = 1
+)"""
+
+
 @register(
     "ivf_ann_cosine",
-    f"""WITH cent AS (
-  SELECT label,
-    list_transform(range(1, 65), i -> (
-      SELECT SUM(CAST(e2.embedding[CAST(i AS INT)] AS DOUBLE)) / COUNT(*)
-      FROM embeddings e2 WHERE e2.label = e1.label)) AS c
-  FROM (SELECT DISTINCT label FROM embeddings) e1
-),
-assigned AS (
-  SELECT vec_id, embedding, label AS cell FROM embeddings
-),
+    f"""WITH {_IVF_ASSIGN_SQL},
 q AS (SELECT vec_id AS q_id, embedding AS q_emb, cell AS q_cell
       FROM assigned WHERE vec_id IN {QUERY_IDS}),
 c AS (SELECT vec_id AS c_id, embedding AS c_emb, cell AS c_cell FROM assigned),
@@ -155,24 +215,29 @@ r AS (SELECT q_id, c_id, sim_e6,
                            ORDER BY sim_e6 DESC, c_id) AS knn_rank
       FROM s)
 SELECT q_id, c_id, sim_e6, knn_rank FROM r WHERE knn_rank <= 5""",
-    doc="IVF-style ANN: vectors are assigned to coarse cells (here the "
-        "label partition, i.e. the trained-centroid assignment) and search "
-        "runs only within the query's cell — the inverted-file scale path; "
-        "centroid computation itself is label_centroids (north star: IVF)",
+    doc="real IVF ANN: per-label centroids (k-means update step), every "
+        "vector coarse-quantized to its argmax-cosine centroid, search "
+        "only within the query's assigned cell — the inverted-file scale "
+        "path (north star: IVF). The candidate side is assigned ONCE; the "
+        "query side re-assigns only the filtered query vectors (O(|Q|*k))",
 )
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window, functions as F
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", F.col("label").alias("cell")
-    )
-    q = emb.where(F.col("vec_id").isin(list(QUERY_IDS))).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
-        F.col("cell").alias("q_cell"),
-    )
-    c = emb.select(
+    emb = load_table(spark, sf_dir, "embeddings")
+    centv = centroid_vectors(emb)
+    # Candidate side: full-corpus assignment, computed once. Query side:
+    # assignment of the 5 query vectors only — filtering BEFORE assignment
+    # avoids referencing the heavy full-assignment subtree twice (the
+    # minhash double-compute lesson).
+    c = ivf_assign(emb, centv).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
         F.col("cell").alias("c_cell"),
+    )
+    q = ivf_assign(emb.where(F.col("vec_id").isin(list(QUERY_IDS))),
+                   centv).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        F.col("cell").alias("q_cell"),
     )
     s = sim.cosine_sim_e6(F.col("q_emb"), F.col("c_emb"))
     scored = (

@@ -32,9 +32,12 @@ TABLES = (
     "embeddings",
 )
 
-#: Small dimension tables (fit comfortably in driver/executor memory at any
-#: realistic SF) — always broadcast these in joins.
-SMALL_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+#: Small dimension tables safe to ALWAYS broadcast: only tables whose row
+#: count is fixed at every scale factor (TPC-H region=5, nation=25).
+#: customer/supplier/part scale linearly with SF — at 100 TB they are tens
+#: of GB, so they must never carry an explicit broadcast hint; AQE promotes
+#: them to broadcast at runtime when a filtered side actually fits.
+SMALL_DIMS = frozenset({"region", "nation"})
 
 
 def default_parallelism() -> int:

@@ -1,22 +1,29 @@
 """NATS JetStream sink adapter (transport layer).
 
 The reference publishes each event to JetStream with a deterministic
-``Nats-Msg-Id`` and bounded async pipelining (runner.go:484-584). In this
-engine the publish step is a pluggable ``foreachBatch`` sink; the default
-correctness sink writes parquet (streaming/pipeline.py), and THIS adapter is
-the JetStream drop-in for deployments with a broker.
+``Nats-Msg-Id`` and bounded async pipelining: up to ``--publish-async-max-
+pending`` publishes are in flight at once, acks are awaited IN ORDER, and
+duplicate acks (JetStream's msg-id dedup) are counted (runner.go:484-584,
+duplicate counting runner.go:542-555).
+
+In this engine the publish step is a pluggable ``foreachBatch`` sink; the
+default correctness sink writes parquet (streaming/pipeline.py), and THIS
+adapter is the JetStream drop-in for deployments with a broker.
 
 No NATS client library ships in this environment, so the transport is gated
 behind an import-try: constructing the sink without ``nats-py`` installed
-raises with a clear message, while the batch-shaping logic (subject, msg id,
-headers, bounded in-flight window) is real and unit-testable via the
-``publish`` callable injection.
+raises with a clear message, while the pipelining logic (subject, msg id,
+headers, bounded in-flight window, ordered ack awaits, duplicate counting)
+is real and unit-tested via the ``publish`` callable injection
+(:func:`drain_partition` is the pure, Spark-free core).
 """
 
 from __future__ import annotations
 
+from collections import deque
 from collections.abc import Callable
 from dataclasses import dataclass
+from typing import Any
 
 from pyspark.sql import DataFrame
 
@@ -26,8 +33,13 @@ try:  # pragma: no cover - transport optional
 except ImportError:
     HAVE_NATS = False
 
-#: (subject, msg_id, headers, payload) -> None
-PublishFn = Callable[[str, str, dict[str, str], bytes], None]
+#: (subject, msg_id, headers, payload) -> ack | future-of-ack.
+#: A *sync* publisher returns the ack directly (or None). An *async*
+#: publisher returns a future — anything with ``.result(timeout)`` — the
+#: JetStream ``PublishAsync`` shape. The ack itself may be None, an object
+#: with a ``duplicate`` attribute, or a mapping with a ``"duplicate"`` key
+#: (JetStream's PubAck.Duplicate, counted at runner.go:542-555).
+PublishFn = Callable[[str, str, dict[str, str], bytes], Any]
 
 HEADER_COLS = ("event_type", "ledger", "transfer_code",
                "debit_account_code", "credit_account_code")
@@ -39,14 +51,55 @@ class NatsSinkConfig:
     ack_timeout_s: float = 30.0    # --publish-ack-timeout, config.go:46
 
 
+def _settle(fut: Any, timeout_s: float) -> bool:
+    """Await one ack (future or immediate) -> True when it was a duplicate."""
+    ack = fut.result(timeout_s) if hasattr(fut, "result") else fut
+    if ack is None:
+        return False
+    if isinstance(ack, dict):
+        return bool(ack.get("duplicate"))
+    return bool(getattr(ack, "duplicate", False))
+
+
+def drain_partition(rows, publish: PublishFn,
+                    cfg: NatsSinkConfig) -> tuple[int, int]:
+    """Publish every row with a bounded in-flight window and ORDERED ack
+    processing — the reference's async pipelining loop (runner.go:510-584):
+    queue up to ``max_pending`` futures; once full, await the OLDEST before
+    publishing the next; drain the remainder in publish order at the end.
+
+    Returns ``(published, duplicates)`` for the partition. Pure Python over
+    an iterator — unit-testable without Spark; the Spark sink calls this
+    per partition.
+    """
+    pending: deque[Any] = deque()
+    published = 0
+    duplicates = 0
+    for row in rows:
+        headers = {h: row[h] for h in HEADER_COLS}
+        headers["Nats-Msg-Id"] = row["msg_id"]
+        fut = publish(row["subject"], row["msg_id"], headers,
+                      row["payload"].encode())
+        published += 1
+        pending.append(fut)
+        if len(pending) >= cfg.max_pending:
+            duplicates += _settle(pending.popleft(), cfg.ack_timeout_s)
+    while pending:
+        duplicates += _settle(pending.popleft(), cfg.ack_timeout_s)
+    return published, duplicates
+
+
 def make_nats_sink(cfg: NatsSinkConfig,
                    publish: PublishFn | None = None):
     """Build a foreachBatch body that publishes every row of the
     transformed stream (streaming/pipeline.py:transform_events output shape)
-    to its subject.
+    to its subject with bounded async pipelining.
 
     ``publish`` injection exists for tests; without it a real JetStream
-    connection is required.
+    connection is required. After a batch completes, the sink exposes
+    ``sink.published`` / ``sink.duplicates`` Spark accumulators with the
+    batch totals (the reference logs its duplicate count the same way,
+    runner.go:580-583).
     """
     if publish is None:
         if not HAVE_NATS:
@@ -60,21 +113,22 @@ def make_nats_sink(cfg: NatsSinkConfig,
         )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # Partition-parallel publish: each task drains its partition with a
-        # bounded in-flight window — the async pipelining of
+        sc = batch_df.sparkSession.sparkContext
+        if sink.published is None:
+            sink.published = sc.accumulator(0)
+            sink.duplicates = sc.accumulator(0)
+        published_acc, duplicates_acc = sink.published, sink.duplicates
+
+        # Partition-parallel publish: each task drains its partition with
+        # its own bounded in-flight window — the async pipelining of
         # runner.go:510-558 distributed across executors.
         def drain(rows) -> None:
-            pending: list[tuple[str, str]] = []
-            for row in rows:
-                headers = {h: row[h] for h in HEADER_COLS}
-                headers["Nats-Msg-Id"] = row["msg_id"]
-                publish(row["subject"], row["msg_id"], headers,
-                        row["payload"].encode())
-                pending.append((row["msg_id"], row["subject"]))
-                if len(pending) >= cfg.max_pending:
-                    pending.clear()  # await acks for the window
-            pending.clear()
+            n, d = drain_partition(rows, publish, cfg)
+            published_acc.add(n)
+            duplicates_acc.add(d)
 
         batch_df.foreachPartition(drain)
 
+    sink.published = None
+    sink.duplicates = None
     return sink

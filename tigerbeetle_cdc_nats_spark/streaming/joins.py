@@ -47,9 +47,19 @@ def purchases_with_recent_signup(events: DataFrame, *,
         )
         .withWatermark("s_time", watermark)
     )
+    # The range condition MUST be on the watermarked event-time columns:
+    # Spark derives state-eviction bounds only from event-time predicates —
+    # a condition on the raw long ts alone would leave both state stores
+    # unbounded. The exact ns-precision predicate is kept as an extra
+    # conjunct (event time is µs-truncated), so results are ns-exact while
+    # state stays bounded by watermark + window.
+    window_s = window_ns // 1_000_000_000
     joined = purchases.join(
         signups,
         (F.col("p_user") == F.col("s_user"))
+        & (F.col("p_time") >= F.col("s_time"))
+        & (F.col("p_time") <= F.col("s_time")
+           + F.expr(f"INTERVAL {window_s} SECONDS"))
         & (F.col("p_ts") >= F.col("s_ts"))
         & (F.col("p_ts") <= F.col("s_ts") + F.lit(window_ns)),
         "inner",

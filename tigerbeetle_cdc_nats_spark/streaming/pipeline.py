@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import socket
+import threading
 import time
 from dataclasses import dataclass
 
@@ -75,13 +76,19 @@ def transform_events(stream: DataFrame, cfg: CdcConfig) -> DataFrame:
         e["credit_account"]["code"].cast("string").alias("credit_account_code"),
     )
     # ST3: bounded-state dedup within the dedupe window. Event time is the
-    # ns timestamp; watermark = the reference's 2-minute window.
-    out = out.withColumn("event_time", F.timestamp_micros(
-        (F.col("ts") / 1000).cast("long")))
-    return (
-        out.withWatermark("event_time", f"{int(cfg.dedupe_window_s)} seconds")
-        .dropDuplicates(["msg_id"])
-    )
+    # ns timestamp (integer division — `/` on ~1.7e18 longs goes through a
+    # double and loses ULPs); watermark = the reference's 2-minute window.
+    # dropDuplicatesWithinWatermark is the state-BOUNDED form: plain
+    # dropDuplicates(['msg_id']) never evicts keys that lack the event-time
+    # column in the subset, so its state grows for the stream's lifetime.
+    out = out.withColumn("event_time",
+                         F.timestamp_micros(F.expr("ts div 1000")))
+    out = out.withWatermark("event_time", f"{int(cfg.dedupe_window_s)} seconds")
+    if out.isStreaming:
+        return out.dropDuplicatesWithinWatermark(["msg_id"])
+    # batch replay of the same transform (tests, backfills): plain
+    # dropDuplicates is equivalent — a batch job's "state" ends with the job.
+    return out.dropDuplicates(["msg_id"])
 
 
 def read_progress(spark: SparkSession, cursor_dir: str) -> int | None:
@@ -105,37 +112,154 @@ def _write_progress(spark: SparkSession, cursor_dir: str, ts: int,
     ).coalesce(1).write.mode("append").parquet(cursor_dir)
 
 
-def acquire_lock(paths: StreamPaths, owner: str, ttl_s: float = 30.0) -> str:
-    """Single-writer lease marker (runner.go:607-643). Spark already
-    enforces one active query per checkpoint dir; this lease file carries
-    the holder metadata the reference exposes in errors (runner.go:25-31)
-    and fails fast when a live lock exists."""
+class LockLease:
+    """A held single-writer lease with an optional background refresh loop.
+
+    Mirrors the reference's JetStream-KV lease (runner.go:607-724): acquire
+    is atomic create-if-absent, refresh is CAS on the stored revision every
+    ``refresh_s`` from a background thread, and a failed refresh (revision
+    stolen, file gone, I/O error) surfaces through :meth:`check` and the
+    ``on_failure`` callback so the owning query can be killed rather than
+    silently running unlocked.
+    """
+
+    def __init__(self, path: str, owner: str, ttl_s: float):
+        self.path = path
+        self.owner = owner
+        self.ttl_s = ttl_s
+        self.revision = 0
+        self.nonce = f"{os.getpid()}-{id(self)}-{time.monotonic_ns()}"
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self.failure: str | None = None
+
+    def record(self, now: float) -> dict:
+        return {
+            "owner": self.owner,
+            "hostname": socket.gethostname(),
+            "pid": os.getpid(),
+            "version": "dev",
+            "nonce": self.nonce,
+            "revision": self.revision,
+            "acquired_at": getattr(self, "acquired_at", now),
+            "refreshed_at": now,
+        }
+
+    def refresh(self) -> None:
+        """One CAS refresh: verify the stored record is still OUR revision,
+        then bump it (runner.go:666-693's Update(revision) semantics)."""
+        try:
+            with open(self.path) as f:
+                held = json.load(f)
+        except (FileNotFoundError, ValueError) as e:
+            raise RuntimeError(f"lease record lost: {e}") from e
+        if held.get("nonce") != self.nonce or held.get("revision") != self.revision:
+            raise RuntimeError(
+                f"lease stolen by {held.get('owner')} on "
+                f"{held.get('hostname')} (pid {held.get('pid')})"
+            )
+        self.revision += 1
+        _atomic_write_json(self.path, self.record(time.time()))
+
+    def start_refresh(self, refresh_s: float,
+                      on_failure=None) -> None:
+        """Background refresher (the reference's refresh goroutine,
+        runner.go:666-724). A refresh failure records the reason and calls
+        ``on_failure(reason)`` — wire that to ``query.stop()``."""
+
+        def loop() -> None:
+            while not self._stop.wait(refresh_s):
+                try:
+                    self.refresh()
+                except Exception as e:  # surfaces via check()/on_failure
+                    self.failure = str(e)
+                    if on_failure is not None:
+                        try:
+                            on_failure(self.failure)
+                        except Exception:
+                            pass
+                    return
+
+        self._thread = threading.Thread(target=loop, daemon=True,
+                                        name="lock-lease-refresh")
+        self._thread.start()
+
+    def check(self) -> None:
+        """Raise if the background refresher has failed — the main loop's
+        view of the reference's refresh-error channel (runner.go:147-151)."""
+        if self.failure is not None:
+            raise RuntimeError(f"lock lease lost: {self.failure}")
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+
+
+def _atomic_write_json(path: str, record: dict) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}.{time.monotonic_ns()}"
+    with open(tmp, "w") as f:
+        json.dump(record, f)
+    os.replace(tmp, path)
+
+
+def acquire_lock(paths: StreamPaths, owner: str,
+                 ttl_s: float = 30.0) -> LockLease:
+    """Single-writer lease (runner.go:607-643). Spark already enforces one
+    active query per checkpoint dir; this lease carries the holder metadata
+    the reference exposes in errors (runner.go:25-31) and fails fast when a
+    live lock exists.
+
+    Acquisition is ATOMIC: create-if-absent via O_CREAT|O_EXCL (the
+    JetStream ``Create`` analogue) — never read-check-write. Takeover of an
+    EXPIRED lease re-verifies after the atomic replace that our nonce won,
+    so two racing takeovers cannot both believe they hold it.
+    """
     os.makedirs(paths.lock_dir, exist_ok=True)
     lock_path = os.path.join(paths.lock_dir, "lock.json")
+    lease = LockLease(lock_path, owner, ttl_s)
     now = time.time()
-    if os.path.exists(lock_path):
+    lease.acquired_at = now
+    try:
+        fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            json.dump(lease.record(now), f)
+        return lease
+    except FileExistsError:
+        pass
+    try:
         with open(lock_path) as f:
             held = json.load(f)
-        if now - held["acquired_at"] < ttl_s:
-            raise RuntimeError(
-                f"lock held by {held['owner']} on {held['hostname']} "
-                f"(pid {held['pid']})"
-            )
-    record = {
-        "owner": owner,
-        "hostname": socket.gethostname(),
-        "pid": os.getpid(),
-        "version": "dev",
-        "acquired_at": now,
-    }
-    with open(lock_path, "w") as f:
-        json.dump(record, f)
-    return lock_path
+    except (FileNotFoundError, ValueError):
+        held = None  # released or torn mid-race; retry the atomic create
+    if held is not None and now - held.get("refreshed_at",
+                                           held.get("acquired_at", 0)) < ttl_s:
+        # live lease — the reference's "already held" error with holder
+        # metadata (runner.go:636-641).
+        raise RuntimeError(
+            f"lock held by {held['owner']} on {held['hostname']} "
+            f"(pid {held['pid']})"
+        )
+    # expired (or vanished): atomic replace, then verify we won the race.
+    _atomic_write_json(lock_path, lease.record(now))
+    with open(lock_path) as f:
+        winner = json.load(f)
+    if winner.get("nonce") != lease.nonce:
+        raise RuntimeError(
+            f"lock held by {winner.get('owner')} on {winner.get('hostname')} "
+            f"(pid {winner.get('pid')})"
+        )
+    return lease
 
 
-def release_lock(lock_path: str) -> None:
+def release_lock(lease: LockLease | str) -> None:
+    if isinstance(lease, str):  # legacy path-only callers
+        path = lease
+    else:
+        lease.stop()
+        path = lease.path
     try:
-        os.remove(lock_path)
+        os.remove(path)
     except FileNotFoundError:
         pass
 
