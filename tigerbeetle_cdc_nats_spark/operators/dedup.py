@@ -36,6 +36,35 @@ MINHASH_A = tuple((2 * i + 1) * 12582917 % MINHASH_P for i in range(MINHASH_K))
 MINHASH_B = tuple((i * 4256249 + 1) % MINHASH_P for i in range(MINHASH_K))
 
 
+def minhash_geometry(corpus_size: int, *, threshold: float = 0.5,
+                     background_j: float = 0.1,
+                     detect_j: float = 0.7,
+                     recall: float = 0.95) -> tuple[int, int]:
+    """(k, bands) scaled to the corpus — the 100 TB knob the fixed 16x8
+    default lacks.
+
+    Band width r is the anti-false-positive knob: a band collides for a
+    random pair with prob ~ j^r, so expected spurious candidates are
+    ~ bands * n^2 * background_j^r / 2. Choosing r >= ln(n)/ln(1/j0) keeps
+    n * j0^r <= 1, i.e. expected false candidates per doc O(bands) — the
+    candidate volume stays LINEAR in corpus size instead of quadratic.
+    Band count b is the recall knob: detect pairs at ``detect_j`` with
+    probability >= recall via 1-(1-j^r)^b.
+
+    The registered query keeps the (16, 8) default so its oracle stays
+    byte-identical; at real corpus sizes callers pass
+    ``minhash_signatures(docs, k=k)`` / ``minhash_candidate_pairs(sigs,
+    bands=b, k=k)`` with this function's output.
+    """
+    import math
+
+    n = max(int(corpus_size), 2)
+    r = max(2, math.ceil(math.log(n) / math.log(1.0 / background_j)))
+    p_band = detect_j ** r
+    b = max(1, math.ceil(math.log(1.0 - recall) / math.log(1.0 - p_band)))
+    return r * b, b
+
+
 def hash60(c: Column) -> Column:
     """60-bit integer hash of a string column (md5-prefix, cross-engine)."""
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
@@ -43,17 +72,6 @@ def hash60(c: Column) -> Column:
 
 def sql_hash60(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
-
-
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of a space-joined text column."""
-    toks = F.split(text, " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    gram = lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(n)])  # noqa: E731
-    return F.when(F.size(toks) >= n,
-                  F.array_distinct(F.transform(idx, gram))).otherwise(
-        F.array().cast("array<string>")
-    )
 
 
 def sql_word_shingles(expr: str = "text", n: int = 3) -> str:
@@ -68,18 +86,31 @@ def sql_word_shingles(expr: str = "text", n: int = 3) -> str:
     )
 
 
-def word_shingle_hashes(text: Column, n: int = 3) -> Column:
-    """Distinct 60-bit hashes of the word n-grams. Downstream set ops run on
-    long arrays (an order of magnitude cheaper than string arrays; the
-    2^-60 collision rate is immaterial for near-dup detection and identical
-    on both engines)."""
-    toks = F.split(text, " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    gram = lambda i: F.concat_ws(" ", *[toks[i + j] for j in range(n)])  # noqa: E731
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(F.transform(idx, lambda i: hash60(gram(i)))),
-    ).otherwise(F.array().cast("array<long>"))
+def gram_hash_rows(docs: DataFrame, *, text_col: str = "text",
+                   id_col: str = "doc_id", n: int = 3,
+                   keep: tuple[str, ...] = ()) -> DataFrame:
+    """EXPLODED word-n-gram hashes: one row per (doc, gram occurrence) with
+    the 60-bit gram hash as column ``h`` (+ any ``keep`` passthroughs).
+
+    This is the hot path for MinHash and the Jaccard index. The round-1
+    array-HOF form (``transform(shingles, i -> md5(...))``) evaluated its
+    lambda INTERPRETED — one md5 per element outside whole-stage codegen,
+    measured ~6x slower.
+    Exploding the gram start indices first makes the concat+md5+conv a
+    plain column expression over rows, fully codegen'd and pipelined with
+    the scan. Not distinct: dedup downstream only where semantics need it
+    (min() for MinHash is duplicate-insensitive).
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = ensure_parallelism(
+        docs.select(F.col(id_col).alias("doc_id"),
+                    *[F.col(c) for c in keep], toks.alias("_toks"))
+    ).where(F.size("_toks") >= n)
+    ex = base.withColumn(
+        "_i", F.explode(F.sequence(F.lit(0), F.size("_toks") - n)))
+    gram = F.concat_ws(
+        " ", *[F.element_at("_toks", F.col("_i") + j + 1) for j in range(n)])
+    return ex.select("doc_id", *keep, hash60(gram).alias("h"))
 
 
 def sql_word_shingle_hashes(expr: str = "text", n: int = 3) -> str:
@@ -112,24 +143,25 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = MINHASH_K) -> DataFrame:
     """k-permutation MinHash signature per doc over word-3-gram shingles.
 
-    One md5 per shingle (``word_shingle_hashes``), then k universal-hash
-    permutations as pure integer arithmetic — per-row map, no shuffle. The
-    shingle array is materialized as a column first so codegen evaluates it
-    once, not once per permutation.
+    One md5 per gram occurrence (exploded, whole-stage codegen —
+    ``gram_hash_rows``), then the k universal-hash permutations aggregate
+    as k map-side-combinable ``min()``s in ONE groupBy(doc_id): min over
+    the gram multiset equals min over the distinct set, so no distinct
+    pass is needed. At 100 TB this is a linear scan + one shuffle carrying
+    k longs per doc — partial aggregation collapses each input split to
+    one row per doc before the exchange.
     """
-    base = ensure_parallelism(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
-    ).select(
-        "doc_id", word_shingle_hashes(F.col("_t")).alias("sh")
-    ).where(F.size("sh") > 0)
-    def perm(a: int, b: int):
-        return lambda h: (F.lit(a) * (h % MINHASH_P) + F.lit(b)) % MINHASH_P
-
-    perms = [
-        F.array_min(F.transform(F.col("sh"), perm(MINHASH_A[i], MINHASH_B[i])))
+    ex = gram_hash_rows(docs, text_col=text_col, id_col=id_col)
+    h31 = F.col("h") % MINHASH_P
+    mins = [
+        F.min((F.lit(MINHASH_A[i]) * h31 + F.lit(MINHASH_B[i])) % MINHASH_P)
+        .alias(f"_m{i}")
         for i in range(k)
     ]
-    return base.select("doc_id", F.array(*perms).alias("sig"))
+    return (
+        ex.groupBy("doc_id").agg(*mins)
+        .select("doc_id", F.array(*[f"_m{i}" for i in range(k)]).alias("sig"))
+    )
 
 
 def minhash_candidate_pairs(sigs: DataFrame, bands: int = MINHASH_BANDS,
@@ -181,49 +213,59 @@ def minhash_candidate_pairs(sigs: DataFrame, bands: int = MINHASH_BANDS,
 
 def ngram_jaccard_pairs(docs: DataFrame, *, block_col: str = "source",
                         text_col: str = "text", id_col: str = "doc_id",
-                        threshold: float = 0.05, salt: int = 8) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs within a blocking key.
+                        threshold: float = 0.05) -> DataFrame:
+    """Exact n-gram Jaccard similarity via an inverted-index set-similarity
+    join (the PPJoin/vernica-join family shape).
 
-    Blocking keeps this from being an all-pairs cross join. The pair join is
-    additionally SALTED: the left side is replicated across ``salt``
-    sub-keys and the right side hashes to one of them, so per-block pair
-    work spreads over block_count x salt tasks instead of serializing on the
-    handful of block keys. Both sides are explicitly repartitioned on
-    (block, salt) with a pinned partition count — an explicit repartition is
-    not coalesced by AQE, which would otherwise merge these compute-heavy
-    but byte-light partitions onto one core.
+    Instead of scoring every within-block pair (O(n^2/blocks) array
+    intersects — the round-1 formulation), pairs are generated ONLY for
+    documents that share at least one shingle: explode the shingle sets,
+    equi-join on (block, shingle-hash), and the per-pair match count IS the
+    exact intersection size (shingle arrays are distinct). This candidate
+    set is COMPLETE for any threshold > 0 — jaccard >= t > 0 implies at
+    least one shared shingle — unlike a MinHash pre-filter, which is
+    probabilistic and drops qualifying pairs at low thresholds.
+
+    Scale shape: the join key (block, shingle) is high-cardinality, so the
+    shuffle spreads naturally; cost is sum(df^2) over shingle document
+    frequencies rather than n^2/blocks — near-linear for mostly-unique
+    3-gram shingles. A pathologically frequent shingle is a skewed key;
+    AQE's skew-join splitting handles it (enabled in session.py).
     """
-    base = ensure_parallelism(
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(block_col).alias("block"),
-            F.col(text_col).alias("_t"),
+    tok = (
+        gram_hash_rows(
+            docs.withColumnRenamed(block_col, "block")
+            if block_col != "block" else docs,
+            text_col=text_col, id_col=id_col, keep=("block",),
         )
-    ).select(
-        "doc_id", "block", word_shingle_hashes(F.col("_t")).alias("sh")
-    ).where(F.size("sh") > 0).withColumn("n_sh", F.size("sh"))
+        .dropDuplicates(["doc_id", "h"])   # Jaccard is over shingle SETS
+        .withColumn("n_sh",
+                    F.count("*").over(Window.partitionBy("doc_id"))
+                    .cast("int"))
+    )
+    # Both join sides read the exploded index — materialize it once
+    # (MEMORY_AND_DISK: spills rather than recomputing shingles at scale;
+    # the eager count prevents the two join-side stages racing to fill the
+    # cache, each computing every partition).
+    tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
+    tok.count()
 
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    a = base.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
-    ).repartition(parallelism, "block", "salt")
-    b = base.withColumn(
-        "salt", (F.col("doc_id") % salt).cast("int")
-    ).repartition(parallelism, "block", "salt")
-
-    a, b = a.alias("a"), b.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    a, b = tok.alias("a"), tok.alias("b")
     paired = (
         a.join(b, (F.col("a.block") == F.col("b.block"))
-               & (F.col("a.salt") == F.col("b.salt"))
+               & (F.col("a.h") == F.col("b.h"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            inter.cast("bigint").alias("n_inter"),
-            # arrays are distinct: |A u B| = |A| + |B| - |A n B| (no second
-            # array traversal)
-            (F.col("a.n_sh") + F.col("b.n_sh") - inter).cast("bigint")
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+        .select(
+            "doc_a", "doc_b", "n_inter",
+            # arrays are distinct: |A u B| = |A| + |B| - |A n B|
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("bigint")
             .alias("n_union"),
         )
     )

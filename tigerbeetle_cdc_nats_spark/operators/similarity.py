@@ -71,6 +71,22 @@ def knn_bruteforce(embeddings: DataFrame, query_ids, k: int = 10,
     )
 
 
+def planes_for_corpus(corpus_size: int, *, target_bucket: int = 256,
+                      min_planes: int = 4, max_planes: int = 30) -> int:
+    """Hyperplane count scaled to the corpus: 2^planes buckets sized so the
+    expected bucket population stays ~``target_bucket`` — making the
+    within-bucket exact scoring O(n * target_bucket) TOTAL instead of the
+    O(n^2 / 2^planes) a FIXED plane count degrades to as n grows (a
+    quadratic term wearing a constant-factor hat). Registered queries pin
+    8 planes so their oracles stay byte-identical; scale deployments pass
+    ``hyperplanes(planes_for_corpus(n), dim)``."""
+    import math
+
+    n = max(int(corpus_size), 1)
+    return min(max_planes,
+               max(min_planes, math.ceil(math.log2(max(n / target_bucket, 2)))))
+
+
 def hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (3-decimal literals so both
     engines parse bit-identical doubles)."""

@@ -100,17 +100,51 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def _estimated_scan_splits(df: DataFrame) -> int | None:
+    """Estimate how many input splits the scan will produce from leaf-file
+    sizes (None when files aren't locally stat-able). Metadata-only — no
+    physical planning."""
+    files = df.inputFiles()
+    if not files:
+        return None
+    raw = df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728")
+    max_bytes = int(str(raw).lower().rstrip("b")) or 1
+    splits = 0
+    for uri in files:
+        if not uri.startswith("file:"):
+            return None  # remote FS — can't stat cheaply here
+        path = uri[len("file:"):]
+        while path.startswith("//"):
+            path = path[1:]
+        size = os.path.getsize(path)
+        splits += max(1, -(-size // max_bytes))
+    return splits
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition ONLY when the input has fewer partitions than cores.
+    """Repartition ONLY when the input scan would yield fewer splits than
+    cores.
 
     Compute-heavy per-row operators (hashing, signatures, JSON assembly) are
     bottlenecked by input-split count, not data size: a single small parquet
     row-group serializes the whole stage on one core. At 100 TB the scan has
     thousands of splits and this is a no-op — the round-robin shuffle only
     triggers for small-file inputs where shuffling is trivially cheap.
+
+    The split count comes from leaf-file sizes (pure metadata): the round-1
+    ``df.rdd.getNumPartitions()`` probe forced full physical planning of
+    the query per call. Falls back to that probe only when the files can't
+    be stat-ed locally.
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        splits = _estimated_scan_splits(df)
+    except OSError:
+        splits = None
+    if splits is None:
+        splits = df.rdd.getNumPartitions()
+    if splits < target:
         return df.repartition(target)
     return df
