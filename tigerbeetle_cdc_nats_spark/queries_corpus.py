@@ -1,0 +1,254 @@
+"""Corpus-preparation queries beyond per-doc scoring: benchmark
+decontamination, within-doc repetition filtering, deterministic stratified
+sampling, source mixing weights, and vocabulary statistics.
+
+These are the remaining operations a 100 TB training-data pipeline runs after
+dedup/quality/lang-ID (queries_dedup / queries_text / queries_pipeline):
+removing benchmark contamination before training, Gopher-style repetition
+gates, reproducible subsampling, and data-mixture accounting.
+
+Scale notes per query live on the functions; the common theme is that every
+operator here is either a pure per-row map (repetition, sampling — zero
+shuffle, whole-stage codegen) or a shuffle keyed on something high-cardinality
+(gram hash, token, source) with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from tigerbeetle_cdc_nats_spark.operators import dedup as dd
+from tigerbeetle_cdc_nats_spark.registry import register
+from tigerbeetle_cdc_nats_spark.session import load_table
+
+#: Source partition held out as the "benchmark" set for decontamination.
+BENCHMARK_SOURCE = "src19"
+#: Shingle width for contamination checks (real pipelines use 8-13; the
+#: synthetic docs are ~50 tokens so 4 keeps the check meaningful at sf0.01).
+CONTAM_N = 4
+
+
+@register(
+    "decontamination",
+    f"""WITH grams AS (
+  SELECT doc_id, source,
+         unnest({dd.sql_word_shingle_hashes('text', CONTAM_N)}) AS h,
+         len({dd.sql_word_shingle_hashes('text', CONTAM_N)}) AS n_grams
+  FROM documents
+),
+bench AS (SELECT DISTINCT h FROM grams WHERE source = '{BENCHMARK_SOURCE}'),
+train AS (SELECT * FROM grams WHERE source <> '{BENCHMARK_SOURCE}')
+SELECT t.doc_id,
+       t.n_grams,
+       COUNT(*) AS n_contaminated,
+       COUNT(*) / CAST(t.n_grams AS DOUBLE) AS contamination
+FROM train t JOIN bench b ON t.h = b.h
+GROUP BY t.doc_id, t.n_grams""",
+    doc="benchmark decontamination: word-4-gram hash overlap between the "
+        "training split and a held-out benchmark source; the canonical "
+        "pre-training contamination sweep",
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs sharing >= 1 word-4-gram with the benchmark partition, with the
+    shared-gram count and contamination ratio.
+
+    Scale shape: both sides are the exploded distinct gram-hash index
+    (`gram_hash_rows` — codegen'd md5, one shuffle-free explode). The join
+    key is the 60-bit gram hash: high cardinality, so the shuffle spreads
+    evenly; the benchmark side is a tiny fraction of the corpus (one held-out
+    source) and AQE broadcasts it when it fits, turning the whole check into
+    a map-side hash probe over the training scan. Never all-pairs.
+    """
+    grams = dd.gram_hash_rows(
+        load_table(spark, sf_dir, "documents"),
+        n=CONTAM_N, keep=("source",),
+    ).dropDuplicates(["doc_id", "h"])
+    grams = grams.withColumn(
+        "n_grams",
+        F.count("*").over(Window.partitionBy("doc_id")).cast("bigint"))
+    bench = (grams.where(F.col("source") == BENCHMARK_SOURCE)
+             .select("h").distinct())
+    train = grams.where(F.col("source") != BENCHMARK_SOURCE)
+    return (
+        train.join(bench, "h")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count("*").alias("n_contaminated"))
+        .select(
+            "doc_id", "n_grams", "n_contaminated",
+            (F.col("n_contaminated") / F.col("n_grams").cast("double"))
+            .alias("contamination"),
+        )
+    )
+
+
+@register(
+    "repetition_ratio",
+    """WITH g AS (
+  SELECT doc_id,
+    str_split(text, ' ') AS toks,
+    CASE WHEN len(str_split(text, ' ')) >= 2 THEN
+      list_transform(range(1, len(str_split(text, ' '))),
+        i -> str_split(text, ' ')[CAST(i AS INT)] || ' ' ||
+             str_split(text, ' ')[CAST(i + 1 AS INT)])
+    ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM documents
+)
+SELECT doc_id,
+  len(grams) AS n_grams,
+  len(list_distinct(grams)) AS n_uniq_grams,
+  CASE WHEN len(grams) > 0
+       THEN 1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+       ELSE 0.0 END AS gram_rep_ratio,
+  1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS tok_rep_ratio,
+  CAST(CASE WHEN len(grams) > 0 AND
+    1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE) > 0.2
+    THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM g""",
+    doc="Gopher-style repetition gate: duplicate word-2-gram and duplicate "
+        "token fractions per document, flagging docs above 20% gram "
+        "repetition",
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition features — the Gopher/C4 'repetitive
+    content' quality gate.
+
+    Pure per-row Column expressions: no shuffle, pipelines into the parquet
+    scan stage. The 2-gram array is built with `transform(sequence(...))` —
+    an interpreted lambda, but over plain string concats (no crypto hash per
+    element, which is what made the round-1 shingle HOF slow); per-row cost
+    is O(tokens) string work, embarrassingly parallel at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    grams = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = docs.select("doc_id", grams.alias("grams"), toks.alias("toks"))
+    n_g = F.size("grams")
+    n_ug = F.size(F.array_distinct("grams"))
+    gram_rep = F.when(
+        n_g > 0, F.lit(1.0) - n_ug / n_g.cast("double")).otherwise(F.lit(0.0))
+    tok_rep = (F.lit(1.0)
+               - F.size(F.array_distinct("toks")) / F.size("toks").cast("double"))
+    return d.select(
+        "doc_id",
+        n_g.cast("bigint").alias("n_grams"),
+        n_ug.cast("bigint").alias("n_uniq_grams"),
+        gram_rep.alias("gram_rep_ratio"),
+        tok_rep.alias("tok_rep_ratio"),
+        (gram_rep > 0.2).cast("bigint").alias("flagged"),
+    )
+
+
+#: Per-source sampling rates (percent) keyed by source-number mod 3 — a
+#: stand-in for the per-domain mixture a real pipeline configures.
+SAMPLE_RATES = (10, 25, 40)
+
+
+@register(
+    "stratified_sample",
+    f"""WITH r AS (
+  SELECT doc_id, source,
+    {dd.sql_hash60("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+    CASE CAST(regexp_extract(source, '[0-9]+') AS INT) % 3
+      WHEN 0 THEN {SAMPLE_RATES[0]}
+      WHEN 1 THEN {SAMPLE_RATES[1]}
+      ELSE {SAMPLE_RATES[2]} END AS rate
+  FROM documents
+)
+SELECT doc_id, source, bucket, CAST(rate AS BIGINT) AS rate
+FROM r WHERE bucket < rate""",
+    doc="deterministic stratified sampling: md5-derived per-doc bucket vs a "
+        "per-source rate — reproducible downsampling for mixture control",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source subsample: keep a doc iff its md5-derived
+    bucket (stable across runs, engines, and cluster sizes — unlike
+    `rand()`/`TABLESAMPLE`) falls under the source's configured rate.
+
+    Zero shuffle: a pure filter that pipelines with the scan, so sampling
+    100 TB costs one pass and the kept fraction is exact-in-expectation per
+    stratum. The same bucket expression reproduces the identical sample on
+    any engine — the property training pipelines need for auditability.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = dd.hash60(
+        F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 100
+    rate_key = F.regexp_extract(F.col("source"), "[0-9]+", 0).cast("int") % 3
+    rate = (F.when(rate_key == 0, SAMPLE_RATES[0])
+            .when(rate_key == 1, SAMPLE_RATES[1])
+            .otherwise(SAMPLE_RATES[2]))
+    return (
+        docs.select(
+            "doc_id", "source",
+            bucket.alias("bucket"),
+            rate.cast("bigint").alias("rate"),
+        )
+        .where(F.col("bucket") < F.col("rate"))
+    )
+
+
+@register(
+    "source_mixing_weights",
+    """WITH per_source AS (
+  SELECT source,
+    COUNT(*) AS n_docs,
+    SUM(len(str_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS token_share
+FROM per_source""",
+    doc="data-mixture accounting: per-source doc/token totals and each "
+        "source's share of the corpus token budget",
+)
+def q_source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget shares — the input to mixture-weight tuning.
+
+    One groupBy(source) with map-side partial aggregation (counts and token
+    sums combine associatively), then a window over the tiny aggregated
+    result (#sources rows) for the global share. The expensive pass is the
+    linear scan; the unpartitioned window touches only #sources rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return per.select(
+        "source", "n_docs", "n_tokens",
+        (F.col("n_tokens").cast("double") / total).alias("token_share"),
+    )
+
+
+@register(
+    "vocab_top_tokens",
+    """SELECT tok, COUNT(*) AS n_occurrences
+FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok ORDER BY n_occurrences DESC, tok LIMIT 50""",
+    doc="corpus vocabulary head: global token histogram, top 50 by "
+        "occurrence — the first step of tokenizer/vocab construction",
+)
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token frequency top-k.
+
+    Explode + groupBy(token): the explode pipelines with the scan, the
+    aggregation combines map-side (per-split partial counts), and the final
+    top-50 is TakeOrderedAndProject — driver receives k rows, never the
+    vocabulary. Token is a high-cardinality key, so the one shuffle spreads;
+    a pathological single-token corpus is AQE-skew-split territory.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("tok"))
+        .limit(50)
+    )

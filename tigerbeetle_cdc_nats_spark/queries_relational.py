@@ -718,3 +718,247 @@ def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("s_suppkey"))
         .limit(10)
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    f"""SELECT
+  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE)
+    AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24""",
+    doc="TPC-H Q6 shape: pure scan-side conjunctive filter + single "
+        "aggregate; every predicate pushes to the parquet scan",
+)
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-increase forecast: all predicates are scan-pushable range
+    filters, so at 100 TB this is a pure parquet-pruned scan with map-side
+    partial aggregation and a one-row exchange — no shuffle of data rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(28,4)")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""SELECT c_custkey, c_name, n_name,
+  CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    doc="TPC-H Q10 shape: fact-fact shuffle join on orderkey, customer "
+        "shuffle join, broadcast nation, decimal-exact top-20",
+)
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue leaderboard. lineitem x orders shuffle-joins on
+    orderkey (both SF-scaled; AQE may still broadcast the date-filtered
+    orders side when it fits), customer joins on custkey, and the constant
+    25-row nation dim is explicitly broadcast. Final top-20 is
+    TakeOrderedAndProject over the aggregated result."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(disc).cast("double").alias("revenue"),
+             F.count("*").alias("n_lines"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q13_order_distribution",
+    """WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+    ON c_custkey = o.o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count""",
+    doc="TPC-H Q13 shape: left outer join preserving zero-order customers, "
+        "two-level aggregation into an order-count distribution",
+)
+def q_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution. Orders pre-aggregate to one row
+    per custkey BEFORE the outer join (shrinking the join's big side from
+    |orders| to |customers-with-orders|); customers with no qualifying
+    orders survive via the left join with count 0. The second aggregation's
+    key space is tiny (max orders per customer), handled by the final
+    single-stage agg."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust_orders = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("_n"))
+    per_cust = (
+        cust.join(per_cust_orders, cust.c_custkey == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """WITH w AS (
+  SELECT CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+         SUM(CAST(l_quantity AS DECIMAL(18,2)))
+           OVER (PARTITION BY l_partkey) AS s,
+         COUNT(*) OVER (PARTITION BY l_partkey) AS n
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13'
+)
+SELECT CAST(CAST(SUM(price) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM w WHERE qty * 5 * n < s""",
+    doc="TPC-H Q17 shape: per-group scalar threshold (quantity < 0.2 x "
+        "part average) via window aggregates; integer-exact decimal compare",
+)
+def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue. The classic formulation aggregates
+    lineitem per part and joins back to itself; here ONE window pass per
+    part partition computes the group sum/count, and the threshold
+    ``qty < 0.2 * avg`` is compared as the integer-exact cross-multiplied
+    form ``5*qty*n < s`` (no float division on either engine). One shuffle
+    on partkey total, versus two shuffles + a join for the self-join form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
+    from pyspark.sql import Window as W
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    w = W.partitionBy("l_partkey")
+    joined = li.join(part, li.l_partkey == part.p_partkey).select(
+        qty.alias("qty"), price.alias("price"),
+        F.sum(qty).over(w).alias("s"),
+        F.count("*").over(w).alias("n"),
+    )
+    return (
+        joined.where(F.col("qty") * 5 * F.col("n") < F.col("s"))
+        .agg((F.sum("price").cast("double") / 7.0).cast("double")
+             .alias("avg_yearly"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    f"""SELECT
+  CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)""",
+    doc="TPC-H Q19 shape: three-way disjunctive predicate spanning both "
+        "join sides; Catalyst extracts the common single-side conjuncts "
+        "for pushdown",
+)
+def q_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive-predicate revenue. The OR spans columns of both tables,
+    so the full predicate must evaluate post-join — but Catalyst derives
+    the per-side implied filters (p_brand IN (...) AND p_size <= 15;
+    l_quantity <= 30) and pushes them into both scans, shrinking the join
+    inputs before the shuffle. The join itself is a plain equi-join on
+    partkey — the disjunction never degrades it to a nested-loop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,4)")
+    cond = (
+        ((F.col("p_brand") == "Brand#1")
+         & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2")
+           & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3")
+           & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(F.sum(disc).cast("double").alias("revenue"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+@register(
+    "q22_sales_opportunity",
+    """WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0.0
+),
+rich AS (
+  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer, pos
+  WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+),
+quiet AS (
+  SELECT r.* FROM rich r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = r.c_custkey AND o.o_orderpriority = '1-URGENT')
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(bal) AS DOUBLE) AS totacctbal
+FROM quiet GROUP BY c_nationkey""",
+    doc="TPC-H Q22 shape: global scalar subquery (above-average balance, "
+        "integer-exact cross-multiplied) + anti join against urgent orders",
+)
+def q_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sales-opportunity accounting: above-average-balance customers with
+    no urgent orders, grouped by nation. The global average is a one-row
+    aggregate broadcast to every partition (scalar-subquery shape — no
+    shuffle of the fact side); ``bal > avg`` compares as the exact
+    cross-multiplied decimal form ``bal * n > s``. The no-urgent-orders
+    predicate is a left_anti shuffle join on custkey."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    pos = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal).alias("s"), F.count("*").alias("n"))
+    rich = (
+        cust.select("c_custkey", "c_nationkey", bal.alias("bal"))
+        .crossJoin(F.broadcast(pos))
+        .where(F.col("bal") * F.col("n") > F.col("s"))
+    )
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    quiet = rich.join(
+        urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+    return quiet.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.sum("bal").cast("double").alias("totacctbal"),
+    )

@@ -58,7 +58,8 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _load_all() -> None:
     for mod in ("queries_cdc", "queries_relational", "queries_dedup",
                 "queries_text", "queries_similarity", "queries_multimodal",
-                "queries_scalar", "queries_pipeline", "queries_sketch_range"):
+                "queries_scalar", "queries_pipeline", "queries_sketch_range",
+                "queries_corpus"):
         __import__(f"tigerbeetle_cdc_nats_spark.{mod}")
 
 
