@@ -153,3 +153,99 @@ def test_range_join_is_equality_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "range_join_windows")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q6_all_predicates_reach_scan(spark, sf_dir):
+    """Q6 is a pure scan query: every predicate (two timestamp bounds, the
+    discount band, the quantity cap) must push to parquet so row groups
+    prune; the only Exchange is the one-row final-agg SinglePartition."""
+    df = QUERIES["q6_forecast_revenue"].fn(spark, sf_dir)
+    fs = " ".join(pushed_filters(df))
+    assert "GreaterThanOrEqual(l_shipdate" in fs
+    assert "LessThan(l_shipdate" in fs
+    assert "GreaterThanOrEqual(l_discount" in fs
+    assert "LessThan(l_quantity" in fs
+    plan = physical_plan(df)
+    assert count_nodes(df, "Exchange") == 1
+    assert "SinglePartition" in plan
+
+
+def test_q13_preaggregates_orders_before_join(spark, sf_dir):
+    """The outer join's big side must be the per-custkey pre-aggregate, not
+    raw orders: at 100 TB that shrinks the join input from |orders| to
+    |customers-with-orders| and makes the null-preserving side cheap."""
+    df = QUERIES["q13_order_distribution"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftOuter" in plan
+    # the orders-side aggregate keyed on o_custkey sits below the join
+    assert "Keys [1]: [o_custkey" in plan
+
+
+def test_q17_single_wide_shuffle_via_window(spark, sf_dir):
+    """The per-part threshold must come from ONE window pass (one
+    hashpartitioning exchange on l_partkey), not the classic self-join
+    formulation (two shuffles + a join of lineitem with itself)."""
+    df = QUERIES["q17_small_quantity_revenue"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" in plan
+    assert plan.count("hashpartitioning(l_partkey") == 1
+    # lineitem scanned once — self-join form would scan it twice
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q19_implied_filters_pushed_both_sides(spark, sf_dir):
+    """The OR spans both join sides, so it evaluates post-join — but the
+    per-side implied disjuncts must still reach each scan (quantity bands
+    on lineitem, brand+size bands on part) to shrink the shuffle input."""
+    df = QUERIES["q19_disjunctive_revenue"].fn(spark, sf_dir)
+    fs = " ".join(pushed_filters(df))
+    assert "l_quantity" in fs and "Or(" in fs
+    assert "EqualTo(p_brand" in fs
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan  # OR must not degrade the equi-join
+
+
+def test_q22_scalar_subquery_and_anti_join(spark, sf_dir):
+    """The global average must broadcast as a one-row relation (never
+    shuffling the customer side against it), and the no-urgent-orders
+    predicate must plan as an anti join, not a subquery re-scan per row."""
+    df = QUERIES["q22_sales_opportunity"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan
+    # one-row aggregate joined via broadcast: cross BNLJ over 1 row is O(n)
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
+
+
+def test_q10_topk_and_dim_broadcast(spark, sf_dir):
+    """The final top-20 must be a heap (TakeOrderedAndProject), and the
+    constant 25-row nation dim must broadcast even when the SF-scaled
+    sides shuffle."""
+    df = QUERIES["q10_returned_items"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontamination_is_equality_join(spark, sf_dir):
+    """Contamination checking joins on the 60-bit gram hash — an equality
+    join that spreads evenly; it must never plan as a nested loop."""
+    plan = plan_of(spark, sf_dir, "decontamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_no_shuffle(spark, sf_dir):
+    """Deterministic sampling is a pure filter: zero Exchange nodes — the
+    100 TB pass pipelines with the scan."""
+    df = QUERIES["stratified_sample"].fn(spark, sf_dir)
+    assert count_nodes(df, "Exchange") == 0
+
+
+def test_vocab_topk_uses_heap_and_partial_agg(spark, sf_dir):
+    """The vocabulary head must partial-aggregate map-side and return the
+    driver k rows via TakeOrderedAndProject — never a global sort of the
+    full token histogram."""
+    df = QUERIES["vocab_top_tokens"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert count_nodes(df, "HashAggregate") == 2
