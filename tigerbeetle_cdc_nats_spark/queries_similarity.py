@@ -77,12 +77,14 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     emb = load_table(spark, sf_dir, "embeddings")
-    b = sim.lsh_buckets(emb, PLANES)
+    b = sim.lsh_buckets(emb, PLANES).withColumn(
+        "norm", sim.norm_col(F.col("embedding")))
     q = b.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
-                 F.col("bucket").alias("q_bucket"))
+                 F.col("bucket").alias("q_bucket"), F.col("norm").alias("q_n"))
     c = b.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
-                 F.col("bucket").alias("c_bucket"))
-    s = sim.cosine_sim_e6(F.col("q_emb"), F.col("c_emb"))
+                 F.col("bucket").alias("c_bucket"), F.col("norm").alias("c_n"))
+    s = sim.cosine_sim_e6_prenorm(F.col("q_emb"), F.col("c_emb"),
+                                  F.col("q_n"), F.col("c_n"))
     return (
         q.join(c, (F.col("q_bucket") == F.col("c_bucket"))
                & (F.col("q_id") < F.col("c_id")))
@@ -165,19 +167,25 @@ def ivf_assign(emb: DataFrame, centv: DataFrame) -> DataFrame:
     broadcast nested-loop over k cells per vector — O(N*k), the standard
     IVF assignment cost. Argmax runs on FLOOR(cos*1e6) BIGINTs with the
     cell id as tie-break, so the assignment is deterministic cross-engine.
-    Output: (vec_id, embedding, cell)."""
+    Output: (vec_id, embedding, cell, norm) — the vector norm rides along
+    so downstream pair scoring reuses it."""
     from pyspark.sql import Window, functions as F
 
-    a_sim = sim.cosine_sim_e6(F.col("embedding"), F.col("c_arr"))
+    # norms precomputed per vector (not per vector-x-centroid pair) and per
+    # centroid (k rows, inside the broadcast side)
+    a_sim = sim.cosine_sim_e6_prenorm(
+        F.col("embedding"), F.col("c_arr"), F.col("_en"), F.col("_cn"))
     w = Window.partitionBy("vec_id").orderBy(
         F.col("a_sim").desc(), F.col("cell"))
     return (
-        emb.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(centv))
+        emb.select("vec_id", "embedding",
+                   sim.norm_col(F.col("embedding")).alias("_en"))
+        .crossJoin(F.broadcast(
+            centv.withColumn("_cn", sim.norm_col(F.col("c_arr")))))
         .withColumn("a_sim", a_sim)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
+        .select("vec_id", "embedding", "cell", F.col("_en").alias("norm"))
     )
 
 
@@ -232,14 +240,15 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash double-compute lesson).
     c = ivf_assign(emb, centv).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
-        F.col("cell").alias("c_cell"),
+        F.col("cell").alias("c_cell"), F.col("norm").alias("c_n"),
     )
     q = ivf_assign(emb.where(F.col("vec_id").isin(list(QUERY_IDS))),
                    centv).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
-        F.col("cell").alias("q_cell"),
+        F.col("cell").alias("q_cell"), F.col("norm").alias("q_n"),
     )
-    s = sim.cosine_sim_e6(F.col("q_emb"), F.col("c_emb"))
+    s = sim.cosine_sim_e6_prenorm(F.col("q_emb"), F.col("c_emb"),
+                                  F.col("q_n"), F.col("c_n"))
     scored = (
         c.join(F.broadcast(q), (F.col("q_cell") == F.col("c_cell"))
                & (F.col("q_id") != F.col("c_id")))
