@@ -249,3 +249,12 @@ def test_vocab_topk_uses_heap_and_partial_agg(spark, sf_dir):
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert count_nodes(df, "HashAggregate") == 2
+
+
+def test_sequence_packing_single_shuffle(spark, sf_dir):
+    """Packing is one shuffle on source + a per-partition running sum —
+    no global sort, no second exchange."""
+    df = QUERIES["sequence_packing"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("hashpartitioning(source") == 1
+    assert "rangepartitioning" not in plan  # no global sort

@@ -316,3 +316,45 @@ toks AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok
 hashed AS (SELECT doc_id, {sql_hash60('tok')} AS h FROM toks),
 votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
 SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes"""
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected pair graph via hash-to-min
+    label propagation: every node starts labeled with its own id, and each
+    round takes the min of its own and its neighbors' labels, until a
+    fixpoint. The final label is the component's minimum node id — the
+    canonical "keeper" convention of dedup pipelines.
+
+    Scale shape: each round is one shuffle join (edges x labels, both keyed
+    on node id) plus one min-aggregate; rounds needed = graph diameter.
+    Near-dup graphs are unions of small tight clusters, so the diameter is
+    small (single digits) in practice; a worst-case chain of length n would
+    need the large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce"), which this degrades to gracefully — max_iter
+    bounds the work and convergence is detected by the monotone label-sum
+    invariant (one tiny action per round). Labels are localCheckpoint'd per
+    round to truncate lineage — without it the plan doubles each iteration.
+
+    Output: (node, cluster_id) — one row per node that appears in an edge.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .select("node", F.col("node").alias("lbl")))
+    prev = None
+    for _ in range(max_iter):
+        prop = (sym.join(labels, sym.a == labels.node)
+                .select(F.col("b").alias("node"), F.col("lbl")))
+        labels = (labels.union(prop)
+                  .groupBy("node").agg(F.min("lbl").alias("lbl"))
+                  .localCheckpoint(eager=True))
+        # label sum strictly decreases until the fixpoint (labels only
+        # ever shrink toward the component min) — cheap convergence probe
+        cur = labels.agg(F.sum("lbl")).first()[0]
+        if cur == prev:
+            break
+        prev = cur
+    return labels.select("node", F.col("lbl").alias("cluster_id"))

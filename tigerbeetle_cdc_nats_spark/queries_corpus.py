@@ -257,3 +257,56 @@ def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("tok"))
         .limit(50)
     )
+
+
+#: Context-window capacity (tokens) for sequence packing.
+CONTEXT_TOKENS = 512
+
+
+@register(
+    "sequence_packing",
+    f"""WITH t AS (
+  SELECT doc_id, source, len(str_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, source, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM t
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(start_offset AS BIGINT) AS start_offset,
+  CAST(start_offset // {CONTEXT_TOKENS} AS BIGINT) AS seq_index
+FROM o""",
+    doc="token-stream sequence packing: each doc's start offset and "
+        "context-window index in the concatenated per-source token stream "
+        "(the concat-and-chunk packing LLM pretraining uses)",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document its position in the packed training stream:
+    docs are concatenated per source in doc_id order and split into
+    fixed-capacity context windows; a doc's seq_index is the window its
+    first token lands in.
+
+    One shuffle on source, then a running-sum window within each source
+    partition — the sort is per-partition, never global. The assignment is
+    fully deterministic (ordering key, capacity, and token count are all
+    exact integers), so the same corpus packs identically on any cluster
+    size or engine — the reproducibility property training runs need.
+    At 100 TB the source partitions are large; a production variant adds a
+    (source, shard) sub-key to bound partition width, which only relabels
+    window ids per shard.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    t = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    return (
+        t.withColumn("start_offset", start)
+        .withColumn("seq_index",
+                    F.expr(f"start_offset div {CONTEXT_TOKENS}"))
+    )

@@ -3,7 +3,7 @@ n-gram Jaccard, MinHash+LSH, SimHash."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tigerbeetle_cdc_nats_spark.operators import dedup as dd
 from tigerbeetle_cdc_nats_spark.registry import register
@@ -17,6 +17,38 @@ _SIG_SQL = "[" + ", ".join(
     f" + {dd.MINHASH_B[i]}) % {dd.MINHASH_P}))"
     for i in range(dd.MINHASH_K)
 ) + "]"
+
+#: MinHash signature + LSH banding + candidate-pair CTE chain (through
+#: `wsig`), shared by the minhash_dedup oracle and the dup_clusters oracle.
+_MINHASH_CTES = f"""d AS (SELECT doc_id, {_SHH} AS sh FROM documents),
+d2 AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+sig AS (SELECT doc_id, {_SIG_SQL} AS sig FROM d2),
+bands AS (SELECT doc_id, sig, unnest(range(0, {dd.MINHASH_BANDS})) AS band FROM sig),
+bk AS (
+  SELECT doc_id, sig, band,
+    CAST(sig[CAST(band * 2 + 1 AS INT)] AS VARCHAR) || ',' ||
+    CAST(sig[CAST(band * 2 + 2 AS INT)] AS VARCHAR) AS bucket
+  FROM bands
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+wsig AS (
+  SELECT p.doc_a, p.doc_b, sa.sig AS sig_a, sb.sig AS sig_b
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b
+)"""
+
+#: Estimated Jaccard from signature agreement (over `wsig` columns).
+_EST_J = (f"len(list_filter(range(1, {dd.MINHASH_K + 1}), "
+          f"i -> sig_a[CAST(i AS INT)] = sig_b[CAST(i AS INT)])) "
+          f"/ {dd.MINHASH_K}.0")
+
+#: Pairs at or above this estimated Jaccard are edges of the dup graph.
+DUP_CLUSTER_THRESHOLD = 0.5
 
 
 @register(
@@ -54,32 +86,8 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_dedup",
-    f"""WITH d AS (SELECT doc_id, {_SHH} AS sh FROM documents),
-d2 AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
-sig AS (SELECT doc_id, {_SIG_SQL} AS sig FROM d2),
-bands AS (SELECT doc_id, sig, unnest(range(0, {dd.MINHASH_BANDS})) AS band FROM sig),
-bk AS (
-  SELECT doc_id, sig, band,
-    CAST(sig[CAST(band * 2 + 1 AS INT)] AS VARCHAR) || ',' ||
-    CAST(sig[CAST(band * 2 + 2 AS INT)] AS VARCHAR) AS bucket
-  FROM bands
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bk a JOIN bk b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
-wsig AS (
-  SELECT p.doc_a, p.doc_b, sa.sig AS sig_a, sb.sig AS sig_b
-  FROM pairs p
-  JOIN sig sa ON sa.doc_id = p.doc_a
-  JOIN sig sb ON sb.doc_id = p.doc_b
-)
-SELECT doc_a, doc_b,
-  len(list_filter(range(1, {dd.MINHASH_K + 1}),
-      i -> sig_a[CAST(i AS INT)] = sig_b[CAST(i AS INT)])) / {dd.MINHASH_K}.0
-    AS est_jaccard
-FROM wsig""",
+    f"WITH {_MINHASH_CTES}\n"
+    f"SELECT doc_a, doc_b, {_EST_J} AS est_jaccard FROM wsig",
     doc="MinHash(16, universal-hash perms) + LSH banding (8x2): candidates "
         "via equality join on (band, bucket) — the 100 TB near-dup path "
         "(north star: MinHash LSH)",
@@ -98,3 +106,54 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dup_clusters",
+    f"""WITH RECURSIVE {_MINHASH_CTES},
+scored AS (SELECT doc_a, doc_b FROM wsig
+           WHERE {_EST_J} >= {DUP_CLUSTER_THRESHOLD}),
+e AS (SELECT doc_a AS ea, doc_b AS eb FROM scored
+      UNION ALL SELECT doc_b, doc_a FROM scored),
+nd AS (SELECT DISTINCT ea AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM nd
+  UNION
+  SELECT e.eb, reach.r FROM reach JOIN e ON e.ea = reach.node
+),
+comp AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+  CAST(doc_id = cluster_id AS BIGINT) AS is_canonical
+FROM comp""",
+    doc="near-dup cluster resolution: connected components over the "
+        "MinHash pair graph (est_jaccard >= 0.5) via iterative min-label "
+        "propagation; canonical doc = component-minimum id",
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS — the step a real dedup
+    pipeline runs after LSH: transitively connected docs form one group,
+    and exactly one canonical representative (the min doc_id) survives.
+
+    The Spark side iterates hash-to-min label propagation to a fixpoint
+    (see operators/dedup.connected_components for the scale argument);
+    the oracle computes the same fixpoint declaratively with a recursive
+    CTE. Iterative graph algorithms are exactly where Spark's DataFrame
+    loop + localCheckpoint beats a SQL engine at scale: each round is one
+    bounded shuffle, not an unbounded transitive closure.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
+    edges = dd.minhash_candidate_pairs(sigs).where(
+        F.col("est_jaccard") >= DUP_CLUSTER_THRESHOLD)
+    comp = dd.connected_components(edges, src="doc_a", dst="doc_b")
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+        (F.col("node") == F.col("cluster_id")).cast("bigint")
+        .alias("is_canonical"),
+    )
