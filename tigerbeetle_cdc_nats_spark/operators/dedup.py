@@ -342,9 +342,18 @@ def connected_components(edges: DataFrame, src: str = "src",
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    labels = (sym.select(F.col("a").alias("node")).distinct()
-              .select("node", F.col("node").alias("lbl")))
-    prev = None
+    # Every round re-reads the edge set: without materialization each
+    # iteration would recompute the whole upstream pipeline (e.g. the
+    # MinHash shingle->band->join chain) from the source scan.
+    sym = sym.localCheckpoint(eager=True)
+    # seed with the one-hop min (min of self and direct neighbors): tight
+    # pair-clusters — the common near-dup case — start at the fixpoint and
+    # pay only the single verification round
+    labels = (sym.select(F.col("a").alias("node"),
+                         F.least("a", "b").alias("lbl"))
+              .groupBy("node").agg(F.min("lbl").alias("lbl"))
+              .localCheckpoint(eager=True))
+    prev = labels.agg(F.sum("lbl")).first()[0]
     for _ in range(max_iter):
         prop = (sym.join(labels, sym.a == labels.node)
                 .select(F.col("b").alias("node"), F.col("lbl")))
