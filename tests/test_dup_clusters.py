@@ -44,3 +44,18 @@ def test_dup_clusters_one_canonical_per_cluster(spark, sf_dir):
         canon = [m for m in members if m["is_canonical"] == 1]
         assert len(canon) == 1
         assert canon[0]["doc_id"] == cid == min(m["doc_id"] for m in members)
+
+
+def test_canonical_selection_quality_decides(spark, sf_dir):
+    """Exactly one kept doc per cluster, and in at least one cluster the
+    quality ranking must pick a doc OTHER than the min-id default —
+    proving the score, not the id, decides survival."""
+    df = registry.all_queries()["canonical_selection"].fn(spark, sf_dir)
+    rows = df.collect()
+    kept_per_cluster = {}
+    for r in rows:
+        kept_per_cluster.setdefault(r["cluster_id"], 0)
+        kept_per_cluster[r["cluster_id"]] += r["is_kept"]
+    assert all(v == 1 for v in kept_per_cluster.values())
+    assert any(r["is_kept"] == 1 and r["doc_id"] != r["cluster_id"]
+               for r in rows)

@@ -122,3 +122,14 @@ def sql_tokens(expr: str = "text") -> str:
 def sql_stopword_hits(lang: str, expr: str = "text") -> str:
     words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     return f"len(list_filter({sql_tokens(expr)}, t -> t IN ({words})))"
+
+
+def sql_quality(expr: str = "text") -> str:
+    """DuckDB mirror of quality_score()['quality'] (same arithmetic order,
+    so the composite double is bit-identical cross-engine)."""
+    nt = f"len({sql_tokens(expr)})"
+    return (
+        f"(len(list_distinct({sql_tokens(expr)})) / {nt}) * 0.5"
+        f" + (1 - {sql_stopword_hits('en', expr)} / {nt}) * 0.3"
+        f" + LEAST(((length({expr}) - ({nt} - 1)) / {nt}) / 10.0, 1.0) * 0.2"
+    )

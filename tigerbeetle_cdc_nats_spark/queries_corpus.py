@@ -310,3 +310,45 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("seq_index",
                     F.expr(f"start_offset div {CONTEXT_TOKENS}"))
     )
+
+
+@register(
+    "bpe_merge_candidates",
+    """WITH t AS (SELECT str_split(text, ' ') AS toks FROM documents),
+ix AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t
+       WHERE len(toks) >= 2),
+p AS (SELECT toks[CAST(i AS INT)] AS tok_a,
+             toks[CAST(i + 1 AS INT)] AS tok_b FROM ix)
+SELECT tok_a, tok_b, COUNT(*) AS n_occurrences
+FROM p GROUP BY tok_a, tok_b
+ORDER BY n_occurrences DESC, tok_a, tok_b LIMIT 50""",
+    doc="BPE-style merge candidates: the corpus-wide top adjacent token "
+        "pairs by occurrence — the statistic each BPE/WordPiece merge "
+        "iteration maximizes",
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global adjacent-pair frequencies, top 50 — one iteration of
+    the tokenizer-training inner loop (find the most frequent pair).
+
+    The pair stream comes from slice+arrays_zip over the token array
+    (whole-stage codegen, no interpreted lambda), explodes inline with the
+    scan, and aggregates with map-side partial counts on the
+    high-cardinality (tok_a, tok_b) key; the top-50 is a
+    TakeOrderedAndProject heap, so the driver never sees the full pair
+    vocabulary. One shuffle total at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    t = (docs.where(n_tok >= 2)
+         .select(F.slice(toks, 1, n_tok - 1).alias("a1"),
+                 F.slice(toks, 2, n_tok - 1).alias("a2")))
+    pairs = (t.select(F.explode(F.arrays_zip("a1", "a2")).alias("p"))
+             .select(F.col("p.a1").alias("tok_a"),
+                     F.col("p.a2").alias("tok_b")))
+    return (
+        pairs.groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "tok_a", "tok_b")
+        .limit(50)
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tigerbeetle_cdc_nats_spark.operators import dedup as dd
+from tigerbeetle_cdc_nats_spark.operators import text as tx
 from tigerbeetle_cdc_nats_spark.registry import register
 from tigerbeetle_cdc_nats_spark.session import load_table
 
@@ -156,4 +157,61 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("cluster_size"),
         (F.col("node") == F.col("cluster_id")).cast("bigint")
         .alias("is_canonical"),
+    )
+
+
+@register(
+    "canonical_selection",
+    f"""WITH RECURSIVE {_MINHASH_CTES},
+scored AS (SELECT doc_a, doc_b FROM wsig
+           WHERE {_EST_J} >= {DUP_CLUSTER_THRESHOLD}),
+e AS (SELECT doc_a AS ea, doc_b AS eb FROM scored
+      UNION ALL SELECT doc_b, doc_a FROM scored),
+nd AS (SELECT DISTINCT ea AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM nd
+  UNION
+  SELECT e.eb, reach.r FROM reach JOIN e ON e.ea = reach.node
+),
+comp AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+qual AS (SELECT doc_id, {tx.sql_quality('text')} AS quality FROM documents)
+SELECT c.doc_id, c.cluster_id, q.quality,
+  CAST(ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                          ORDER BY q.quality DESC, c.doc_id) = 1 AS BIGINT)
+    AS is_kept
+FROM comp c JOIN qual q ON q.doc_id = c.doc_id""",
+    doc="quality-aware canonical selection: within each near-dup cluster "
+        "keep the highest-quality doc (not merely the min id) — the "
+        "policy real dedup pipelines apply after cluster resolution",
+)
+def q_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which doc survives each near-dup cluster when survival is decided
+    by quality score (composite from operators/text.quality_score) with
+    doc_id as the deterministic tiebreak.
+
+    Composes three registered operators into one plan: MinHash LSH pair
+    generation, connected-components cluster resolution, and per-doc
+    quality scoring. The cluster membership is a tiny fraction of the
+    corpus (only docs with a near-dup), so the quality join broadcasts
+    under AQE; the ranking window partitions by cluster — bounded state,
+    cluster-sized partitions.
+    """
+    from pyspark.sql import Window
+
+    from tigerbeetle_cdc_nats_spark.operators import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
+    edges = dd.minhash_candidate_pairs(sigs).where(
+        F.col("est_jaccard") >= DUP_CLUSTER_THRESHOLD)
+    comp = dd.connected_components(edges, src="doc_a", dst="doc_b")
+    qual = docs.select(
+        "doc_id", tx.quality_score("text")["quality"].alias("quality"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id"))
+    return (
+        comp.join(qual, comp.node == qual.doc_id)
+        .select("doc_id", "cluster_id", "quality")
+        .withColumn("is_kept",
+                    (F.row_number().over(w) == 1).cast("bigint"))
     )
