@@ -258,3 +258,15 @@ def test_sequence_packing_single_shuffle(spark, sf_dir):
     plan = physical_plan(df)
     assert plan.count("hashpartitioning(source") == 1
     assert "rangepartitioning" not in plan  # no global sort
+
+
+def test_cms_build_partial_aggregates(spark, sf_dir):
+    """The sketch build must combine map-side: two HashAggregates around
+    one Exchange carrying at most depth x width cells per map task —
+    never the raw event stream."""
+    df = QUERIES["cms_user_counts"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert count_nodes(df, "HashAggregate") >= 2
+    # the md5 base hash is hoisted above the depth explode/CASE: one call
+    # per side (build, probe), never one per depth row
+    assert plan.count("md5(") <= 2

@@ -36,16 +36,28 @@ def sql_cms_cell(expr: str, row: int, width: int = CMS_WIDTH) -> str:
     return f"((({CMS_A[row]} * {h} + {CMS_B[row]}) % {MINHASH_P}) % {width})"
 
 
+def _cell_from_base(h: Column, row: int, width: int) -> Column:
+    """Cell column for hash row ``row`` given the depth-invariant base hash
+    (hash60 % P) — lets callers hash each key ONCE and vary only the
+    integer (a, b) mix per depth row."""
+    return ((F.lit(CMS_A[row]) * h + F.lit(CMS_B[row])) % MINHASH_P) % width
+
+
 def count_min_sketch(df: DataFrame, key: Column, *, depth: int = CMS_DEPTH,
                      width: int = CMS_WIDTH) -> DataFrame:
     """Build the sketch: one output row per non-empty (row, col) cell with
-    its count. Exploding d rows per input row keeps it one groupBy."""
+    its count. Exploding d rows per input row keeps it one groupBy; the
+    md5-derived base hash is computed BEFORE the explode (it does not vary
+    by depth row), so hash work is 1x, not depth-x, per input row."""
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("cms_row")
-    keyed = df.select(key.alias("_k")).select("_k", rows)
+    keyed = (df.select(key.alias("_k"))
+             .select((hash60(F.col("_k")) % MINHASH_P).alias("_h"))
+             .select("_h", rows))
     # CASE over cms_row (hash params differ per row)
-    expr = F.when(F.col("cms_row") == 0, cms_cell(F.col("_k"), 0, width))
+    expr = F.when(F.col("cms_row") == 0, _cell_from_base(F.col("_h"), 0, width))
     for i in range(1, depth):
-        expr = expr.when(F.col("cms_row") == i, cms_cell(F.col("_k"), i, width))
+        expr = expr.when(F.col("cms_row") == i,
+                         _cell_from_base(F.col("_h"), i, width))
     return (
         keyed.withColumn("cms_col", expr.cast("long"))
         .groupBy("cms_row", "cms_col")
@@ -58,11 +70,14 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key: Column,
     """Point-query the sketch for each key: min over rows of the cell count
     (missing cell -> 0, though CMS never underestimates present keys)."""
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("cms_row")
-    expr = F.when(F.col("cms_row") == 0, cms_cell(F.col("_k"), 0, width))
+    expr = F.when(F.col("cms_row") == 0, _cell_from_base(F.col("_h"), 0, width))
     for i in range(1, depth):
-        expr = expr.when(F.col("cms_row") == i, cms_cell(F.col("_k"), i, width))
-    probes = keys.select(key.alias("_k"), rows).withColumn(
-        "cms_col", expr.cast("long"))
+        expr = expr.when(F.col("cms_row") == i,
+                         _cell_from_base(F.col("_h"), i, width))
+    probes = (keys.select(key.alias("_k"))
+              .select("_k", (hash60(F.col("_k")) % MINHASH_P).alias("_h"))
+              .select("_k", "_h", rows)
+              .withColumn("cms_col", expr.cast("long")))
     joined = probes.join(sketch, on=["cms_row", "cms_col"], how="left")
     return (
         joined.groupBy("_k")
