@@ -1,0 +1,94 @@
+"""Streaming corpus-ingestion tests: online dedup must drop re-ingested
+content inside the watermark window, the quality gate must agree with the
+batch operators, and state must be keyed on content (not doc_id)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from tigerbeetle_cdc_nats_spark.streaming import corpus as sc
+
+DOC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("ingest_time", T.TimestampType()),
+])
+
+BASE = "2024-01-01 00:00:"
+GOOD = "alpha beta gamma delta epsilon zeta eta theta"
+SHORT = "tiny doc"
+
+
+def _write_docs(spark, d, rows):
+    df = spark.createDataFrame(
+        [(i, t, f"{BASE}{s:02d}") for i, t, s in rows],
+        ["doc_id", "text", "ts_str"],
+    ).select("doc_id", "text",
+             F.col("ts_str").cast("timestamp").alias("ingest_time"))
+    df.coalesce(1).write.mode("append").parquet(d)
+
+
+def _run_stream(spark, src, out_dir, chk):
+    stream = (spark.readStream.schema(DOC_SCHEMA).parquet(src)
+              .transform(sc.ingest_pipeline))
+    q = (stream.writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", chk)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+
+def test_streaming_ingest_dedups_and_gates(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    os.makedirs(src)
+    # doc 3 re-ingests doc 1's exact content; doc 4 fails the length gate
+    _write_docs(spark, src, [
+        (1, GOOD, 1),
+        (2, GOOD + " extra tokens here", 2),
+        (3, GOOD, 3),
+        (4, SHORT, 4),
+    ])
+    _run_stream(spark, src, out, chk)
+    got = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 2]
+
+    # a later micro-batch with one fresh doc and one replayed content:
+    # only the fresh one survives (state persisted across batches)
+    _write_docs(spark, src, [
+        (5, GOOD, 5),
+        (6, "totally new content with plenty of distinct tokens", 6),
+    ])
+    _run_stream(spark, src, out, chk)
+    got2 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got2 == [1, 2, 6]
+
+
+def test_ingest_features_match_batch_operators(spark):
+    """The streaming gate must reuse the batch quality/fingerprint exprs
+    bit-for-bit — one definition, two execution modes."""
+    from tigerbeetle_cdc_nats_spark.operators import text as tx
+
+    df = spark.createDataFrame([(1, GOOD)], ["doc_id", "text"])
+    feat = sc.with_ingest_features(
+        df.withColumn("ingest_time", F.current_timestamp())).first()
+    batch = df.select(
+        tx.doc_fingerprint("text").alias("fp"),
+        tx.quality_score("text")["quality"].alias("quality")).first()
+    assert feat["fp"] == batch["fp"]
+    assert feat["quality"] == batch["quality"]
+
+
+def test_batch_mode_fallback_dedups(spark):
+    """The same pipeline applied to a BATCH frame dedups too (parity for
+    backfills that reuse the streaming code path)."""
+    df = spark.createDataFrame(
+        [(1, GOOD), (2, GOOD), (3, GOOD + " more")], ["doc_id", "text"]
+    ).withColumn("ingest_time",
+                 F.lit("2024-01-01 00:00:01").cast("timestamp"))
+    out = sc.ingest_pipeline(df)
+    fps = [r["fp"] for r in out.collect()]
+    assert len(fps) == 2 and len(set(fps)) == 2

@@ -1,0 +1,83 @@
+"""Streaming corpus ingestion: the training-data pipeline's front door.
+
+Batch dedup/quality operators (operators/dedup, operators/text) assume the
+corpus is at rest; a production pipeline also ingests documents
+CONTINUOUSLY and must gate them online. This module re-expresses the
+per-document stages that are streaming-safe — content fingerprinting,
+exact dedup within a watermark window, quality/length gating — over a
+Structured Streaming DataFrame, reusing the exact batch Column expressions
+so online and offline decisions agree bit-for-bit.
+
+Scale/state argument: the only stateful stage is the fingerprint dedup,
+and it uses ``dropDuplicatesWithinWatermark`` so the state store holds one
+entry per UNIQUE fingerprint seen inside the watermark horizon — bounded
+by ingest rate x window, not by corpus age (the same bounded-state rule
+the CDC pipeline applies to msg_id dedup, streaming/pipeline.py). Quality
+gating is stateless per-row Column arithmetic — it pipelines with the
+source scan and needs no state at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from tigerbeetle_cdc_nats_spark.operators import text as tx
+
+#: Documents below this composite quality score are dropped at ingest.
+DEFAULT_MIN_QUALITY = 0.5
+#: Documents shorter than this many tokens are dropped at ingest.
+DEFAULT_MIN_TOKENS = 5
+
+
+def with_ingest_features(docs: DataFrame,
+                         event_time_col: str = "ingest_time") -> DataFrame:
+    """Stateless per-doc features: content fingerprint + quality columns.
+
+    Works identically on a batch or streaming DataFrame — pure Column
+    expressions, no shuffle, no state.
+    """
+    feats = tx.quality_score("text")
+    return docs.select(
+        "*",
+        tx.doc_fingerprint("text").alias("fp"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["quality"].alias("quality"),
+    )
+
+
+def dedup_doc_stream(docs: DataFrame, *, watermark: str = "10 minutes",
+                     event_time_col: str = "ingest_time") -> DataFrame:
+    """Drop re-ingested duplicate content within the watermark horizon.
+
+    Keyed on the md5 content fingerprint — the first arrival of a given
+    content wins; later identical arrivals inside the window are dropped.
+    State is evicted once the watermark passes (bounded by unique-content
+    rate x window). Re-ingests farther apart than the window are the batch
+    dedup pass's job (exact_dedup / dup_clusters), mirroring how the
+    reference splits online msg-id dedupe from offline reconciliation
+    (runner.go:180 dedupe window).
+    """
+    out = docs.withWatermark(event_time_col, watermark)
+    if docs.isStreaming:
+        return out.dropDuplicatesWithinWatermark(["fp"])
+    return out.dropDuplicates(["fp"])
+
+
+def quality_gate(docs: DataFrame, *, min_quality: float = DEFAULT_MIN_QUALITY,
+                 min_tokens: int = DEFAULT_MIN_TOKENS) -> DataFrame:
+    """Stateless ingest filter: length + composite quality thresholds."""
+    return docs.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality") >= min_quality))
+
+
+def ingest_pipeline(docs: DataFrame, *, watermark: str = "10 minutes",
+                    min_quality: float = DEFAULT_MIN_QUALITY,
+                    min_tokens: int = DEFAULT_MIN_TOKENS,
+                    event_time_col: str = "ingest_time") -> DataFrame:
+    """feature -> dedup -> gate, composed as ONE streaming plan."""
+    feat = with_ingest_features(docs, event_time_col)
+    deduped = dedup_doc_stream(feat, watermark=watermark,
+                               event_time_col=event_time_col)
+    return quality_gate(deduped, min_quality=min_quality,
+                        min_tokens=min_tokens)
