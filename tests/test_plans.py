@@ -270,3 +270,34 @@ def test_cms_build_partial_aggregates(spark, sf_dir):
     # the md5 base hash is hoisted above the depth explode/CASE: one call
     # per side (build, probe), never one per depth row
     assert plan.count("md5(") <= 2
+
+
+def test_q2_argmin_single_window_shuffle(spark, sf_dir):
+    """The per-part argmin must be one window rank (one hashpartitioning
+    on partkey), never a correlated re-scan or a self-join of lineitem."""
+    df = QUERIES["q2_min_cost_supplier"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q15_reuses_aggregated_view_for_max(spark, sf_dir):
+    """The scalar max must come from the aggregated revenue view (tiny),
+    not a second scan of lineitem."""
+    df = QUERIES["q15_top_supplier"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # lineitem scanned at most twice (view + max branch before reuse);
+    # never once per supplier
+    assert plan.count("lineitem.parquet") <= 2
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q21_semi_and_anti_joins(spark, sf_dir):
+    """EXISTS / NOT EXISTS must plan as semi and anti joins on orderkey —
+    three bounded scans of lineitem, no per-row subquery re-evaluation."""
+    df = QUERIES["q21_waiting_orders"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert plan.count("lineitem.parquet") == 3
+    assert "CartesianProduct" not in plan

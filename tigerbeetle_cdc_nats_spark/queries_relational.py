@@ -962,3 +962,143 @@ def q_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("numcust"),
         F.sum("bal").cast("double").alias("totacctbal"),
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """WITH costs AS (
+  SELECT p_partkey, p_name, l_suppkey,
+    CAST(FLOOR(l_extendedprice / l_quantity * 1000000) AS BIGINT) AS unit_cost_e6
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size <= 10
+),
+ranked AS (
+  SELECT p_partkey, p_name, l_suppkey AS s_suppkey, unit_cost_e6,
+    ROW_NUMBER() OVER (PARTITION BY p_partkey
+                       ORDER BY unit_cost_e6, l_suppkey) AS rn
+  FROM costs
+)
+SELECT p_partkey, p_name, s_suppkey, unit_cost_e6
+FROM ranked WHERE rn = 1""",
+    doc="TPC-H Q2 shape: per-group argmin (cheapest supplier per part) — "
+        "the correlated-min subquery expressed as one window rank",
+)
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier per small part. The classic formulation correlates
+    a MIN subquery per part (one re-scan per outer row in a naive engine);
+    here ONE window pass per part partition ranks suppliers by unit cost —
+    a single shuffle on partkey. Cost is FLOOR(price/qty * 1e6): the
+    division is IEEE-identical cross-engine and the integer floor makes
+    the ordering (and therefore the argmin row) hash-stable."""
+    from pyspark.sql import Window as W
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    cost = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * 1_000_000
+    ).cast("long")
+    costs = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("p_partkey", "p_name", F.col("l_suppkey").alias("s_suppkey"),
+                cost.alias("unit_cost_e6"))
+    )
+    w = W.partitionBy("p_partkey").orderBy("unit_cost_e6", "s_suppkey")
+    return (
+        costs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "s_suppkey", "unit_cost_e6")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))
+      AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""",
+    doc="TPC-H Q15 shape: aggregate view + scalar-max filter (the "
+        "top-revenue supplier), decimal-exact so the max-equality join "
+        "is hash-stable",
+)
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue. The revenue view aggregates once
+    (map-side partials, one shuffle on suppkey); the scalar max is a
+    one-row broadcast compared against the same view — Spark reuses the
+    aggregated result, never re-scanning lineitem. Revenue sums in
+    DECIMAL so the max-equality filter matches exactly on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    supp = load_table(spark, sf_dir, "supplier")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,4)")
+    revenue = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+               .agg(F.sum(disc).alias("total_revenue")))
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        supp.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .select("s_suppkey", "s_name",
+                F.col("total_revenue").cast("double").alias("total_revenue"))
+    )
+
+
+@register(
+    "q21_waiting_orders",
+    """WITH l1 AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey LIMIT 20""",
+    doc="TPC-H Q21 shape: EXISTS + NOT EXISTS with different correlations "
+        "on the same fact table — semi join then anti join on orderkey",
+)
+def q_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers solely responsible for returned lines in multi-supplier
+    orders. Both correlated subqueries become joins on orderkey: the
+    EXISTS is a left_semi (order had another supplier), the NOT EXISTS a
+    left_anti (no OTHER supplier also returned) — each one shuffle on the
+    high-cardinality orderkey, with the extra suppkey/flag conditions
+    riding in the join predicate. A naive engine re-scans lineitem per
+    outer row; here lineitem is scanned three times total regardless of
+    row count, and the supplier dim broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    l1 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("s_key"))
+    l2 = li.select(F.col("l_orderkey").alias("o2"),
+                   F.col("l_suppkey").alias("s2"))
+    l3 = (li.where(F.col("l_returnflag") == "R")
+          .select(F.col("l_orderkey").alias("o3"),
+                  F.col("l_suppkey").alias("s3")))
+    waiting = (
+        l1.join(l2, (F.col("o_key") == F.col("o2"))
+                & (F.col("s_key") != F.col("s2")), "left_semi")
+        .join(l3, (F.col("o_key") == F.col("o3"))
+              & (F.col("s_key") != F.col("s3")), "left_anti")
+    )
+    return (
+        waiting.join(F.broadcast(supp),
+                     F.col("s_key") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(20)
+    )
