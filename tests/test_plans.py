@@ -72,6 +72,7 @@ def test_dim_joins_broadcast(spark, sf_dir, name):
     ("q5_nation_revenue", 2),      # only nation + region are fixed-size
     ("q14_promo_revenue", 0),      # part is SF-scaled
     ("top_suppliers_by_revenue", 0),  # supplier is SF-scaled
+    ("q21_waiting_orders", 0),        # supplier is SF-scaled
 ])
 def test_no_forced_broadcast_of_sf_scaled_tables(spark, sf_dir, name,
                                                  expected_hinted):
@@ -301,3 +302,42 @@ def test_q21_semi_and_anti_joins(spark, sf_dir):
     assert "LeftAnti" in plan
     assert plan.count("lineitem.parquet") == 3
     assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_is_single_semi_join(spark, sf_dir):
+    """The correlated EXISTS must plan as ONE left-semi shuffle join on
+    orderkey — one bounded lineitem scan, never a per-order subquery."""
+    df = QUERIES["q4_order_priority"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in plan
+    # the order-date window prunes orders at the scan
+    fs = " ".join(pushed_filters(df))
+    assert "o_orderdate" in fs
+
+
+def test_q7_nation_filter_prunes_before_fact_join(spark, sf_dir):
+    """The two-name nation filter must reach supplier/customer via
+    broadcast BEFORE the lineitem-orders shuffle — the fact side must
+    not carry rows from the other 23 nations into the big join."""
+    df = QUERIES["q7_volume_shipping"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # shipdate window pushed to the lineitem scan
+    fs = " ".join(pushed_filters(df))
+    assert "l_shipdate" in fs
+
+
+@pytest.mark.parametrize("name,pushed_col", [
+    ("q8_market_share", "p_type"),
+    ("q9_product_profit", "p_name"),
+])
+def test_q8_q9_selective_part_filter_pushed(spark, sf_dir, name, pushed_col):
+    """The selective part filter (type equality / name LIKE) must reach
+    the part scan — scanning all parts to filter post-join reads ~10x
+    the bytes at 100 TB."""
+    df = QUERIES[name].fn(spark, sf_dir)
+    fs = " ".join(pushed_filters(df))
+    assert pushed_col in fs
+    assert "CartesianProduct" not in physical_plan(df)

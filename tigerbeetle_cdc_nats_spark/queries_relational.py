@@ -1094,11 +1094,237 @@ def q_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l3, (F.col("o_key") == F.col("o3"))
               & (F.col("s_key") != F.col("s3")), "left_anti")
     )
+    # supplier scales with SF — no explicit broadcast hint (see q5's scale
+    # note); AQE promotes it to broadcast at runtime whenever it fits.
     return (
-        waiting.join(F.broadcast(supp),
-                     F.col("s_key") == F.col("s_suppkey"))
+        waiting.join(supp, F.col("s_key") == F.col("s_suppkey"))
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_suppkey")
         .limit(20)
+    )
+
+
+@register(
+    "q4_order_priority",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority""",
+    doc="TPC-H Q4 shape: correlated EXISTS planned as a left-semi join "
+        "on orderkey with a non-equi lateness predicate (adapted: the "
+        "testdata has no commit/receipt dates, so 'late' = shipped >90 "
+        "days after ordering)",
+)
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts per priority for orders with at least one late line.
+    The EXISTS becomes ONE left-semi shuffle join on orderkey — lineitem
+    is scanned once regardless of order count, the date-window filter
+    prunes orders at the scan, and the final groupBy aggregates a
+    5-row-per-partition partial (o_orderpriority has 5 values)."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    late = (F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    return (
+        orders.join(li, (orders.o_orderkey == li.l_orderkey) & late,
+                    "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    f"""SELECT supp_nation, cust_nation, l_year,
+  CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    CAST(year(l_shipdate) AS INTEGER) AS l_year,
+    {_DISC_PRICE} AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2,
+       region r1, region r2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND n1.n_regionkey = r1.r_regionkey
+    AND n2.n_regionkey = r2.r_regionkey
+    AND ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+      OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year""",
+    doc="TPC-H Q7 shape: bidirectional inter-region trade volume by "
+        "nation pair and year; the nation dim is pre-filtered to the two "
+        "regions BEFORE the broadcast joins so fact rows drop at the "
+        "earliest join (region-pair instead of TPC-H's nation-pair: the "
+        "smoke SF has only 10 suppliers, a single nation pair is empty)",
+)
+def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade volume between two regions by nation pair and ship year.
+    The 25-row nation dim joins the 5-row region dim and is filtered to
+    the two participating regions, then broadcast onto supplier and
+    customer FIRST — that turns both into selective dimension inputs
+    (10/25 of nations survive), so the expensive lineitem-orders shuffle
+    join only carries rows that can still match. The cross-pair
+    disjunction runs as a post-join filter on two tiny string columns."""
+    pair = ["ASIA", "EUROPE"]
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name").isin(pair))
+    nr = nation.join(F.broadcast(region),
+                     F.col("n_regionkey") == F.col("r_regionkey"))
+    n1 = nr.select(F.col("n_nationkey").alias("n1_key"),
+                   F.col("n_name").alias("supp_nation"),
+                   F.col("r_name").alias("supp_region"))
+    n2 = nr.select(F.col("n_nationkey").alias("n2_key"),
+                   F.col("n_name").alias("cust_nation"),
+                   F.col("r_name").alias("cust_region"))
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    orders = load_table(spark, sf_dir, "orders")
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_region") != F.col("cust_region"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.sum(volume).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    f"""SELECT o_year,
+  CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume
+                ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE)
+    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+    {_DISC_PRICE} AS volume, n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+       region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND p_type = 'ECONOMY'
+) all_sales
+GROUP BY o_year""",
+    doc="TPC-H Q8 shape: one supplier nation's share of a region's "
+        "ECONOMY-part import volume by year — conditional decimal sum "
+        "over total decimal sum, final IEEE double division",
+)
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market share of NATION_2 suppliers within ASIA-customer ECONOMY
+    volume. Selective filters (p_type, region, date window) all reach
+    their scans before any join; nation/region broadcast; part,
+    supplier, customer join unhinted (SF-scaled — AQE decides). Both
+    sums accumulate in exact DECIMAL and divide as doubles only at the
+    end, so the ratio is bit-identical across engines."""
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == "ECONOMY").select("p_partkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "ASIA")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"),
+                       F.col("n_regionkey").alias("n1_region"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"),
+                       F.col("n_name").alias("nation"))
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,4)")
+    zero = F.lit(0).cast("decimal(28,4)")
+    sales = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region),
+              F.col("n1_region") == F.col("r_regionkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(F.year("o_orderdate").cast("int").alias("o_year"),
+                volume.alias("volume"), "nation")
+    )
+    target = F.when(F.col("nation") == "NATION_2",
+                    F.col("volume")).otherwise(zero)
+    return (
+        sales.groupBy("o_year")
+        .agg((F.sum(target).cast("double")
+              / F.sum("volume").cast("double")).alias("mkt_share"))
+    )
+
+
+@register(
+    "q9_product_profit",
+    """SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+    CAST(year(o_orderdate) AS INTEGER) AS o_year,
+    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))
+      - CAST(p_retailprice * l_quantity AS DECIMAL(28,4)) AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year""",
+    doc="TPC-H Q9 shape: profit by supplier nation and order year for "
+        "parts matching a name pattern (adapted: no ps_supplycost table, "
+        "so cost = p_retailprice x l_quantity); decimal-exact signed sums",
+)
+def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit rollup by nation and year. The LIKE filter prunes part at
+    its scan; the three fact joins shuffle on their natural keys
+    (partkey, orderkey, suppkey) with no forced broadcasts; nation
+    broadcasts. Profit = revenue - cost in DECIMAL(28,4): retailprice
+    has 1dp and quantity is integral, so the product is exact in a
+    double and the decimal cast is deterministic on both engines."""
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%red%")).select("p_partkey", "p_retailprice")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(28,4)")
+        - (F.col("p_retailprice") * F.col("l_quantity"))
+        .cast("decimal(28,4)")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
     )
