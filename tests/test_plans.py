@@ -341,3 +341,45 @@ def test_q8_q9_selective_part_filter_pushed(spark, sf_dir, name, pushed_col):
     fs = " ".join(pushed_filters(df))
     assert pushed_col in fs
     assert "CartesianProduct" not in physical_plan(df)
+
+
+def test_q11_scalar_subquery_scans_fact_once(spark, sf_dir):
+    """The global-threshold subquery must reuse the grouped per-part
+    result — one lineitem scan, threshold applied via a one-row
+    broadcast, never a second pass over the fact table."""
+    df = QUERIES["q11_important_parts"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q12_shipyear_pushed_and_no_forced_broadcast(spark, sf_dir):
+    """The ship-year window must prune lineitem at the scan; orders is
+    SF-scaled so the orderkey join carries no explicit broadcast hint."""
+    df = QUERIES["q12_priority_shipping"].fn(spark, sf_dir)
+    fs = " ".join(pushed_filters(df))
+    assert "l_shipdate" in fs
+    assert "CartesianProduct" not in physical_plan(df)
+
+
+def test_q16_flagged_suppliers_anti_join(spark, sf_dir):
+    """NOT IN over a tiny flagged-supplier set must plan as a broadcast
+    left-anti join, and the part attribute filters must reach the scan."""
+    df = QUERIES["q16_supplier_part_counts"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan
+    fs = " ".join(pushed_filters(df))
+    assert "p_size" in fs and "p_brand" in fs
+
+
+def test_q20_single_window_pass_and_semi_join(spark, sf_dir):
+    """The per-part total/count must come from ONE window pass over the
+    grouped result (no self-join re-scan of lineitem) and qualifying
+    keys reach supplier via a left-semi join."""
+    df = QUERIES["q20_top_share_suppliers"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") == 1
+    assert "LeftSemi" in plan
+    fs = " ".join(pushed_filters(df))
+    assert "l_shipdate" in fs

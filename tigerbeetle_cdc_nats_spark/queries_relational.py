@@ -1328,3 +1328,198 @@ def q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(F.sum(amount).cast("double").alias("sum_profit"))
     )
+
+
+@register(
+    "q11_important_parts",
+    """WITH ps AS (
+  SELECT l_partkey AS p_key,
+    CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(28,4)) * 10000 AS BIGINT)) AS BIGINT)
+      AS value_e4
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_8')
+  GROUP BY l_partkey
+),
+tot AS (SELECT CAST(SUM(value_e4) AS BIGINT) AS t,
+               COUNT(*) AS n FROM ps)
+SELECT p_key, value_e4 FROM ps, tot WHERE value_e4 * n > 2 * t""",
+    doc="TPC-H Q11 shape: per-part value within a supplier-nation group, kept "
+        "when above a global-aggregate threshold (scalar subquery; "
+        "adapted: no partsupp table, value = lineitem revenue; threshold "
+        "is scale-free — 2x the mean part value — instead of TPC-H's "
+        "SF-dependent fraction)",
+)
+def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-parts concentration. One shuffle groups revenue per part
+    (map-side partials collapse each split to one row per part); the
+    global threshold is a ONE-ROW aggregate of that grouped result,
+    cross-joined back as a broadcast — the fact table is scanned once and
+    never re-shuffled for the subquery. All math is integer e4 units
+    (DECIMAL(28,4) x 10000 is integral and exact on both engines), so
+    the > compare has no float ambiguity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_8"))
+    value_e4 = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(28,4)") * 10000
+    ).cast("long")
+    ps = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("p_key"))
+        .agg(F.sum(value_e4).alias("value_e4"))
+    )
+    # Both the threshold aggregate and the final filter consume ps, and
+    # Spark does not reuse the subtree across the two references — without
+    # materialization the FACT table is scanned twice (verified in the
+    # plan). ps is per-part rows (|part|, not |lineitem|), so caching it
+    # is cheap; MEMORY_AND_DISK spills rather than recomputing at scale.
+    from pyspark import StorageLevel
+    ps = ps.persist(StorageLevel.MEMORY_AND_DISK)
+    tot = ps.agg(F.sum("value_e4").alias("t"), F.count("*").alias("n"))
+    return (
+        ps.crossJoin(F.broadcast(tot))
+        .where(F.col("value_e4") * F.col("n") > 2 * F.col("t"))
+        .select("p_key", "value_e4")
+    )
+
+
+@register(
+    "q12_priority_shipping",
+    """SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus""",
+    doc="TPC-H Q12 shape: late-shipment lines split into high/low priority "
+        "counts per line status (adapted: no l_shipmode/commitdate — mode "
+        "= l_linestatus, late = shipped >60 days after ordering)",
+)
+def q_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-line priority split. The ship-year window prunes lineitem at
+    the scan; the cross-table lateness predicate runs post-join on the
+    orderkey equi-join (shuffle on orderkey, no forced broadcast — orders
+    is SF-scaled). The two conditional counts are one pass of map-side
+    partial aggregation over a 2-value group key."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = (F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(late)
+        .groupBy("l_linestatus")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO' AND p_size <= 25
+  AND l_suppkey NOT IN
+    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size""",
+    doc="TPC-H Q16 shape: distinct-supplier counts per part attribute "
+        "triple, excluding flagged suppliers via NOT IN -> anti join "
+        "(adapted: no partsupp — lineitem is the part-supplier relation; "
+        "'complaints' = negative account balance)",
+)
+def q_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier diversity per (brand, type, size). The flagged-supplier
+    NOT IN is a left-anti join against a tiny filtered dim (broadcast);
+    part prunes on brand/type/size at its scan. COUNT(DISTINCT) expands
+    to the two-shuffle distinct-then-count plan keyed by the group
+    triple — both shuffles carry only the post-filter lineitem keys."""
+    bad = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#13") & (F.col("p_type") != "PROMO")
+        & (F.col("p_size") <= 25))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad),
+                F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type",
+                 F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_top_share_suppliers",
+    """WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%gear%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+w AS (
+  SELECT l_suppkey, sq,
+    SUM(sq) OVER (PARTITION BY l_partkey) AS tot,
+    COUNT(*) OVER (PARTITION BY l_partkey) AS nsupp
+  FROM ps
+),
+big AS (SELECT DISTINCT l_suppkey FROM w WHERE sq * nsupp > 2 * tot)
+SELECT s_suppkey, s_name FROM supplier
+WHERE EXISTS (SELECT 1 FROM big WHERE l_suppkey = s_suppkey)""",
+    doc="TPC-H Q20 shape: suppliers holding an outsized share of a "
+        "name-filtered part's shipped quantity, semi-joined into the "
+        "supplier dim (adapted: no partsupp/availqty — threshold is "
+        "scale-free, above 2x the part's mean supplier share)",
+)
+def q_q20_top_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outsized-share suppliers. Quantity aggregates once per (part,
+    supplier) — one shuffle; the per-part total and supplier count come
+    from ONE window pass over that grouped result (same partkey
+    partitioning, no extra shuffle of the base data); the share compare
+    is decimal-exact cross-multiplication. The supplier dim is filtered
+    by a left-semi join on the qualifying keys."""
+    from pyspark.sql import Window as W
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%gear%")).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    ps = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq"))
+    )
+    w = W.partitionBy("l_partkey")
+    big = (
+        ps.select("l_suppkey", "sq",
+                  F.sum("sq").over(w).alias("tot"),
+                  F.count("*").over(w).alias("nsupp"))
+        .where(F.col("sq") * F.col("nsupp") > 2 * F.col("tot"))
+        .select("l_suppkey").distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(big, supp.s_suppkey == big.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
