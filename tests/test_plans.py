@@ -383,3 +383,50 @@ def test_q20_single_window_pass_and_semi_join(spark, sf_dir):
     assert "LeftSemi" in plan
     fs = " ".join(pushed_filters(df))
     assert "l_shipdate" in fs
+
+
+def test_perplexity_two_pass_no_cartesian(spark, sf_dir):
+    """Unigram LM scoring is fit-then-score: exactly two passes over the
+    corpus (model fit + scoring join), the one-row total as a broadcast,
+    and never a cartesian pair plan."""
+    df = QUERIES["perplexity_score"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("documents.parquet") == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or "LeftOuter" not in plan
+
+
+def _shuffle_count(plan: str) -> int:
+    """Number of shuffle Exchange nodes (counted via the detail headers,
+    which appear exactly once per node; excludes BroadcastExchange)."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def test_lang_mismatch_single_shuffle_no_join(spark, sf_dir):
+    """The confusion matrix is a pure per-row map plus ONE aggregation
+    shuffle over a tiny key space — no join anywhere."""
+    df = QUERIES["lang_mismatch"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert _shuffle_count(plan) == 1
+    assert "Join" not in plan
+
+
+def test_source_quality_stats_bounded_shuffles(spark, sf_dir):
+    """Per-source curation stats: the COUNT(DISTINCT) expansion allows two
+    aggregation shuffles, both keyed on (source[, lang]) — nothing more,
+    and no join."""
+    df = QUERIES["source_quality_stats"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert _shuffle_count(plan) <= 2
+    assert "Join" not in plan
+
+
+def test_embedding_quantize_zero_shuffle(spark, sf_dir):
+    """Quantization is an embarrassingly parallel per-row map: the plan
+    must contain no Exchange and no join — it pipelines with the scan."""
+    df = QUERIES["embedding_quantize"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Exchange" not in plan
+    assert "Join" not in plan

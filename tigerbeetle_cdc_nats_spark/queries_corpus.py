@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from tigerbeetle_cdc_nats_spark.operators import dedup as dd
+from tigerbeetle_cdc_nats_spark.operators import text as tx
 from tigerbeetle_cdc_nats_spark.registry import register
 from tigerbeetle_cdc_nats_spark.session import load_table
 
@@ -351,4 +352,159 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), "tok_a", "tok_b")
         .limit(50)
+    )
+
+
+@register(
+    "perplexity_score",
+    """WITH tok AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM vocab),
+scored AS (
+  SELECT tok, c,
+    CAST(FLOOR(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * (-1000000.0))
+         AS BIGINT) AS nll_e6
+  FROM vocab, tot
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_toks,
+  CAST(SUM(s.nll_e6) AS BIGINT) AS nll_e6_sum,
+  CAST(SUM(s.nll_e6) AS BIGINT) // COUNT(*) AS avg_nll_e6
+FROM tok JOIN scored s USING (tok)
+GROUP BY doc_id""",
+    doc="unigram-LM perplexity scoring: per-document mean negative "
+        "log-likelihood under the corpus's own unigram model — the "
+        "CCNet/CC-style LM quality filter",
+)
+def q_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc negative log-likelihood under a corpus-fit unigram LM.
+
+    Scale shape: the model fit is one explode + groupBy(token) — vocabulary
+    is orders of magnitude smaller than the corpus, so the per-token score
+    table broadcasts (AQE decides; no explicit hint since a 100 TB corpus
+    can push vocab past the threshold, at which point the shuffle join on
+    the high-cardinality token key is the right fallback). The per-token
+    NLL is floored to integer 1e-6 units BEFORE the per-doc SUM, so the
+    aggregate is order-independent and cross-engine exact; only ln() itself
+    is engine-native (Java Math.log vs libm, both within 1 ulp — the e6
+    floor absorbs that except at astronomically unlikely boundaries).
+    The one-row total joins in as a broadcast; the fact-side token stream
+    is scanned once.
+    """
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    # Both the corpus total and the per-token score table consume the
+    # fitted vocab, and Spark does not share the subtree across the two
+    # references — unpersisted, the CORPUS gets re-scanned and re-exploded
+    # for each (verified in the plan: three documents scans instead of
+    # two). The vocab is |V| rows — tiny next to the corpus — so caching
+    # it is the 100 TB-correct trade.
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("c")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    tot = vocab.agg(F.sum("c").cast("bigint").alias("t"))
+    scored = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(F.log(F.col("c").cast("double") / F.col("t").cast("double"))
+                * (-1000000.0)).cast("bigint").alias("nll_e6"),
+    )
+    return (
+        tok.join(scored, "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_toks"),
+             F.sum("nll_e6").cast("bigint").alias("nll_e6_sum"))
+        .select("doc_id", "n_toks", "nll_e6_sum",
+                F.expr("nll_e6_sum div n_toks").alias("avg_nll_e6"))
+    )
+
+
+def _lang_scores_sql() -> str:
+    return ", ".join(
+        f"{tx.sql_stopword_hits(lang)} AS score_{lang}" for lang in tx.LANGS)
+
+
+@register(
+    "lang_mismatch",
+    f"""WITH s AS (
+  SELECT doc_id, lang, {_lang_scores_sql()}
+  FROM documents
+), m AS (
+  SELECT *, GREATEST({', '.join('score_' + lang for lang in tx.LANGS)}) AS mx
+  FROM s
+), p AS (
+  SELECT lang,
+    CASE {' '.join(f"WHEN score_{lang} = mx THEN '{lang}'" for lang in tx.LANGS)}
+    END AS pred_lang
+  FROM m
+)
+SELECT lang, pred_lang, COUNT(*) AS n_docs
+FROM p GROUP BY lang, pred_lang""",
+    doc="metadata validation: declared-vs-predicted language confusion "
+        "counts — surfaces mislabeled partitions before mixture weighting",
+)
+def q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix between the declared ``lang`` column and the
+    stopword-profile language ID.
+
+    The per-doc prediction is a pure Column map (zero shuffle, codegen);
+    the confusion matrix is one groupBy over a #langs x #langs key space —
+    map-side partials collapse each split to at most 25 rows, so the
+    shuffle moves kilobytes regardless of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang", *[c.cast("bigint").alias(f"score_{lang}")
+                  for lang, c in zip(tx.LANGS, tx.lang_scores("text"))])
+    score_cols = {lang: F.col(f"score_{lang}") for lang in tx.LANGS}
+    return (
+        scored.withColumn("pred_lang", tx.lang_pred(score_cols))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "source_quality_stats",
+    f"""SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM(CAST(FLOOR(({tx.sql_quality()}) * 1000000.0) AS BIGINT)) AS BIGINT)
+    // COUNT(*) AS mean_quality_e6,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents
+GROUP BY source""",
+    doc="source-curation dashboard: per-source doc/token/char totals, mean "
+        "quality (integer e6), and language diversity — the table a data "
+        "curator reads before setting mixture weights",
+)
+def q_source_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus curation statistics.
+
+    One groupBy(source) with map-side partial aggregation; the per-doc
+    quality double is floored to integer e6 units BEFORE summation so the
+    mean is order-independent (summing raw doubles would be
+    permutation-sensitive and fail cross-engine). COUNT(DISTINCT lang)
+    expands to the standard two-phase distinct over a tiny
+    (source, lang) key space.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    q = tx.quality_score("text")["quality"]
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")))
+            .cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(F.floor(q * 1000000.0).cast("bigint"))
+            .cast("bigint").alias("q_e6_sum"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .select("source", "n_docs", "n_tokens", "total_chars",
+                F.expr("q_e6_sum div n_docs").alias("mean_quality_e6"),
+                "n_langs")
     )

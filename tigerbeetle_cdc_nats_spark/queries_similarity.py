@@ -260,3 +260,70 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("knn_rank") <= 5)
         .select("q_id", "c_id", "sim_e6", "knn_rank")
     )
+
+
+@register(
+    "embedding_quantize",
+    """WITH q AS (
+  SELECT vec_id,
+    len(embedding) AS dim,
+    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS maxabs
+  FROM embeddings
+)
+SELECT q.vec_id,
+  CAST(q.dim AS BIGINT) AS dim,
+  CAST(FLOOR(q.maxabs * 1000000.0) AS BIGINT) AS maxabs_e6,
+  CAST(CASE WHEN q.maxabs = 0 THEN 0 ELSE
+    list_sum(list_transform(e.embedding,
+      v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127.0 / q.maxabs) AS BIGINT)))
+  END AS BIGINT) AS q_sum,
+  CAST(CASE WHEN q.maxabs = 0 THEN 0 ELSE
+    list_sum(list_transform(e.embedding,
+      v -> abs(CAST(FLOOR(CAST(v AS DOUBLE) * 127.0 / q.maxabs) AS BIGINT))))
+  END AS BIGINT) AS q_l1
+FROM q JOIN embeddings e USING (vec_id)""",
+    doc="int8 symmetric embedding quantization: per-vector max-abs scale "
+        "plus exact integer checksums of the quantized values — the "
+        "compression step ANN indexes apply before storing 100 TB of "
+        "vectors",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column.
+
+    Pure per-row Column map, zero shuffle: scale = max|x| per vector,
+    q_i = floor(x_i * 127 / scale). Every arithmetic step (float->double
+    widening, *, /) is IEEE-exactly-rounded and evaluated in the same
+    order on both engines, so floor() is bit-deterministic — no epsilon
+    needed. The integer sum / L1 checksums stand in for the quantized
+    payload (order-independent aggregates of exact ints). Zero vectors
+    map to all-zero codes via the maxabs=0 guard on both sides.
+    """
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    maxabs = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    qvals = F.transform(
+        x, lambda v: F.floor(v.cast("double") * 127.0 / F.col("maxabs"))
+        .cast("long"))
+    zero = F.col("maxabs") == 0
+    return (
+        emb.select(
+            "vec_id", "embedding",
+            F.size(x).cast("bigint").alias("dim"),
+            maxabs.alias("maxabs"),
+        )
+        .select(
+            "vec_id", "dim",
+            F.floor(F.col("maxabs") * 1000000.0).cast("bigint")
+            .alias("maxabs_e6"),
+            F.when(zero, F.lit(0)).otherwise(
+                F.aggregate(qvals, F.lit(0).cast("long"),
+                            lambda a, b: a + b))
+            .cast("bigint").alias("q_sum"),
+            F.when(zero, F.lit(0)).otherwise(
+                F.aggregate(qvals, F.lit(0).cast("long"),
+                            lambda a, b: a + F.abs(b)))
+            .cast("bigint").alias("q_l1"),
+        )
+    )
