@@ -430,3 +430,27 @@ def test_embedding_quantize_zero_shuffle(spark, sf_dir):
     plan = physical_plan(df)
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_token_ids_fit_then_encode(spark, sf_dir):
+    """Dictionary encoding is fit-then-encode: two corpus passes (vocab
+    fit + id join), the ranking window runs over the vocab aggregate
+    only (after the groupBy, never the raw token stream), and the plan
+    has no cartesian pair join."""
+    df = QUERIES["token_ids"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("documents.parquet") == 2
+    assert "CartesianProduct" not in plan
+    # the Window node must sit above the vocab HashAggregate, not the scan
+    assert "Window" in plan
+
+
+def test_kmeans_refine_arrow_update_and_broadcast_assign(spark, sf_dir):
+    """The Lloyd M-step is a grouped Arrow (applyInPandas) update and the
+    E-step scores against BROADCAST centroids — no shuffle of the corpus
+    against the centroid side."""
+    df = QUERIES["kmeans_refine"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("embeddings.parquet") <= 2

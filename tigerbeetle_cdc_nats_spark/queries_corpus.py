@@ -508,3 +508,50 @@ def q_source_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("q_e6_sum div n_docs").alias("mean_quality_e6"),
                 "n_langs")
     )
+
+
+@register(
+    "token_ids",
+    """WITH tok AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS tok,
+         generate_subscripts(str_split(text, ' '), 1) AS pos
+  FROM documents
+),
+vocab AS (
+  SELECT tok,
+    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) - 1 AS token_id
+  FROM tok GROUP BY tok
+)
+SELECT doc_id, pos, tok, token_id FROM tok JOIN vocab USING (tok)""",
+    doc="dictionary-encoding tokenization: frequency-ranked vocabulary ids "
+        "assigned to every token position — the final tokenize step that "
+        "turns the curated corpus into model input",
+)
+def q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map every token position to its frequency-ranked vocabulary id
+    (rank 0 = most frequent; ties broken by token string, so the id
+    assignment is deterministic across engines and cluster sizes).
+
+    Scale shape: fit-then-encode, like the LM scorer — one explode +
+    groupBy(token) fits the vocabulary (|V| rows, orders of magnitude
+    smaller than the corpus), the id ranking is a window over those |V|
+    rows only (never the corpus; at web scale this global sort of a
+    few-million-row vocab is still a single cheap stage), and the encode
+    pass joins the token stream against the vocab on the
+    high-cardinality token key — AQE broadcasts the vocab when it fits.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
+    vocab = (
+        tok.groupBy("tok").agg(F.count("*").alias("c"))
+        .select(
+            "tok",
+            (F.row_number().over(
+                Window.orderBy(F.col("c").desc(), F.col("tok"))) - 1)
+            .cast("bigint").alias("token_id"),
+        )
+    )
+    return tok.join(vocab, "tok").select("doc_id", "pos", "tok", "token_id")

@@ -327,3 +327,59 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("q_l1"),
         )
     )
+
+
+@register(
+    "kmeans_refine",
+    f"""WITH {_IVF_ASSIGN_SQL},
+x AS (SELECT cell, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS i FROM assigned)
+SELECT CAST(cell AS BIGINT) AS cell, i AS dim,
+  CAST(FLOOR(SUM(CAST(v AS DOUBLE)) / COUNT(*) * 1000000) AS BIGINT) AS c_e6,
+  COUNT(*) AS n_members
+FROM x GROUP BY cell, i""",
+    doc="one full Lloyd iteration: seed centroids from labels, re-assign "
+        "every vector to its argmax-cosine centroid, recompute per-cell "
+        "centroids with member counts — the k-means refinement step an "
+        "embedding-clustering pipeline loops",
+)
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign (E-step) + centroid update (M-step), one iteration.
+
+    Scale shape: the assignment is a broadcast nested-loop over k
+    centroids per vector (O(N*k), the unavoidable Lloyd cost) with a
+    per-vector top-1 window; the update is grouped applyInPandas — numpy
+    column means per Arrow group, one shuffle on the refined cell id.
+    Each further iteration is the same two steps, so the per-iteration
+    cost is linear in N; the e6-floored centroid coordinates make every
+    iteration's output cross-engine exact. Members counted per cell ride
+    along for empty-cell handling.
+    """
+    import pandas as pd
+    import numpy as np
+    from pyspark.sql import types as T
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centv = centroid_vectors(emb)
+    assigned = ivf_assign(emb, centv)
+
+    schema = T.StructType([
+        T.StructField("cell", T.LongType()),
+        T.StructField("dim", T.LongType()),
+        T.StructField("c_e6", T.LongType()),
+        T.StructField("n_members", T.LongType()),
+    ])
+
+    def update(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        c = mat.sum(axis=0) / len(mat)
+        return pd.DataFrame({
+            "cell": int(pdf["cell"].iloc[0]),
+            "dim": np.arange(1, len(c) + 1, dtype=np.int64),
+            "c_e6": np.floor(c * 1_000_000).astype(np.int64),
+            "n_members": len(mat),
+        })
+
+    return assigned.select("cell", "embedding").groupBy("cell").applyInPandas(
+        update, schema=schema
+    )
