@@ -135,9 +135,9 @@ def test_decimal_path_matches_string_path(spark):
     """The typed (decimal) encoder and the lossless string encoder agree on
     values inside the decimal(38,0) range."""
     from tigerbeetle_cdc_nats_spark.operators.cdc_view import with_cdc_event
-    from tigerbeetle_cdc_nats_spark.session import load_table
+    from tigerbeetle_cdc_nats_spark.session import load_events
 
-    ev = with_cdc_event(load_table(spark, "/root/testdata/sf0.001", "events"))
+    ev = with_cdc_event(load_events(spark, "/root/testdata/sf0.001"))
     df = ev.select(encode_cdc_json("event").alias("j")).limit(5)
     for row in df.collect():
         import json

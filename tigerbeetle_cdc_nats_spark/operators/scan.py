@@ -19,17 +19,48 @@ global sort, no full shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 DEFAULT_EVENT_COUNT_MAX = 4096  # config.go:40
 
 
+def _ns_bound_literal(ts_type: str, ns: int, *, ceil: bool) -> Column:
+    """A foldable literal of the column's native type for an ns-cursor bound.
+
+    The cursor is u64 nanoseconds (runner.go:726-736) but the driver's parquet
+    ships ``ts`` as µs-precision TIMESTAMP(_NTZ). ``ts_ns >= lo`` on µs data is
+    exactly ``ts_us >= ceil(lo/1000)`` (and ``<= hi`` is ``<= floor(hi/1000)``),
+    so the comparison can run on the RAW column — the whole expression constant-
+    folds to one literal, which keeps the predicate pushable to the parquet
+    scan for row-group min/max pruning.
+    """
+    us = -(-ns // 1000) if ceil else ns // 1000
+    expr = f"timestamp_micros({us})"
+    if ts_type == "timestamp_ntz":
+        # Session tz is pinned to UTC (session.configure), so this cast is a
+        # pure re-tag, not a wall-clock shift.
+        expr = f"CAST({expr} AS TIMESTAMP_NTZ)"
+    return F.expr(expr)
+
+
 def timestamp_range_filter(events: DataFrame, ts_min: int, ts_max: int = 0,
                            ts_col: str = "ts") -> DataFrame:
-    """Rows with ``ts >= ts_min`` and (when ts_max != 0) ``ts <= ts_max``.
+    """Rows with ``ts >= ts_min`` and (when ts_max != 0) ``ts <= ts_max``,
+    where the bounds are ns cursors (u64 nanos, runner.go:147-151).
 
-    ts_max=0 means unbounded, mirroring ChangeEventsFilter (runner.go:147-151).
+    ts_max=0 means unbounded, mirroring ChangeEventsFilter. Works on both the
+    engine's BIGINT-ns representation and the raw parquet TIMESTAMP(_NTZ)
+    column — in the latter case the ns bounds are converted to native
+    timestamp literals so the predicate still reaches the scan.
     """
+    ts_type = dict(events.dtypes).get(ts_col, "bigint")
+    if ts_type in ("timestamp", "timestamp_ntz"):
+        lo: Column = _ns_bound_literal(ts_type, ts_min, ceil=True)
+        out = events.where(F.col(ts_col) >= lo)
+        if ts_max:
+            out = out.where(
+                F.col(ts_col) <= _ns_bound_literal(ts_type, ts_max, ceil=False))
+        return out
     out = events.where(F.col(ts_col) >= F.lit(ts_min))
     if ts_max:
         out = out.where(F.col(ts_col) <= F.lit(ts_max))

@@ -50,7 +50,9 @@ FROM ev WHERE ts >= {CURSOR_NS + 1} ORDER BY ts LIMIT 4096""",
     doc="One CDC poll: ts > cursor, ordered, limit 4096 (runner.go:142-164)",
 )
 def q_cdc_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events_table(spark, sf_dir)
+    # lo_ns bound on the RAW column (pushes to the scan); the operator's own
+    # cursor filter on the normalized ns column is then a residual no-op.
+    ev = events_table(spark, sf_dir, lo_ns=CURSOR_NS + 1)
     return cdc_incremental_scan(ev, cursor=CURSOR_NS).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
@@ -66,7 +68,7 @@ FROM ev WHERE ts >= {RANGE_LO_NS} AND ts <= {RANGE_HI_NS}""",
     doc="Bounded ts window; hi=0 would mean unbounded (runner.go:147-151)",
 )
 def q_timestamp_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events_table(spark, sf_dir)
+    ev = events_table(spark, sf_dir, lo_ns=RANGE_LO_NS, hi_ns=RANGE_HI_NS)
     return timestamp_range_filter(ev, RANGE_LO_NS, RANGE_HI_NS).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )

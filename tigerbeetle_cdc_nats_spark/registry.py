@@ -15,8 +15,6 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from tigerbeetle_cdc_nats_spark.session import load_table
-
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
@@ -37,21 +35,15 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
-def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``events`` with ``ts`` truncated to microsecond precision (still in
-    nanos units).
+def events_table(spark: SparkSession, sf_dir: str,
+                 lo_ns: int | None = None,
+                 hi_ns: int | None = None) -> DataFrame:
+    """``events`` with ``ts`` normalized to BIGINT nanoseconds (µs precision)
+    — see session.load_events. Optional ns cursor bounds are applied to the
+    raw column first so the predicate pushes down to the parquet scan."""
+    from tigerbeetle_cdc_nats_spark.session import load_events
 
-    Parity shim only: DuckDB 1.0 reads parquet TIMESTAMP(NANOS) as
-    microsecond TIMESTAMP, so the oracle can never observe sub-µs digits.
-    The engine operators (operators/scan.py) work on raw ns longs; truncating
-    here keeps every registered query bit-identical to its oracle. At
-    production scale the raw ``ts`` column is filtered directly so predicate
-    pushdown reaches the parquet scan.
-    """
-    from pyspark.sql import functions as F
-
-    ev = load_table(spark, sf_dir, "events")
-    return ev.withColumn("ts", F.col("ts") - F.col("ts") % 1000)
+    return load_events(spark, sf_dir, lo_ns=lo_ns, hi_ns=hi_ns)
 
 
 # Importing the query modules populates REGISTRY.

@@ -100,6 +100,48 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def load_events(spark: SparkSession, sf_dir: str,
+                lo_ns: int | None = None, hi_ns: int | None = None) -> DataFrame:
+    """The ``events`` table with ``ts`` normalized to BIGINT nanoseconds at
+    microsecond precision — the cursor-arithmetic representation the reference
+    uses (u64 nanos, /root/reference/runner.go:726-736) — regardless of the
+    parquet physical type.
+
+    The driver's testdata has shipped ``ts`` both as TIMESTAMP(NANOS) (read as
+    raw int64 via NANOS_AS_LONG) and as TIMESTAMP(MICROS) (read as
+    TIMESTAMP_NTZ). DuckDB reads either as a microsecond TIMESTAMP, so the
+    oracle CTE's ``epoch_ns(ts)`` always yields µs-precision nanos; this loader
+    makes Spark observe identical values.
+
+    ``lo_ns``/``hi_ns`` cursor bounds are applied to the RAW column *before*
+    the ns projection (via the type-aware ``timestamp_range_filter``), so the
+    predicate constant-folds to a native literal and pushes down to the
+    parquet scan — filtering after the projection would hide it from row-group
+    pruning. At 100 TB on a ts-sorted event store this is the difference
+    between reading the tail files and reading everything.
+    """
+    from pyspark.sql import functions as F
+
+    from tigerbeetle_cdc_nats_spark.operators.scan import timestamp_range_filter
+
+    ev = load_table(spark, sf_dir, "events")
+    if lo_ns is not None or hi_ns is not None:
+        ev = timestamp_range_filter(ev, lo_ns or 0, hi_ns or 0)
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong: raw ns
+        return ev.withColumn("ts", F.col("ts") - F.col("ts") % 1000)
+    # TIMESTAMP(_NTZ): µs since epoch * 1000. timestampdiff from the epoch
+    # literal is timezone-free, matching DuckDB's naive-timestamp epoch_ns.
+    return ev.withColumn(
+        "ts",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " CAST(ts AS TIMESTAMP_NTZ)) * 1000"
+        ),
+    )
+
+
 def _estimated_scan_splits(df: DataFrame) -> int | None:
     """Estimate how many input splits the scan will produce from leaf-file
     sizes (None when files aren't locally stat-able). Metadata-only — no
