@@ -10,7 +10,11 @@ from tigerbeetle_cdc_nats_spark.registry import register
 from tigerbeetle_cdc_nats_spark.session import load_table
 
 QUERY_IDS = (0, 1, 2, 3, 4)
-PLANES = sim.hyperplanes(n_planes=8, dim=64)
+#: Static corpus width (TESTDATA.md contract) — passed to every similarity
+#: op so dot products unroll into WholeStageCodegen instead of the
+#: interpreted higher-order fold (~10x on the pair-scoring stages).
+_DIM = sim.EMBEDDING_DIM
+PLANES = sim.hyperplanes(n_planes=8, dim=_DIM)
 
 _COS = sim.sql_cosine_e6("q_emb", "c_emb")
 _BUCKET = sim.sql_bucket(PLANES)
@@ -32,7 +36,7 @@ SELECT q_id, c_id, sim_e6, knn_rank FROM r WHERE knn_rank <= 10""",
 )
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.knn_bruteforce(emb, QUERY_IDS, k=10).withColumnRenamed(
+    return sim.knn_bruteforce(emb, QUERY_IDS, k=10, dim=_DIM).withColumnRenamed(
         "rank", "knn_rank"
     )
 
@@ -56,7 +60,7 @@ SELECT q_id, c_id, sim_e6, knn_rank FROM r WHERE knn_rank <= 5""",
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.ann_lsh(emb, QUERY_IDS, PLANES, k=5).withColumnRenamed(
+    return sim.ann_lsh(emb, QUERY_IDS, PLANES, k=5, dim=_DIM).withColumnRenamed(
         "rank", "knn_rank"
     )
 
@@ -76,15 +80,20 @@ WHERE {_COS} >= 400000""",
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
+    from pyspark import StorageLevel
+
     emb = load_table(spark, sf_dir, "embeddings")
-    b = sim.lsh_buckets(emb, PLANES).withColumn(
-        "norm", sim.norm_col(F.col("embedding")))
+    # Persisted for the same reason as ann_lsh: both pair sides read the
+    # bucketed+normed corpus — materialize the signature pass once.
+    b = sim.lsh_buckets(emb, PLANES, dim=_DIM).withColumn(
+        "norm", sim.norm_col("embedding", _DIM)).persist(
+        StorageLevel.MEMORY_AND_DISK)
     q = b.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
                  F.col("bucket").alias("q_bucket"), F.col("norm").alias("q_n"))
     c = b.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
                  F.col("bucket").alias("c_bucket"), F.col("norm").alias("c_n"))
-    s = sim.cosine_sim_e6_prenorm(F.col("q_emb"), F.col("c_emb"),
-                                  F.col("q_n"), F.col("c_n"))
+    s = sim.cosine_sim_e6_prenorm("q_emb", "c_emb",
+                                  F.col("q_n"), F.col("c_n"), _DIM)
     return (
         q.join(c, (F.col("q_bucket") == F.col("c_bucket"))
                & (F.col("q_id") < F.col("c_id")))
@@ -174,14 +183,14 @@ def ivf_assign(emb: DataFrame, centv: DataFrame) -> DataFrame:
     # norms precomputed per vector (not per vector-x-centroid pair) and per
     # centroid (k rows, inside the broadcast side)
     a_sim = sim.cosine_sim_e6_prenorm(
-        F.col("embedding"), F.col("c_arr"), F.col("_en"), F.col("_cn"))
+        "embedding", "c_arr", F.col("_en"), F.col("_cn"), _DIM)
     w = Window.partitionBy("vec_id").orderBy(
         F.col("a_sim").desc(), F.col("cell"))
     return (
         emb.select("vec_id", "embedding",
-                   sim.norm_col(F.col("embedding")).alias("_en"))
+                   sim.norm_col("embedding", _DIM).alias("_en"))
         .crossJoin(F.broadcast(
-            centv.withColumn("_cn", sim.norm_col(F.col("c_arr")))))
+            centv.withColumn("_cn", sim.norm_col("c_arr", _DIM))))
         .withColumn("a_sim", a_sim)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
@@ -232,8 +241,13 @@ SELECT q_id, c_id, sim_e6, knn_rank FROM r WHERE knn_rank <= 5""",
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window, functions as F
 
+    from pyspark import StorageLevel
+
     emb = load_table(spark, sf_dir, "embeddings")
-    centv = centroid_vectors(emb)
+    # centv is k tiny rows but costs a full corpus pass (grouped Arrow
+    # means) — persist it so the candidate and query assignments don't run
+    # the centroid pass twice.
+    centv = centroid_vectors(emb).persist(StorageLevel.MEMORY_AND_DISK)
     # Candidate side: full-corpus assignment, computed once. Query side:
     # assignment of the 5 query vectors only — filtering BEFORE assignment
     # avoids referencing the heavy full-assignment subtree twice (the
@@ -247,8 +261,8 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
         F.col("cell").alias("q_cell"), F.col("norm").alias("q_n"),
     )
-    s = sim.cosine_sim_e6_prenorm(F.col("q_emb"), F.col("c_emb"),
-                                  F.col("q_n"), F.col("c_n"))
+    s = sim.cosine_sim_e6_prenorm("q_emb", "c_emb",
+                                  F.col("q_n"), F.col("c_n"), _DIM)
     scored = (
         c.join(F.broadcast(q), (F.col("q_cell") == F.col("c_cell"))
                & (F.col("q_id") != F.col("c_id")))
