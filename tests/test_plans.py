@@ -454,3 +454,38 @@ def test_kmeans_refine_arrow_update_and_broadcast_assign(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("embeddings.parquet") <= 2
+
+
+def test_exact_substring_dup_no_pair_join(spark, sf_dir):
+    """Substring-level dedup is linear: gram explode -> ownership groupBy ->
+    gram-key join back -> per-doc groupBy. Never a doc-pair join, never a
+    cartesian; every Exchange is keyed on the gram hash or the doc id."""
+    df = QUERIES["exact_substring_dup"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("documents.parquet") == 2  # gram rows + ownership join
+
+
+def test_quality_tertiles_no_global_sort(spark, sf_dir):
+    """Tertile cutoffs must come from the distinct-value distribution, not
+    an ntile/global sort of the corpus: the single-partition window runs
+    over the aggregated score values only, and the per-doc bucket pass is
+    a broadcast of the 2-value cutoff row (no shuffle of the corpus)."""
+    df = QUERIES["quality_tertiles"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # the Window sits above a HashAggregate (distinct q_e6), never a scan
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" not in plan
+    # bucket assignment joins a one-row cutoff via broadcast, not shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_dsir_importance_single_fit_pass(spark, sf_dir):
+    """Both LMs (target + corpus) fit in ONE explode+groupBy pass — the
+    plan scans documents exactly twice (fit + scoring join), like the
+    perplexity scorer, with no cartesian pair plan."""
+    df = QUERIES["dsir_importance"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("documents.parquet") == 2
+    assert "CartesianProduct" not in plan

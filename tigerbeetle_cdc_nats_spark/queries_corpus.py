@@ -555,3 +555,212 @@ def q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tok.join(vocab, "tok").select("doc_id", "pos", "tok", "token_id")
+
+
+# --- exact-substring dedup at n-gram granularity ---------------------------
+
+#: Gram width for substring-level dedup. Real pipelines use ~50-token spans
+#: (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+#: Better"); the synthetic docs are ~30-50 tokens so 8 keeps spans meaningful.
+SUBSTR_N = 8
+
+
+@register(
+    "exact_substring_dup",
+    f"""WITH g AS (
+  SELECT DISTINCT doc_id, unnest({dd.sql_word_shingle_hashes('text', SUBSTR_N)}) AS h
+  FROM documents
+),
+o AS (SELECT h, COUNT(*) AS nd FROM g GROUP BY h)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000000 AS BIGINT)
+    // COUNT(*) AS shared_ppm
+FROM g JOIN o USING (h)
+GROUP BY doc_id""",
+    doc="exact substring dedup at 8-gram granularity: spans appearing in "
+        ">=2 documents are duplicated text (Lee et al. 2022 exact-substring "
+        "dedup, at rolling-hash resolution); per-doc duplicated-span share "
+        "in ppm",
+)
+def q_exact_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring share via shared 8-gram spans.
+
+    Scale shape (all linear, no pair join anywhere): explode rolling 8-gram
+    hashes (codegen'd concat+md5 per row), distinct per (doc, gram), one
+    groupBy(gram) to count owning docs, join the gram ownership back on the
+    SAME gram key (the groupBy output is already hash-partitioned on ``h``,
+    so only the probe side shuffles), and a final groupBy(doc). This is the
+    n-gram-resolution form of suffix-array exact-substring dedup — the
+    suffix array itself does not distribute, the rolling-hash form is one
+    shuffle per stage at any corpus size. Integer ppm via exact div.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = dd.gram_hash_rows(docs, n=SUBSTR_N).dropDuplicates(["doc_id", "h"])
+    owners = g.groupBy("h").agg(F.count("*").alias("nd"))
+    return (
+        g.join(owners, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("bigint").alias("n_shared"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_shared",
+            F.expr("(n_shared * 1000000) div n_grams").alias("shared_ppm"),
+        )
+    )
+
+
+# --- curriculum binning by exact quality tertiles --------------------------
+
+@register(
+    "quality_tertiles",
+    f"""WITH d AS (
+  SELECT doc_id,
+         CAST(FLOOR(({tx.sql_quality('text')}) * 1000000.0) AS BIGINT) AS q_e6
+  FROM documents
+),
+dist AS (SELECT q_e6, COUNT(*) AS c FROM d GROUP BY q_e6),
+cum AS (SELECT q_e6, SUM(c) OVER (ORDER BY q_e6) AS cum FROM dist),
+tot AS (SELECT COUNT(*) AS n FROM d),
+cut AS (SELECT MIN(CASE WHEN cum * 3 >= n THEN q_e6 END) AS c1,
+               MIN(CASE WHEN cum * 3 >= 2 * n THEN q_e6 END) AS c2
+        FROM cum, tot)
+SELECT doc_id, q_e6,
+  CAST(CASE WHEN q_e6 <= c1 THEN 0 WHEN q_e6 <= c2 THEN 1 ELSE 2 END
+       AS BIGINT) AS bucket
+FROM d, cut""",
+    doc="curriculum binning: exact quality tertiles via a cumulative "
+        "distribution over DISTINCT score values — never a global sort or "
+        "ntile over the corpus",
+)
+def q_quality_tertiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each document to an exact quality tertile.
+
+    The naive form — ``ntile(3) OVER (ORDER BY quality)`` — is a global
+    sort of the corpus into ONE window partition: a scale-killer. Instead
+    the cutoffs come from a cumulative count over the DISTINCT e6-floored
+    score values (bounded cardinality, independent of corpus size): one
+    small aggregate, a single-partition window over |distinct scores| rows,
+    and a two-value broadcast back onto the corpus — the per-doc pass is a
+    zero-shuffle map. Cutoffs are exact (min value whose cumulative count
+    reaches N/3), not approximate percentiles, so results are
+    cross-engine identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    q_e6 = F.floor(tx.quality_score("text")["quality"] * 1000000.0) \
+        .cast("bigint")
+    d = docs.select("doc_id", q_e6.alias("q_e6"))
+    dist = d.groupBy("q_e6").agg(F.count("*").alias("c"))
+    cum = dist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("q_e6")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    tot = d.agg(F.count("*").alias("n"))
+    cut = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("q_e6")))
+        .alias("c1"),
+        F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("q_e6")))
+        .alias("c2"),
+    )
+    return d.crossJoin(F.broadcast(cut)).select(
+        "doc_id", "q_e6",
+        F.when(F.col("q_e6") <= F.col("c1"), 0)
+        .when(F.col("q_e6") <= F.col("c2"), 1)
+        .otherwise(2).cast("bigint").alias("bucket"),
+    )
+
+
+# --- DSIR-style importance weighting ---------------------------------------
+
+#: In-domain target for importance weighting (hash-stratified synthetic
+#: sources make any single source a usable stand-in for "target domain").
+DSIR_TARGET_SOURCE = "src0"
+
+
+@register(
+    "dsir_importance",
+    f"""WITH tok AS (
+  SELECT doc_id, source, unnest(str_split(text, ' ')) AS tok FROM documents
+),
+cv AS (
+  SELECT tok, COUNT(*) AS cc,
+         SUM(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END) AS ct
+  FROM tok GROUP BY tok
+),
+tots AS (SELECT CAST(SUM(cc) AS BIGINT) AS nc, CAST(SUM(ct) AS BIGINT) AS nt,
+                CAST(COUNT(*) AS BIGINT) AS v
+         FROM cv),
+scored AS (
+  SELECT tok,
+    CAST(FLOOR(ln(((CAST(ct AS DOUBLE) + 1.0) / CAST(nt + v AS DOUBLE))
+                  / (CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE))) * 1000000.0)
+         AS BIGINT) AS lr_e6
+  FROM cv, tots
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_toks,
+  CAST(SUM(s.lr_e6) AS BIGINT) AS lr_e6_sum,
+  CAST(SUM(s.lr_e6) AS BIGINT) // COUNT(*) AS avg_lr_e6
+FROM tok JOIN scored s USING (tok)
+GROUP BY doc_id""",
+    doc="DSIR-style importance weights: per-doc unigram log-likelihood "
+        "ratio of an in-domain target LM (add-1 smoothed) vs the corpus "
+        "LM (Xie et al. 2023, Data Selection via Importance Resampling)",
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance weight of every document toward a target domain.
+
+    Scale shape: BOTH unigram models fit in ONE explode + groupBy(token)
+    pass — the target count is a conditional sum inside the same
+    aggregation, so adding the second LM costs zero extra shuffles over
+    the perplexity scorer. The per-token log-ratio is floored to integer
+    1e-6 units before the per-doc SUM (order-independent, cross-engine
+    exact; ln() itself is within 1 ulp on both engines and the floor
+    absorbs it). Scoring joins the token stream on the high-cardinality
+    token key; AQE broadcasts the vocab when it fits.
+    """
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok"))
+    cv = (
+        tok.groupBy("tok").agg(
+            F.count("*").alias("cc"),
+            F.sum(F.when(F.col("source") == DSIR_TARGET_SOURCE, 1)
+                  .otherwise(0)).alias("ct"),
+        )
+        # Totals and per-token scores both consume the fitted vocab; without
+        # materialization the corpus is re-exploded per reference (the
+        # perplexity_score lesson). |V| rows — tiny next to the corpus.
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tots = cv.agg(
+        F.sum("cc").cast("bigint").alias("nc"),
+        F.sum("ct").cast("bigint").alias("nt"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    scored = cv.crossJoin(F.broadcast(tots)).select(
+        "tok",
+        F.floor(
+            F.log(
+                ((F.col("ct").cast("double") + 1.0)
+                 / (F.col("nt") + F.col("v")).cast("double"))
+                / (F.col("cc").cast("double") / F.col("nc").cast("double"))
+            ) * 1000000.0
+        ).cast("bigint").alias("lr_e6"),
+    )
+    return (
+        tok.join(scored, "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_toks"),
+             F.sum("lr_e6").cast("bigint").alias("lr_e6_sum"))
+        .select("doc_id", "n_toks", "lr_e6_sum",
+                F.expr("lr_e6_sum div n_toks").alias("avg_lr_e6"))
+    )
