@@ -34,6 +34,27 @@ SIM_SCALE = 1_000_000
 EMBEDDING_DIM = 64
 
 
+def embedding_dim(sf_dir: str, default: int = EMBEDDING_DIM) -> int:
+    """Probe the corpus's embedding width from the parquet file itself —
+    one row via pyarrow, driver-side, no Spark job.
+
+    The testdata contract (TESTDATA.md) says 64, but the driver has
+    re-generated testdata with changed physical schemas between rounds
+    (events.ts round 2); a stale hard-coded width would silently turn the
+    unrolled dot products into NULLs. Falls back to ``default`` when the
+    file can't be probed (remote FS, empty table)."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        batch = next(pq.ParquetFile(path).iter_batches(batch_size=1))
+        return len(batch.column("embedding")[0])
+    except Exception:
+        return default
+
+
 def _unrolled_dot_sql(a: str, b: str, dim: int) -> str:
     """Spark-SQL text of the unrolled dot product. Left-assoc additions from
     a 0.0D accumulator — the exact operation order of the interpreted fold,

@@ -12,9 +12,25 @@ from tigerbeetle_cdc_nats_spark.session import load_table
 QUERY_IDS = (0, 1, 2, 3, 4)
 #: Static corpus width (TESTDATA.md contract) — passed to every similarity
 #: op so dot products unroll into WholeStageCodegen instead of the
-#: interpreted higher-order fold (~10x on the pair-scoring stages).
+#: interpreted higher-order fold (~10x on the pair-scoring stages). The
+#: ORACLE strings bake this width in at registration; query fns re-probe
+#: the actual parquet width at build time (sim.embedding_dim) so a
+#: testdata regeneration can't silently turn the unrolled dots into NULLs.
 _DIM = sim.EMBEDDING_DIM
 PLANES = sim.hyperplanes(n_planes=8, dim=_DIM)
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _dim(sf_dir: str) -> int:
+    return sim.embedding_dim(sf_dir)
+
+
+@functools.lru_cache(maxsize=8)
+def _planes(sf_dir: str):
+    d = _dim(sf_dir)
+    return PLANES if d == _DIM else sim.hyperplanes(n_planes=8, dim=d)
 
 _COS = sim.sql_cosine_e6("q_emb", "c_emb")
 _BUCKET = sim.sql_bucket(PLANES)
@@ -36,7 +52,8 @@ SELECT q_id, c_id, sim_e6, knn_rank FROM r WHERE knn_rank <= 10""",
 )
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.knn_bruteforce(emb, QUERY_IDS, k=10, dim=_DIM).withColumnRenamed(
+    return sim.knn_bruteforce(emb, QUERY_IDS, k=10,
+                              dim=_dim(sf_dir)).withColumnRenamed(
         "rank", "knn_rank"
     )
 
@@ -60,7 +77,8 @@ SELECT q_id, c_id, sim_e6, knn_rank FROM r WHERE knn_rank <= 5""",
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.ann_lsh(emb, QUERY_IDS, PLANES, k=5, dim=_DIM).withColumnRenamed(
+    return sim.ann_lsh(emb, QUERY_IDS, _planes(sf_dir), k=5,
+                       dim=_dim(sf_dir)).withColumnRenamed(
         "rank", "knn_rank"
     )
 
@@ -85,15 +103,15 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # Persisted for the same reason as ann_lsh: both pair sides read the
     # bucketed+normed corpus — materialize the signature pass once.
-    b = sim.lsh_buckets(emb, PLANES, dim=_DIM).withColumn(
-        "norm", sim.norm_col("embedding", _DIM)).persist(
+    b = sim.lsh_buckets(emb, _planes(sf_dir), dim=_dim(sf_dir)).withColumn(
+        "norm", sim.norm_col("embedding", _dim(sf_dir))).persist(
         StorageLevel.MEMORY_AND_DISK)
     q = b.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
                  F.col("bucket").alias("q_bucket"), F.col("norm").alias("q_n"))
     c = b.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
                  F.col("bucket").alias("c_bucket"), F.col("norm").alias("c_n"))
     s = sim.cosine_sim_e6_prenorm("q_emb", "c_emb",
-                                  F.col("q_n"), F.col("c_n"), _DIM)
+                                  F.col("q_n"), F.col("c_n"), _dim(sf_dir))
     return (
         q.join(c, (F.col("q_bucket") == F.col("c_bucket"))
                & (F.col("q_id") < F.col("c_id")))
@@ -170,7 +188,8 @@ def centroid_vectors(emb: DataFrame) -> DataFrame:
     )
 
 
-def ivf_assign(emb: DataFrame, centv: DataFrame) -> DataFrame:
+def ivf_assign(emb: DataFrame, centv: DataFrame,
+               dim: int = _DIM) -> DataFrame:
     """IVF coarse quantization: assign each vector to its argmax-cosine
     centroid. Centroids are tiny (k x dim) and broadcast; scoring is a
     broadcast nested-loop over k cells per vector — O(N*k), the standard
@@ -183,14 +202,14 @@ def ivf_assign(emb: DataFrame, centv: DataFrame) -> DataFrame:
     # norms precomputed per vector (not per vector-x-centroid pair) and per
     # centroid (k rows, inside the broadcast side)
     a_sim = sim.cosine_sim_e6_prenorm(
-        "embedding", "c_arr", F.col("_en"), F.col("_cn"), _DIM)
+        "embedding", "c_arr", F.col("_en"), F.col("_cn"), dim)
     w = Window.partitionBy("vec_id").orderBy(
         F.col("a_sim").desc(), F.col("cell"))
     return (
         emb.select("vec_id", "embedding",
-                   sim.norm_col("embedding", _DIM).alias("_en"))
+                   sim.norm_col("embedding", dim).alias("_en"))
         .crossJoin(F.broadcast(
-            centv.withColumn("_cn", sim.norm_col("c_arr", _DIM))))
+            centv.withColumn("_cn", sim.norm_col("c_arr", dim))))
         .withColumn("a_sim", a_sim)
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
@@ -252,17 +271,17 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assignment of the 5 query vectors only — filtering BEFORE assignment
     # avoids referencing the heavy full-assignment subtree twice (the
     # minhash double-compute lesson).
-    c = ivf_assign(emb, centv).select(
+    c = ivf_assign(emb, centv, dim=_dim(sf_dir)).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
         F.col("cell").alias("c_cell"), F.col("norm").alias("c_n"),
     )
     q = ivf_assign(emb.where(F.col("vec_id").isin(list(QUERY_IDS))),
-                   centv).select(
+                   centv, dim=_dim(sf_dir)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
         F.col("cell").alias("q_cell"), F.col("norm").alias("q_n"),
     )
     s = sim.cosine_sim_e6_prenorm("q_emb", "c_emb",
-                                  F.col("q_n"), F.col("c_n"), _DIM)
+                                  F.col("q_n"), F.col("c_n"), _dim(sf_dir))
     scored = (
         c.join(F.broadcast(q), (F.col("q_cell") == F.col("c_cell"))
                & (F.col("q_id") != F.col("c_id")))
@@ -375,7 +394,7 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     centv = centroid_vectors(emb)
-    assigned = ivf_assign(emb, centv)
+    assigned = ivf_assign(emb, centv, dim=_dim(sf_dir))
 
     schema = T.StructType([
         T.StructField("cell", T.LongType()),
