@@ -275,46 +275,79 @@ def ngram_jaccard_pairs(docs: DataFrame, *, block_col: str = "source",
     ).where(F.col("jaccard") >= threshold)
 
 
+#: Bit-packed vote counters: 3 per 63-bit long, 21 bits each. The packed SUM
+#: stays in BIGINT range for up to 2^20 (~1M) distinct tokens per document —
+#: far beyond any real document.
+_SIMHASH_SLOT = 21
+_SIMHASH_PER_LONG = 3
+
+
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
     """60-bit SimHash over distinct tokens: bit i of the fingerprint is set
     when the +1/-1 vote sum of token-hash bit i is positive.
 
-    One explode + one groupBy — linear in corpus size.
+    One explode + one groupBy — linear in corpus size. The per-bit set
+    counts are BIT-PACKED three to a long (21 bits each), so the aggregate
+    carries 20 packed sums + 1 token count instead of 60 separate sums: 3x
+    narrower shuffle rows and 3x less aggregate codegen. The +1/-1 vote is
+    recovered exactly: vote_i > 0  <=>  2*set_count_i > n_tokens.
     """
     toks = F.explode(F.array_distinct(F.split(F.col("_t"), " "))).alias("tok")
     exploded = ensure_parallelism(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
     ).select("doc_id", toks)
     hashed = exploded.select("doc_id", hash60(F.col("tok")).alias("h"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
-        for i in range(bits)
+    n_longs = -(-bits // _SIMHASH_PER_LONG)
+    packed = [
+        # each term fully parenthesized: SQL '+' binds tighter than '<<'
+        F.sum(F.expr(" + ".join(
+            f"((shiftright(h, {j * _SIMHASH_PER_LONG + s}) & 1)"
+            f" << {s * _SIMHASH_SLOT})"
+            for s in range(_SIMHASH_PER_LONG)
+            if j * _SIMHASH_PER_LONG + s < bits
+        ))).alias(f"p{j}")
+        for j in range(n_longs)
     ]
-    agg = hashed.groupBy("doc_id").agg(*votes)
-    fp = None
+    agg = hashed.groupBy("doc_id").agg(
+        F.count("*").alias("_n"), *packed)
+    mask = (1 << _SIMHASH_SLOT) - 1
+    fp_terms = []
     for i in range(bits):
-        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
+        j, s = divmod(i, _SIMHASH_PER_LONG)
+        fp_terms.append(
+            f"(CASE WHEN ((shiftright(p{j}, {s * _SIMHASH_SLOT}) & {mask}))"
+            f" * 2 > _n THEN {1 << i} ELSE 0 END)")
+    fp = F.expr(" + ".join(fp_terms))
     return agg.select("doc_id", fp.cast("long").alias("simhash"))
 
 
 def sql_simhash(docs_sql: str, bits: int = SIMHASH_BITS) -> str:
-    """DuckDB oracle for :func:`simhash` (same votes, same bit rule)."""
-    votes = ", ".join(
-        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
-        for i in range(bits)
+    """DuckDB oracle for :func:`simhash` (same packed counts, same bit
+    rule — integer-exact on both engines)."""
+    n_longs = -(-bits // _SIMHASH_PER_LONG)
+    packed = ", ".join(
+        "CAST(SUM(" + " + ".join(
+            f"(((h >> {j * _SIMHASH_PER_LONG + s}) & 1)"
+            f" << {s * _SIMHASH_SLOT})"
+            for s in range(_SIMHASH_PER_LONG)
+            if j * _SIMHASH_PER_LONG + s < bits
+        ) + f") AS BIGINT) AS p{j}"
+        for j in range(n_longs)
     )
-    fp = " + ".join(
-        f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits)
-    )
+    mask = (1 << _SIMHASH_SLOT) - 1
+    fp_terms = []
+    for i in range(bits):
+        j, s = divmod(i, _SIMHASH_PER_LONG)
+        fp_terms.append(
+            f"(CASE WHEN ((p{j} >> {s * _SIMHASH_SLOT}) & {mask}) * 2 > n "
+            f"THEN {1 << i} ELSE 0 END)")
+    fp = " + ".join(fp_terms)
     return f"""
 toks AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok
          FROM ({docs_sql})),
 hashed AS (SELECT doc_id, {sql_hash60('tok')} AS h FROM toks),
-votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+votes AS (SELECT doc_id, COUNT(*) AS n, {packed} FROM hashed GROUP BY doc_id)
 SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes"""
 
 
