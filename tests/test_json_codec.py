@@ -146,3 +146,22 @@ def test_decimal_path_matches_string_path(spark):
             "timestamp", "type", "ledger", "transfer",
             "debit_account", "credit_account",
         }
+
+
+def test_spark_sql_encoder_matches_column_encoder(spark):
+    """The single-F.expr envelope encoder must stay byte-identical to the
+    Column-built form (which the goldens pin) on real event data."""
+    from pyspark.sql import functions as F
+
+    from tigerbeetle_cdc_nats_spark.functions.json_codec import (
+        encode_cdc_json_spark_expr,
+    )
+    from tigerbeetle_cdc_nats_spark.operators.cdc_view import with_cdc_event
+    from tigerbeetle_cdc_nats_spark.session import load_events
+
+    ev = with_cdc_event(load_events(spark, "/root/testdata/sf0.001"))
+    df = ev.select(
+        encode_cdc_json("event").alias("a"),
+        encode_cdc_json_spark_expr("event").alias("b"),
+    )
+    assert df.where(F.col("a") != F.col("b")).count() == 0

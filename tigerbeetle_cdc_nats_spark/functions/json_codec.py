@@ -109,3 +109,40 @@ def encode_cdc_json_sql(field_expr) -> str:
         inner = [(n, _encode_field_sql(k, field_expr(f"{nested}.{n}"))) for n, k in spec]
         items.append((nested, json_object_sql(inner)))
     return json_object_sql(items)
+
+
+def _encode_field_spark_sql(kind: str, expr: str) -> str:
+    from tigerbeetle_cdc_nats_spark.functions.portable import (
+        portable_uint_spark_sql,
+    )
+
+    if kind == "p":
+        return portable_uint_spark_sql(expr)
+    if kind == "n":
+        return f"CAST(CAST({expr} AS DECIMAL(38,0)) AS STRING)"
+    return f"concat('\"', {expr}, '\"')"
+
+
+def encode_cdc_json_spark_expr(event_col: str) -> Column:
+    """The full envelope encoding as ONE Spark-SQL expression string.
+
+    Value-identical to ``encode_cdc_json(F.col(event_col))`` (same field
+    order, same portable rule, same cast chain) but built as a single
+    F.expr: the Column-object form assembles ~500 expression nodes through
+    py4j — ~1 s of driver time per query at plan-build — while the string
+    parses JVM-side. The golden byte tests pin both forms to the same
+    output.
+    """
+    items = [
+        (n, _encode_field_spark_sql(k, f"{event_col}.{n}"))
+        for n, k in ENVELOPE_SPEC
+    ]
+    for nested, spec in (("transfer", TRANSFER_SPEC),
+                         ("debit_account", ACCOUNT_SPEC),
+                         ("credit_account", ACCOUNT_SPEC)):
+        inner = [
+            (n, _encode_field_spark_sql(k, f"{event_col}.{nested}.{n}"))
+            for n, k in spec
+        ]
+        items.append((nested, json_object_sql(inner)))
+    return F.expr(json_object_sql(items))

@@ -67,3 +67,18 @@ def portable_uint_sql(expr: str) -> str:
         f"WHEN {expr} > 9007199254740991 THEN '\"' || CAST({expr} AS VARCHAR) || '\"' "
         f"ELSE CAST({expr} AS VARCHAR) END"
     )
+
+
+def portable_uint_spark_sql(expr: str) -> str:
+    """The portable encoding as SPARK SQL text — the same values as
+    :func:`portable_uint_json`, emitted as one parseable string so the
+    full-envelope encoder can hand Catalyst a single F.expr instead of
+    hundreds of py4j-built Column nodes (~1 s of driver time per query).
+    """
+    digits = f"CAST(CAST({expr} AS DECIMAL(38,0)) AS STRING)"
+    return (
+        f"CASE WHEN {expr} IS NULL THEN 'null' "
+        f"WHEN {expr} > {MAX_PORTABLE_JSON_INT} "
+        f"THEN concat('\"', {digits}, '\"') "
+        f"ELSE {digits} END"
+    )
