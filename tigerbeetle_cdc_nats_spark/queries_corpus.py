@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from tigerbeetle_cdc_nats_spark.operators import dedup as dd
 from tigerbeetle_cdc_nats_spark.operators import text as tx
+from tigerbeetle_cdc_nats_spark.queries_dedup import _MINHASH_CTES
 from tigerbeetle_cdc_nats_spark.registry import register
 from tigerbeetle_cdc_nats_spark.session import load_table
 
@@ -763,4 +764,134 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("lr_e6").cast("bigint").alias("lr_e6_sum"))
         .select("doc_id", "n_toks", "lr_e6_sum",
                 F.expr("lr_e6_sum div n_toks").alias("avg_lr_e6"))
+    )
+
+
+# --- Gopher-rule document filter audit -------------------------------------
+
+#: Gopher-style document filter thresholds (Rae et al. 2021, appendix A1.1),
+#: scaled to the synthetic ~30-50-token docs: token-count window, mean word
+#: length window, max stopword-free fraction.
+GOPHER_MIN_TOKENS = 10
+GOPHER_MAX_TOKENS = 1000
+GOPHER_MIN_WORDLEN_E3 = 2000   # mean word length >= 2.0 chars (e3 units)
+GOPHER_MAX_WORDLEN_E3 = 12000  # mean word length <= 12.0 chars
+GOPHER_MIN_STOP_HITS = 1       # at least one stopword occurrence
+
+
+@register(
+    "gopher_filter_stats",
+    f"""WITH f AS (
+  SELECT doc_id, source,
+    len(str_split(text, ' ')) AS n_tok,
+    CAST(FLOOR((length(text) - (len(str_split(text, ' ')) - 1)) * 1000.0
+               / len(str_split(text, ' '))) AS BIGINT) AS wordlen_e3,
+    {tx.sql_stopword_hits('en')} AS stop_hits
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+    CAST(n_tok < {GOPHER_MIN_TOKENS} OR n_tok > {GOPHER_MAX_TOKENS} AS INT)
+      AS r_len,
+    CAST(wordlen_e3 < {GOPHER_MIN_WORDLEN_E3}
+         OR wordlen_e3 > {GOPHER_MAX_WORDLEN_E3} AS INT) AS r_wordlen,
+    CAST(stop_hits < {GOPHER_MIN_STOP_HITS} AS INT) AS r_stop
+  FROM f
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(r_len) AS BIGINT) AS n_reject_len,
+  CAST(SUM(r_wordlen) AS BIGINT) AS n_reject_wordlen,
+  CAST(SUM(r_stop) AS BIGINT) AS n_reject_stop,
+  CAST(SUM(CASE WHEN r_len = 0 AND r_wordlen = 0 AND r_stop = 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM r GROUP BY source""",
+    doc="Gopher-rule filter audit (Rae et al. 2021 A1.1): per-source "
+        "rejection counts by rule (token-count window, mean word length "
+        "window, stopword presence) plus survivors",
+)
+def q_gopher_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source audit of the Gopher document-filter rules.
+
+    Pure per-row rule evaluation (codegen'd, zero joins) + ONE aggregation
+    shuffle on the low-cardinality source key with map-side partials —
+    the audit dashboards run before committing a filter config at 100 TB.
+    Mean word length is floored to e3 integer units so the rule compare is
+    cross-engine exact (text is single-space joined: total word chars =
+    len - (n_tok - 1)).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    wordlen_e3 = F.floor(
+        (F.length("text") - (n_tok - 1)) * 1000.0 / n_tok).cast("bigint")
+    stop_hits = tx.stopword_hits("text", tx.STOPWORDS["en"])
+    r_len = ((n_tok < GOPHER_MIN_TOKENS) | (n_tok > GOPHER_MAX_TOKENS))
+    r_wordlen = ((wordlen_e3 < GOPHER_MIN_WORDLEN_E3)
+                 | (wordlen_e3 > GOPHER_MAX_WORDLEN_E3))
+    r_stop = stop_hits < GOPHER_MIN_STOP_HITS
+    kept = ~r_len & ~r_wordlen & ~r_stop
+    return (
+        docs.select("source", r_len.cast("int").alias("r_len"),
+                    r_wordlen.cast("int").alias("r_wordlen"),
+                    r_stop.cast("int").alias("r_stop"),
+                    kept.cast("int").alias("r_kept"))
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum("r_len").cast("bigint").alias("n_reject_len"),
+             F.sum("r_wordlen").cast("bigint").alias("n_reject_wordlen"),
+             F.sum("r_stop").cast("bigint").alias("n_reject_stop"),
+             F.sum("r_kept").cast("bigint").alias("n_kept"))
+    )
+
+
+# --- cross-source near-dup overlap matrix ----------------------------------
+
+@register(
+    "cross_source_overlap",
+    f"""WITH {_MINHASH_CTES},
+scored AS (
+  SELECT doc_a, doc_b FROM wsig
+  WHERE len(list_filter(range(1, {dd.MINHASH_K + 1}),
+        i -> sig_a[CAST(i AS INT)] = sig_b[CAST(i AS INT)])) >= 8
+),
+lab AS (
+  SELECT s.doc_a, s.doc_b, da.source AS src_a, db.source AS src_b
+  FROM scored s
+  JOIN documents da ON da.doc_id = s.doc_a
+  JOIN documents db ON db.doc_id = s.doc_b
+)
+SELECT LEAST(src_a, src_b) AS source_x,
+       GREATEST(src_a, src_b) AS source_y,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM lab GROUP BY 1, 2""",
+    doc="cross-source contamination matrix: near-dup pair counts (MinHash "
+        "est. jaccard >= 0.5) keyed by unordered source pair — which feeds "
+        "leak between corpus sources",
+)
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts between corpus sources.
+
+    Reuses the MinHash LSH candidate machinery (equality join on banded
+    buckets — never all-pairs); the doc->source attribution joins the
+    tiny pair set back to the corpus on doc_id, which AQE broadcasts.
+    The unordered (LEAST, GREATEST) source key folds the two directions
+    of each pair into one matrix cell.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
+    pairs = dd.minhash_candidate_pairs(sigs).where(
+        F.col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(src.select(F.col("doc_id").alias("doc_a"),
+                              F.col("source").alias("src_a")), "doc_a")
+        .join(src.select(F.col("doc_id").alias("doc_b"),
+                         F.col("source").alias("src_b")), "doc_b")
+    )
+    return (
+        lab.select(F.least("src_a", "src_b").alias("source_x"),
+                   F.greatest("src_a", "src_b").alias("source_y"))
+        .groupBy("source_x", "source_y")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
     )
