@@ -416,3 +416,64 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select("cell", "embedding").groupBy("cell").applyInPandas(
         update, schema=schema
     )
+
+
+@register(
+    "semdedup",
+    f"""WITH {_IVF_ASSIGN_SQL},
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {sim.sql_cosine_e6('a.embedding', 'b.embedding')} AS sim_e6
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+d AS (SELECT vec_a, vec_b, sim_e6 FROM p WHERE sim_e6 >= 400000)
+SELECT vec_b AS drop_id, MIN(vec_a) AS keep_id,
+       CAST(MAX(sim_e6) AS BIGINT) AS max_sim_e6
+FROM d GROUP BY vec_b""",
+    doc="SemDeDup (Abbas et al. 2023): semantic dedup inside k-means cells "
+        "— cosine >= 0.4 within a vector's assigned cell marks the "
+        "higher-id member dropped; never an all-pairs compare",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-duplicate pruning within embedding-cluster cells.
+
+    The SemDeDup recipe: cluster the corpus (here: the IVF argmax-cosine
+    assignment over label-seeded centroids), compare ONLY within cells,
+    drop every member whose cosine to a lower-id cell-mate exceeds the
+    threshold. Scale shape: the pair join is an equality join on the cell
+    id (never all-pairs — within-cell population is bounded by the
+    centroid count growing with the corpus), scoring reuses precomputed
+    norms, and the keeper aggregation is one groupBy on the dropped id.
+    """
+    from pyspark.sql import functions as F
+
+    from pyspark import StorageLevel
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centv = centroid_vectors(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    assigned = ivf_assign(emb, centv, dim=_dim(sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    a = assigned.select(F.col("vec_id").alias("vec_a"),
+                        F.col("embedding").alias("q_emb"),
+                        F.col("cell").alias("cell_a"),
+                        F.col("norm").alias("q_n"))
+    b = assigned.select(F.col("vec_id").alias("vec_b"),
+                        F.col("embedding").alias("c_emb"),
+                        F.col("cell").alias("cell_b"),
+                        F.col("norm").alias("c_n"))
+    s = sim.cosine_sim_e6_prenorm("q_emb", "c_emb",
+                                  F.col("q_n"), F.col("c_n"), _dim(sf_dir))
+    pairs = (
+        a.join(b, (F.col("cell_a") == F.col("cell_b"))
+               & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", s.alias("sim_e6"))
+        # 0.4: the synthetic embeddings top out near cos 0.47 within a
+        # cell; real corpora run SemDeDup at ~0.95+ — the knob, not the shape
+        .where(F.col("sim_e6") >= 400000)
+    )
+    return (
+        pairs.groupBy(F.col("vec_b").alias("drop_id"))
+        .agg(F.min("vec_a").alias("keep_id"),
+             F.max("sim_e6").cast("bigint").alias("max_sim_e6"))
+    )

@@ -3,7 +3,7 @@ counting, language ID, quality scoring, fingerprinting."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from tigerbeetle_cdc_nats_spark.operators import text as tx
 from tigerbeetle_cdc_nats_spark.registry import register
@@ -102,4 +102,81 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         tx.doc_fingerprint("text").alias("fp"),
         tx.fingerprint60("text").alias("fp60"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    """WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, t.tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents) t
+  GROUP BY doc_id, t.tok
+),
+df AS (SELECT tok, COUNT(*) AS n_docs_with FROM tok GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT o.doc_id, o.tok,
+    CAST(o.tf AS BIGINT) AS tf,
+    CAST(FLOOR(o.tf * ln(CAST(n.n_docs AS DOUBLE)
+                         / CAST(d.n_docs_with AS DOUBLE)) * 1000000.0)
+         AS BIGINT) AS tfidf_e6
+  FROM occ o JOIN df d ON d.tok = o.tok CROSS JOIN n
+)
+SELECT doc_id, tok, tf, tfidf_e6,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf_e6 DESC, tok) AS rnk
+      FROM scored)
+WHERE rnk <= 3""",
+    doc="per-document top-3 TF-IDF terms: tf from the token stream, df "
+        "from distinct doc-token pairs, idf = ln(N/df) floored to e6 "
+        "units — the classic keyword-extraction primitive",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document.
+
+    Scale shape: the fit is two aggregations over the exploded token
+    stream — per-(doc, token) term frequencies (shuffle keyed on the
+    high-cardinality pair) and per-token document frequencies over
+    DISTINCT doc-token pairs (vocab-sized output). The idf table joins
+    back on the token key (AQE broadcasts a small vocab); the corpus
+    total is a one-row broadcast. The per-doc top-3 runs as a rank
+    window partitioned by doc_id — bounded work per doc, never a global
+    sort. tf * ln(N/df) is floored to integer 1e-6 units per TERM (not
+    aggregated after), so cross-engine equality is exact modulo ln()'s
+    1-ulp band, which the floor absorbs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok_all = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    occ = tok_all.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("n_docs_with"))
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        occ.join(dfreq, "tok").crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "tok", F.col("tf").cast("bigint").alias("tf"),
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double")
+                        / F.col("n_docs_with").cast("double"))
+                * 1000000.0
+            ).cast("bigint").alias("tfidf_e6"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_e6").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tf", "tfidf_e6", "rnk")
     )
