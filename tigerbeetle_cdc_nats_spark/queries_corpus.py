@@ -61,6 +61,8 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     source) and AQE broadcasts it when it fits, turning the whole check into
     a map-side hash probe over the training scan. Never all-pairs.
     """
+    from pyspark import StorageLevel
+
     grams = dd.gram_hash_rows(
         load_table(spark, sf_dir, "documents"),
         n=CONTAM_N, keep=("source",),
@@ -68,6 +70,9 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = grams.withColumn(
         "n_grams",
         F.count("*").over(Window.partitionBy("doc_id")).cast("bigint"))
+    # benchmark and train sides both read the gram index — materialize the
+    # explode+md5+dedup pass once instead of per side
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     bench = (grams.where(F.col("source") == BENCHMARK_SOURCE)
              .select("h").distinct())
     train = grams.where(F.col("source") != BENCHMARK_SOURCE)
@@ -597,8 +602,12 @@ def q_exact_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix array itself does not distribute, the rolling-hash form is one
     shuffle per stage at any corpus size. Integer ppm via exact div.
     """
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    g = dd.gram_hash_rows(docs, n=SUBSTR_N).dropDuplicates(["doc_id", "h"])
+    # ownership aggregate and per-doc probe both read the gram index —
+    # materialize the explode+md5+dedup pass once
+    g = dd.gram_hash_rows(docs, n=SUBSTR_N).dropDuplicates(["doc_id", "h"])         .persist(StorageLevel.MEMORY_AND_DISK)
     owners = g.groupBy("h").agg(F.count("*").alias("nd"))
     return (
         g.join(owners, "h")
