@@ -233,3 +233,63 @@ def q_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_kept",
                     (F.row_number().over(w) == 1).cast("bigint"))
     )
+
+
+@register(
+    "dedup_funnel",
+    f"""WITH RECURSIVE {_MINHASH_CTES},
+scored AS (SELECT doc_a, doc_b FROM wsig
+           WHERE {_EST_J} >= {DUP_CLUSTER_THRESHOLD}),
+e AS (SELECT doc_a AS ea, doc_b AS eb FROM scored
+      UNION ALL SELECT doc_b, doc_a FROM scored),
+nd AS (SELECT DISTINCT ea AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM nd
+  UNION
+  SELECT e.eb, reach.r FROM reach JOIN e ON e.ea = reach.node
+),
+comp AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT
+  (SELECT COUNT(*) FROM documents) AS n_docs,
+  (SELECT COUNT(*) - COUNT(DISTINCT md5(text)) FROM documents)
+    AS n_exact_dups,
+  (SELECT COUNT(*) FROM scored) AS n_near_pairs,
+  (SELECT COUNT(DISTINCT cluster_id) FROM comp) AS n_clusters,
+  (SELECT COUNT(*) - COUNT(DISTINCT cluster_id) FROM comp)
+    AS n_near_dropped""",
+    doc="dedup pipeline funnel: corpus size, exact-dup count, near-dup "
+        "pair count, cluster count, and docs dropped by cluster "
+        "resolution — the one-row dashboard a curation run reports",
+)
+def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row summary of the whole dedup pipeline.
+
+    Composes the registered dedup artifacts: exact content hashing, the
+    MinHash LSH pair graph, and the resolved cluster table (shared via
+    the per-session memo, so this adds no second fixpoint run). Each
+    stage reduces to a one-row aggregate; the row assembles via one-row
+    broadcast cross joins — no corpus-sized shuffle beyond what the
+    artifacts themselves need.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
+    pairs = dd.minhash_candidate_pairs(sigs).where(
+        F.col("est_jaccard") >= DUP_CLUSTER_THRESHOLD)
+    comp = _dup_components(spark, sf_dir)
+    n_docs = docs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).cast("bigint")
+        .alias("n_exact_dups"),
+    )
+    n_pairs = pairs.agg(F.count("*").cast("bigint").alias("n_near_pairs"))
+    n_comp = comp.agg(
+        F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+        (F.count("*") - F.countDistinct("cluster_id")).cast("bigint")
+        .alias("n_near_dropped"),
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(n_comp))
+        .select("n_docs", "n_exact_dups", "n_near_pairs",
+                "n_clusters", "n_near_dropped")
+    )
