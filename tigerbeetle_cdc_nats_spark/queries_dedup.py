@@ -293,3 +293,83 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_docs", "n_exact_dups", "n_near_pairs",
                 "n_clusters", "n_near_dropped")
     )
+
+
+@register(
+    "minhash_estimator_audit",
+    f"""WITH RECURSIVE {_MINHASH_CTES},
+est AS (
+  SELECT doc_a, doc_b,
+    CAST(FLOOR(({_EST_J}) * 1000000) AS BIGINT) AS est_e6
+  FROM wsig
+),
+sh AS (SELECT doc_id, {dd.sql_word_shingle_hashes('text')} AS hs
+       FROM documents),
+ex AS (
+  SELECT e.doc_a, e.doc_b, e.est_e6,
+    CAST(FLOOR(len(list_intersect(a.hs, b.hs)) * 1000000.0
+               / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))))
+         AS BIGINT) AS exact_e6
+  FROM est e
+  JOIN sh a ON a.doc_id = e.doc_a
+  JOIN sh b ON b.doc_id = e.doc_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(ABS(est_e6 - exact_e6)) AS BIGINT) // COUNT(*) AS mean_abs_err_e6,
+  CAST(MAX(ABS(est_e6 - exact_e6)) AS BIGINT) AS max_abs_err_e6,
+  CAST(SUM(CASE WHEN est_e6 >= 500000 AND exact_e6 < 500000
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos_at_50
+FROM ex""",
+    doc="MinHash estimator quality audit: signature-agreement Jaccard vs "
+        "exact shingle-set Jaccard on every LSH candidate pair — mean/max "
+        "absolute error and false positives at the 0.5 threshold",
+)
+def q_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the 16-permutation estimator track exact Jaccard well enough
+    to gate at 0.5? The audit every LSH deployment runs before trusting
+    its threshold.
+
+    Scale shape: candidate pairs only (the LSH equality join — never
+    all-pairs); exact Jaccard per pair via the distinct shingle-hash
+    ARRAYS joined in by doc_id (two broadcast-or-shuffle hash joins on
+    the tiny pair set), intersection via array_intersect on
+    already-distinct arrays. The audit output is a one-row aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
+    pairs = dd.minhash_candidate_pairs(sigs).select(
+        "doc_a", "doc_b",
+        F.floor(F.col("est_jaccard") * 1000000).cast("bigint")
+        .alias("est_e6"),
+    )
+    # distinct shingle-hash array per doc (matches the oracle's
+    # list_distinct semantics; gram_hash_rows is the exploded form)
+    sh = (
+        dd.gram_hash_rows(docs)
+        .dropDuplicates(["doc_id", "h"])
+        .groupBy("doc_id")
+        .agg(F.collect_list("h").alias("hs_raw"))
+        .select("doc_id", F.array_sort("hs_raw").alias("hs"))
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    ex = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "est_e6",
+            F.floor(inter * 1000000.0 / union).cast("bigint")
+            .alias("exact_e6"),
+        )
+    )
+    err = F.abs(F.col("est_e6") - F.col("exact_e6"))
+    return ex.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.expr("CAST(SUM(ABS(est_e6 - exact_e6)) AS BIGINT) div COUNT(*)")
+        .alias("mean_abs_err_e6"),
+        F.max(err).cast("bigint").alias("max_abs_err_e6"),
+        F.sum(F.when((F.col("est_e6") >= 500000)
+                     & (F.col("exact_e6") < 500000), 1).otherwise(0))
+        .cast("bigint").alias("n_false_pos_at_50"),
+    )

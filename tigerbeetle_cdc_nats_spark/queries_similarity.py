@@ -492,3 +492,44 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("vec_a").alias("keep_id"),
              F.max("sim_e6").cast("bigint").alias("max_sim_e6"))
     )
+
+
+@register(
+    "centroid_separation",
+    f"""WITH cent AS (
+  SELECT label AS cell, i AS dim,
+    CAST(FLOOR(SUM(CAST(v AS DOUBLE)) / COUNT(*) * 1000000) AS BIGINT) AS c_e6
+  FROM (SELECT label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS i FROM embeddings)
+  GROUP BY label, i
+),
+centv AS (SELECT cell, list(c_e6 ORDER BY dim) AS c_arr FROM cent GROUP BY cell)
+SELECT a.cell AS cell_a, b.cell AS cell_b,
+       {sim.sql_cosine_e6('a.c_arr', 'b.c_arr')} AS sim_e6
+FROM centv a JOIN centv b ON a.cell < b.cell""",
+    doc="cluster-separation audit: pairwise cosine between every pair of "
+        "label centroids — the diagnostic that says whether IVF cells / "
+        "SemDeDup clusters are actually distinct",
+)
+def q_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise centroid cosine — k x k rows, k = cluster count.
+
+    Scale shape: the only corpus-sized work is the centroid pass (grouped
+    Arrow means, one shuffle); the pair matrix is k^2 rows of a broadcast
+    self-join — negligible at any corpus size since k grows ~log-linearly
+    with the corpus. Scoring runs in a codegen'd projection (unrolled
+    dots over the e6-integer centroid arrays).
+    """
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centv = centroid_vectors(emb)
+    a = centv.select(F.col("cell").alias("cell_a"),
+                     F.col("c_arr").alias("arr_a"))
+    b = centv.select(F.col("cell").alias("cell_b"),
+                     F.col("c_arr").alias("arr_b"))
+    s = sim.cosine_sim_e6("arr_a", "arr_b", _dim(sf_dir))
+    return (
+        a.join(F.broadcast(b), F.col("cell_a") < F.col("cell_b"))
+        .select("cell_a", "cell_b", s.alias("sim_e6"))
+    )
