@@ -89,3 +89,27 @@ def asof_join(facts: DataFrame, snapshots: DataFrame, key: str,
         *[c for c in fact_names if c != key],
     )
     return merged.where(F.col("_side") == 1).drop("_merge_ts", "_side")
+
+
+def salted_skew_join(facts: DataFrame, dim: DataFrame, key: str, *,
+                     salt: int = 16, salt_src: str = "event_id") -> DataFrame:
+    """Hot-key replicate join: salt the fact side into ``salt`` sub-keys and
+    explode the (replicable) dim side once per salt value, joining on
+    (key, salt) so one hot key spreads over ``salt`` reducer tasks.
+
+    This is the manual form of AQE's skew-join split for when the skew is
+    *known ahead of time* (the reference's event_type has 5 values over the
+    whole stream — every shuffle partition of a plain key join would land on
+    5 tasks no matter the cluster size). The dim side must be small enough
+    to replicate ``salt``x — the usual case, since skewed joins are
+    fact-to-mid-size-dim. The join is hinted ``shuffle_hash``: broadcast
+    wouldn't skew in the first place (this operator is for dims past the
+    broadcast threshold), and sort-merge would re-sort the replicated side.
+    """
+    salted_facts = facts.withColumn(
+        "_salt", (F.col(salt_src) % salt).cast("int"))
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.lit(list(range(salt)))))
+    joined = salted_facts.join(
+        salted_dim.hint("shuffle_hash"), on=[key, "_salt"], how="inner")
+    return joined.drop("_salt")
