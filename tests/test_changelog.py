@@ -105,6 +105,16 @@ def test_salted_join_matches_plain_join(spark):
     assert s == p
 
 
+def test_window_queries_never_single_partition(spark, sf_dir):
+    """running_balance / stream_order_audit must window over partitioned
+    keys — an unpartitioned window is an Exchange SinglePartition, i.e. the
+    whole 100 TB log through one task."""
+    for name in ("running_balance", "stream_order_audit"):
+        plan = physical_plan(QUERIES[name].fn(spark, sf_dir))
+        assert "Window" in plan
+        assert "SinglePartition" not in plan
+
+
 def test_salted_join_spreads_hot_key_and_avoids_broadcast(spark, sf_dir):
     """The registered query's join must run on (key, salt) via shuffled hash
     join — the whole point is spreading each of the 5 hot key values over

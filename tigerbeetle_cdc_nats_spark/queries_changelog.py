@@ -9,7 +9,7 @@ queries are that subscriber, Spark-first.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from tigerbeetle_cdc_nats_spark.operators import aggregates as agg
 from tigerbeetle_cdc_nats_spark.operators.cdc_view import EVENTS_CTE as _EV
@@ -130,4 +130,70 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum(agg.cents() * F.col("weight")).alias("weighted_cents"),
+    )
+
+
+@register(
+    "running_balance",
+    f"""WITH ev AS ({_EV})
+SELECT event_id, user_id, ts,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+       CAST(SUM({_CENTS}) OVER w AS BIGINT) AS balance_cents
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    doc="account balance reconstruction: cumulative cents per account in "
+        "event order — the running aggregate TigerBeetle itself maintains "
+        "in the *_posted fields (message.go:56-68), recomputed from the "
+        "changelog. Partitioned by account: each window sort is one "
+        "account's history, never a global sort",
+)
+def q_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.row_number().over(w).cast("bigint").alias("seq"),
+        F.sum(agg.cents()).over(w).alias("balance_cents"),
+    )
+
+
+@register(
+    "stream_order_audit",
+    f"""WITH ev AS ({_EV}),
+lagged AS (
+  SELECT user_id % 10 AS ledger, ts,
+         ts - LAG(ts) OVER (PARTITION BY user_id % 10
+                            ORDER BY ts, event_id) AS gap_ns
+  FROM ev
+)
+SELECT ledger, COUNT(*) AS n_events,
+       CAST(COALESCE(SUM(CASE WHEN gap_ns <= 0 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS order_violations,
+       MAX(gap_ns) AS max_gap_ns,
+       MAX(ts) - MIN(ts) AS span_ns
+FROM lagged GROUP BY ledger""",
+    doc="per-ledger stream integrity audit: strict-monotonicity violations "
+        "and the largest inter-event gap — the batch form of the "
+        "reference's 'expected increasing timestamps' assertion "
+        "(integration_test.go:227-229). Partitioned by ledger so no global "
+        "sort; gap stats double as idle-window telemetry (runner.go:156-164)",
+)
+def q_stream_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir).withColumn(
+        "ledger", F.col("user_id") % 10)
+    w = Window.partitionBy("ledger").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "ledger", "ts", (F.col("ts") - F.lag("ts").over(w)).alias("gap_ns"))
+    return lagged.groupBy("ledger").agg(
+        F.count("*").alias("n_events"),
+        F.coalesce(
+            F.sum(F.when(F.col("gap_ns") <= 0, 1).otherwise(0)), F.lit(0)
+        ).alias("order_violations"),
+        F.max("gap_ns").alias("max_gap_ns"),
+        (F.max("ts") - F.min("ts")).alias("span_ns"),
     )
