@@ -1523,3 +1523,26 @@ def q_q20_top_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp.join(big, supp.s_suppkey == big.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
     )
+
+
+@register(
+    "value_histogram",
+    f"""WITH ev AS ({_EV})
+SELECT event_type, CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+       COUNT(*) AS n_events,
+       CAST(SUM({_CENTS}) AS BIGINT) AS sum_cents
+FROM ev GROUP BY event_type, bin""",
+    doc="mergeable equi-width histogram of the amount distribution per "
+        "event type: FLOOR(value/width) binning makes the summary a plain "
+        "additive aggregate — map-side combined, mergeable across "
+        "partitions/days like every sketch in the suite",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 25.0).cast("bigint").alias("bin"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum(agg.cents()).alias("sum_cents"))
+    )

@@ -180,3 +180,95 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("doc_id", "tok", "tf", "tfidf_e6", "rnk")
     )
+
+
+_BM25_TERMS = ("spark", "table", "scan")
+_K1 = 1.2
+_B = 0.75
+
+
+@register(
+    "bm25_score",
+    f"""WITH dl AS (
+  SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+  WHERE tok IN {_BM25_TERMS}
+  GROUP BY doc_id, tok
+),
+df AS (SELECT tok, COUNT(*) AS dfv FROM tf GROUP BY tok),
+term AS (
+  SELECT t.doc_id, t.tok,
+    CAST(FLOOR(
+      ln((CAST(s.n_docs - d.dfv AS DOUBLE) + 0.5)
+         / (CAST(d.dfv AS DOUBLE) + 0.5) + 1.0)
+      * (CAST(t.tf AS DOUBLE) * ({_K1} + 1.0))
+      / (CAST(t.tf AS DOUBLE)
+         + {_K1} * ((1.0 - {_B})
+                    + {_B} * (CAST(l.dl AS DOUBLE) / s.avgdl)))
+      * 1000000.0) AS BIGINT) AS s_e6
+  FROM tf t
+  JOIN df d ON d.tok = t.tok
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+)
+SELECT doc_id, COUNT(*) AS n_hit_terms,
+       CAST(SUM(s_e6) AS BIGINT) AS bm25_e6
+FROM term GROUP BY doc_id""",
+    doc="Okapi BM25 retrieval scoring for a fixed query against every "
+        "document: idf from term document frequencies, tf saturation "
+        "(k1=1.2) and length normalization (b=0.75) against the corpus "
+        "average length — the lexical-search scoring primitive",
+)
+def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25(query, doc) for every doc containing a query term.
+
+    Scale shape: tokens are filtered to the query's terms BEFORE the
+    per-(doc, term) count, so the tf aggregate's input is |matches|, not
+    |corpus tokens|; df and the corpus stats are term-count- and one-row-
+    sized broadcasts; the only fact-sized shuffle joins tf to doc lengths
+    on doc_id. Every float step (IEEE-exact ops in identical order) is
+    deterministic; the per-term score is e6-floored BEFORE the per-doc
+    sum, so the aggregate is order-independent and cross-engine exact
+    modulo ln()'s 1-ulp band.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"))
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok").isin(list(_BM25_TERMS)))
+        .groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("dfv"))
+    idf = F.log(
+        ((F.col("n_docs") - F.col("dfv")).cast("double") + 0.5)
+        / (F.col("dfv").cast("double") + 0.5) + 1.0)
+    tfc = (
+        (F.col("tf").cast("double") * (_K1 + 1.0))
+        / (F.col("tf").cast("double")
+           + _K1 * ((1.0 - _B)
+                    + _B * (F.col("dl").cast("double") / F.col("avgdl"))))
+    )
+    term = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id",
+                F.floor(idf * tfc * 1000000.0).cast("bigint").alias("s_e6"))
+    )
+    return term.groupBy("doc_id").agg(
+        F.count("*").alias("n_hit_terms"),
+        F.sum("s_e6").cast("bigint").alias("bm25_e6"),
+    )
