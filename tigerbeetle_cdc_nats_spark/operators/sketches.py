@@ -84,3 +84,87 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key: Column,
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_count"))
         .withColumnRenamed("_k", "key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog: register array + estimate from the shared md5 hash.
+# Engine-native HLLs (Spark approx_count_distinct, DuckDB approx_*) differ in
+# hash and register layout, so they can never hash-match an oracle. This one
+# derives every register from hash60, making the SKETCH ITSELF cross-engine
+# bit-identical — the same trick as the CMS above.
+# ---------------------------------------------------------------------------
+
+HLL_P = 9                    # 2^9 = 512 registers
+HLL_M = 1 << HLL_P
+_HLL_W = 60 - HLL_P          # 51-bit remainder field per register
+_TWO_W = 1 << _HLL_W
+#: 2^(rho-1) scaling makes Z = sum(2^-rho) an exact BIGINT: each register
+#: contributes 2^(W+1-rho), empties contribute 2^(W+1); total <= m * 2^52.
+_Z_ONE = 1 << (_HLL_W + 1)
+
+
+def hll_register_cols(key: Column) -> tuple[Column, Column]:
+    """(bucket, rho) for one item: top p bits pick the register, rho is the
+    1-based position of the first set bit in the remaining W bits (W+1 when
+    they are all zero). bin() length gives the bit position with identical
+    semantics on both engines (verified: bin(0)='0', no padding)."""
+    h = hash60(key)
+    bucket = F.shiftright(h, _HLL_W)
+    rem = h % _TWO_W
+    rho = (
+        F.when(rem == 0, F.lit(_HLL_W + 1))
+        .otherwise(F.lit(_HLL_W + 1) - F.length(F.bin(rem)))
+    )
+    return bucket.alias("bucket"), rho.cast("int").alias("rho")
+
+
+def sql_hll_register(expr: str) -> str:
+    """DuckDB mirror of ``hll_register_cols`` as a SELECT fragment."""
+    h = sql_hash60(expr)
+    return (
+        f"({h}) // {_TWO_W} AS bucket, "
+        f"CASE WHEN ({h}) % {_TWO_W} = 0 THEN {_HLL_W + 1} "
+        f"ELSE {_HLL_W + 1} - length(bin(({h}) % {_TWO_W})) END AS rho"
+    )
+
+
+#: alpha_m * m^2 * 2^(W+1) / Z_int, with the linear-counting branch for the
+#: small range — written once and F.expr'd / inlined verbatim on both
+#: engines so every float op runs in the same order.
+HLL_EST_SQL = (
+    f"CASE WHEN (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0"
+    f" * {float(_Z_ONE)} / CAST(z_int AS DOUBLE) <= {2.5 * HLL_M}"
+    f" AND zeros > 0"
+    f" THEN {HLL_M}.0 * ln({HLL_M}.0 / CAST(zeros AS DOUBLE))"
+    f" ELSE (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0"
+    f" * {float(_Z_ONE)} / CAST(z_int AS DOUBLE) END"
+)
+
+
+def hll_sketch(df: DataFrame, key: Column, group_cols: list[str]) -> DataFrame:
+    """Per-group HLL: registers (max rho per bucket — the mergeable state),
+    then the harmonic estimate. Two map-side-combinable aggregations; the
+    register table is m rows per group regardless of input size, and two
+    sketches merge by per-bucket MAX — the property that lets 100 TB of
+    per-partition sketches reduce to one."""
+    b, r = hll_register_cols(key)
+    reg = (
+        df.select(*group_cols, b, r)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    g = reg.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("nonzero_registers"),
+        F.sum("r").cast("long").alias("sum_rho"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                     f"CAST({_HLL_W + 1} - r AS INT))")).alias("_zp"),
+    )
+    return (
+        g.withColumn("zeros", F.lit(HLL_M) - F.col("nonzero_registers"))
+        .withColumn("z_int",
+                    F.col("_zp") + F.col("zeros") * F.lit(_Z_ONE))
+        .withColumn("est_e6",
+                    F.expr(f"CAST(FLOOR(({HLL_EST_SQL}) * 1000000.0) "
+                           f"AS BIGINT)"))
+        .drop("_zp", "z_int")
+    )

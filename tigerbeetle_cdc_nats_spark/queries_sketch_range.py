@@ -104,3 +104,41 @@ def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", "est_count",
                 F.coalesce("true_count", F.lit(0)).alias("true_count"))
     )
+
+
+@register(
+    "hll_user_sketch",
+    f"""WITH ev AS ({_EV}),
+rho AS (
+  SELECT event_type, {sk.sql_hll_register('CAST(user_id AS VARCHAR)')}
+  FROM ev
+),
+reg AS (
+  SELECT event_type, bucket, MAX(rho) AS r FROM rho GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS nonzero_registers,
+         CAST(SUM(r) AS BIGINT) AS sum_rho,
+         CAST(SUM(CAST(1 AS BIGINT) << (52 - r)) AS BIGINT) AS zp
+  FROM reg GROUP BY 1
+),
+z AS (
+  SELECT event_type, nonzero_registers, sum_rho,
+         {sk.HLL_M} - nonzero_registers AS zeros,
+         zp + ({sk.HLL_M} - nonzero_registers) * {sk._Z_ONE} AS z_int
+  FROM g
+)
+SELECT event_type, nonzero_registers, sum_rho, zeros,
+       CAST(FLOOR(({sk.HLL_EST_SQL}) * 1000000.0) AS BIGINT) AS est_e6
+FROM z""",
+    doc="portable HyperLogLog: per-event-type distinct-user sketch whose "
+        "registers derive from the shared md5 hash, so the SKETCH (not "
+        "just its answer) is cross-engine bit-identical and oracle-checked "
+        "— unlike engine-native HLLs (approx_distinct_sketch stays the "
+        "built-in form). Registers merge by per-bucket MAX: 100 TB of "
+        "per-partition sketches reduce to one 512-row state per group",
+)
+def q_hll_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    return sk.hll_sketch(ev, F.col("user_id").cast("string"), ["event_type"])
