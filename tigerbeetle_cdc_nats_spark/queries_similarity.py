@@ -533,3 +533,89 @@ def q_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(F.broadcast(b), F.col("cell_a") < F.col("cell_b"))
         .select("cell_a", "cell_b", s.alias("sim_e6"))
     )
+
+
+def _agreement_oracle() -> str:
+    from tigerbeetle_cdc_nats_spark.queries_dedup import _EST_J, _MINHASH_CTES
+
+    return f"""WITH {_MINHASH_CTES},
+t AS (SELECT doc_a, doc_b FROM wsig WHERE {_EST_J} >= 0.5),
+eb AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
+qd AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket FROM eb),
+cd AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket AS c_bucket FROM eb),
+e AS (SELECT q_id AS doc_a, c_id AS doc_b
+      FROM qd JOIN cd ON q_bucket = c_bucket AND q_id < c_id
+      WHERE {_COS} >= 400000)
+SELECT CASE WHEN t.doc_a IS NULL THEN 'semantic_only'
+            WHEN e.doc_a IS NULL THEN 'text_only'
+            ELSE 'both' END AS agreement_class,
+       COUNT(*) AS n_pairs
+FROM t FULL OUTER JOIN e
+  ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b
+GROUP BY 1"""
+
+
+@register(
+    "dup_method_agreement",
+    _agreement_oracle(),
+    doc="dedup-method agreement matrix: near-dup pairs from MinHash LSH "
+        "(text, est. jaccard >= 0.5) full-outer joined against pairs from "
+        "embedding-cosine LSH (semantic, cos >= 0.4), classified "
+        "both / text_only / semantic_only — the audit that says whether "
+        "the cheap text pass can replace the embedding pass. Uses the "
+        "testdata's vec_id == doc_id linkage",
+)
+def q_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement between the two near-dup candidate generators.
+
+    Scale shape: both pair sets come from their existing equality-join
+    candidate machinery (banded MinHash buckets / LSH cosine buckets —
+    never all-pairs); the agreement join runs on the PAIR sets, which are
+    O(corpus) under calibrated thresholds, not O(corpus^2).
+    """
+    from pyspark.sql import functions as F
+
+    from tigerbeetle_cdc_nats_spark.operators import dedup as dd
+    from tigerbeetle_cdc_nats_spark.queries_dedup import DUP_CLUSTER_THRESHOLD
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    sigs = dd.minhash_signatures(docs)
+    t = (
+        dd.minhash_candidate_pairs(sigs)
+        .where(F.col("est_jaccard") >= DUP_CLUSTER_THRESHOLD)
+        .select(F.col("doc_a").alias("t_a"), F.col("doc_b").alias("t_b"))
+    )
+
+    b = sim.lsh_buckets(emb, _planes(sf_dir), dim=_dim(sf_dir)).withColumn(
+        "norm", sim.norm_col("embedding", _dim(sf_dir)))
+    q = b.select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.col("bucket").alias("q_bucket"), F.col("norm").alias("q_n"))
+    c = b.select(F.col("vec_id").alias("c_id"),
+                 F.col("embedding").alias("c_emb"),
+                 F.col("bucket").alias("c_bucket"), F.col("norm").alias("c_n"))
+    s = sim.cosine_sim_e6_prenorm(F.col("q_emb"), F.col("c_emb"),
+                                  F.col("q_n"), F.col("c_n"), None)
+    e = (
+        q.join(c, (F.col("q_bucket") == F.col("c_bucket"))
+               & (F.col("q_id") < F.col("c_id")))
+        .select(F.col("q_id").alias("e_a"), F.col("c_id").alias("e_b"),
+                s.alias("sim_e6"))
+        .where(F.col("sim_e6") >= 400000)
+        .select("e_a", "e_b")
+    )
+
+    j = t.join(e, (F.col("t_a") == F.col("e_a"))
+               & (F.col("t_b") == F.col("e_b")), "full_outer")
+    cls = (
+        F.when(F.col("t_a").isNull(), "semantic_only")
+        .when(F.col("e_a").isNull(), "text_only")
+        .otherwise("both")
+    )
+    return (
+        j.select(cls.alias("agreement_class"))
+        .groupBy("agreement_class")
+        .agg(F.count("*").alias("n_pairs"))
+    )
