@@ -141,18 +141,27 @@ HLL_EST_SQL = (
 )
 
 
-def hll_sketch(df: DataFrame, key: Column, group_cols: list[str]) -> DataFrame:
-    """Per-group HLL: registers (max rho per bucket — the mergeable state),
-    then the harmonic estimate. Two map-side-combinable aggregations; the
-    register table is m rows per group regardless of input size, and two
-    sketches merge by per-bucket MAX — the property that lets 100 TB of
-    per-partition sketches reduce to one."""
+def hll_registers(df: DataFrame, key: Column,
+                  group_cols: list[str]) -> DataFrame:
+    """Per-group register table (bucket, r = max rho) — the mergeable HLL
+    state: m rows per group regardless of input size, merged by per-bucket
+    MAX. Works identically on batch and streaming DataFrames; as a
+    streaming aggregation the state is bounded by construction (m keys per
+    group, no watermark needed) and MAX is idempotent, so at-least-once
+    replay cannot corrupt the sketch."""
     b, r = hll_register_cols(key)
-    reg = (
+    return (
         df.select(*group_cols, b, r)
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("r"))
     )
+
+
+def hll_estimate_from_registers(reg: DataFrame,
+                                group_cols: list[str]) -> DataFrame:
+    """Harmonic estimate (with linear-counting small range) from a register
+    table — the read side of the sketch; shared by the batch query and the
+    streaming register maintenance."""
     g = reg.groupBy(*group_cols).agg(
         F.count("*").cast("long").alias("nonzero_registers"),
         F.sum("r").cast("long").alias("sum_rho"),
@@ -168,3 +177,10 @@ def hll_sketch(df: DataFrame, key: Column, group_cols: list[str]) -> DataFrame:
                            f"AS BIGINT)"))
         .drop("_zp", "z_int")
     )
+
+
+def hll_sketch(df: DataFrame, key: Column, group_cols: list[str]) -> DataFrame:
+    """Per-group HLL: registers then estimate — two map-side-combinable
+    aggregations end to end."""
+    return hll_estimate_from_registers(
+        hll_registers(df, key, group_cols), group_cols)
