@@ -66,3 +66,19 @@ def test_cursor_scan_on_store_prunes_by_date(spark, store):
     # Equivalence with the unpartitioned filter.
     expect = df.where(F.col("ts") > cursor).count()
     assert scan.count() == expect
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from tigerbeetle_cdc_nats_spark.sources.layout import zorder_key
+
+    cases = [(0, 0, 0), (1, 0, 1), (0, 1, 2), (1, 1, 3),
+             (2, 0, 4), (0, 2, 8), (3, 3, 15), (5, 3, 27),
+             (1023, 1023, (1 << 20) - 1)]
+    df = spark.createDataFrame([(a, b, w) for a, b, w in cases],
+                               "a long, b long, want long")
+    got = df.select(
+        "want", zorder_key(F.col("a"), F.col("b")).alias("zkey")).collect()
+    for r in got:
+        assert r["zkey"] == r["want"]

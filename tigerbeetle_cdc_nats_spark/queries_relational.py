@@ -1546,3 +1546,47 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"),
              F.sum(agg.cents()).alias("sum_cents"))
     )
+
+
+from tigerbeetle_cdc_nats_spark.sources.layout import (  # noqa: E402
+    sql_zorder_key,
+    zorder_key,
+)
+
+
+@register(
+    "zorder_layout",
+    f"""WITH ev AS ({_EV}),
+dims AS (
+  SELECT user_id % 1024 AS u, (ts // 86400000000000) % 1024 AS d
+  FROM ev
+),
+keyed AS (
+  SELECT u, d, {sql_zorder_key('u', 'd')} AS zkey
+  FROM dims
+)
+SELECT zkey // 1024 AS zbucket,
+       COUNT(*) AS n_events,
+       MAX(u) - MIN(u) AS u_span,
+       MAX(d) - MIN(d) AS d_span
+FROM keyed GROUP BY 1""",
+    doc="z-order clustering audit: Morton-interleave (account, day) into a "
+        "sort key and show every key-range bucket covers a NARROW span of "
+        "BOTH dimensions — the property that makes parquet zone-map "
+        "pruning work for predicates on either column after a single "
+        "z-sorted rewrite (a plain sort serves only its leading column)",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    dims = ev.select(
+        (F.col("user_id") % 1024).alias("u"),
+        (F.expr("ts div 86400000000000") % 1024).alias("d"),
+    )
+    keyed = dims.select(
+        "u", "d", zorder_key(F.col("u"), F.col("d")).alias("zkey"))
+    return (
+        keyed.groupBy(F.shiftright("zkey", 10).alias("zbucket"))
+        .agg(F.count("*").alias("n_events"),
+             (F.max("u") - F.min("u")).alias("u_span"),
+             (F.max("d") - F.min("d")).alias("d_span"))
+    )
