@@ -373,3 +373,57 @@ def q_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                      & (F.col("exact_e6") < 500000), 1).otherwise(0))
         .cast("bigint").alias("n_false_pos_at_50"),
     )
+
+
+@register(
+    "dup_pagerank",
+    f"""WITH RECURSIVE {_MINHASH_CTES},
+scored AS (SELECT doc_a, doc_b FROM wsig
+           WHERE {_EST_J} >= {DUP_CLUSTER_THRESHOLD}),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM scored
+          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM scored),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+c1 AS (SELECT e.dst, SUM(r.pr // d.deg) AS s
+       FROM edges e JOIN deg d ON d.src = e.src
+       JOIN r0 r ON r.node = e.src
+       GROUP BY e.dst),
+r1 AS (SELECT dst AS node,
+              150000 + CAST(FLOOR(0.85 * CAST(s AS DOUBLE)) AS BIGINT) AS pr
+       FROM c1),
+c2 AS (SELECT e.dst, SUM(r.pr // d.deg) AS s
+       FROM edges e JOIN deg d ON d.src = e.src
+       JOIN r1 r ON r.node = e.src
+       GROUP BY e.dst),
+r2 AS (SELECT dst AS node,
+              150000 + CAST(FLOOR(0.85 * CAST(s AS DOUBLE)) AS BIGINT) AS pr
+       FROM c2)
+SELECT r2.node AS doc_id, CAST(d.deg AS BIGINT) AS degree,
+       CAST(r2.pr AS BIGINT) AS pr_e6
+FROM r2 JOIN deg d ON d.src = r2.node""",
+    doc="PageRank over the near-dup graph (two damped iterations, ranks in "
+        "integer 1e-6 units — rank//degree contributions and "
+        "FLOOR(0.85*sum) updates are cross-engine exact): ranks hub "
+        "documents whose content spread widest; complements "
+        "connected_components (membership) with centrality",
+)
+def q_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two PR iterations over the MinHash near-dup edges.
+
+    Scale shape: edges come from the LSH candidate machinery (linear);
+    each iteration is one join + one groupBy, both keyed on the node id
+    so the shuffle partitioning is reused across iterations; per-iteration
+    state is one BIGINT per node. The edge+degree side is persisted once
+    and read by every iteration.
+    """
+    from tigerbeetle_cdc_nats_spark.operators.graph import (
+        pagerank_e6,
+        undirect,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
+    pairs = dd.minhash_candidate_pairs(sigs).where(
+        F.col("est_jaccard") >= DUP_CLUSTER_THRESHOLD).select(
+        "doc_a", "doc_b")
+    return pagerank_e6(undirect(pairs), iterations=2)
