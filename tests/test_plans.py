@@ -156,6 +156,45 @@ def test_range_join_is_equality_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_interval_overlap_join_is_equality_join(spark, sf_dir):
+    """Interval x interval overlap has NO natural equality key; the
+    bucketized form must still plan as an equality join on the grain
+    bucket — nested loops over two 100 TB interval sets is quadratic."""
+    plan = plan_of(spark, sf_dir, "interval_overlap_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_join_emits_each_pair_once(spark):
+    """Pairs sharing several grain buckets must surface exactly once (the
+    emit-once guard), and the result must equal the naive theta join."""
+    from pyspark.sql import functions as F
+
+    from tigerbeetle_cdc_nats_spark.operators.range_join import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 0, 250), (2, 100, 120), (3, 900, 1000)],
+        "a_id long, a_lo long, a_hi long")
+    b = spark.createDataFrame(
+        [(10, 50, 260), (11, 240, 400), (12, 990, 1200)],
+        "b_id long, b_lo long, b_hi long")
+    got = sorted(
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(
+            a, b, a_lo="a_lo", a_hi="a_hi", b_lo="b_lo", b_hi="b_hi",
+            grain=100).collect())
+    naive = sorted(
+        (r["a_id"], r["b_id"])
+        for r in a.crossJoin(b).where(
+            (F.col("a_lo") < F.col("b_hi"))
+            & (F.col("b_lo") < F.col("a_hi"))).collect())
+    # (1,10) shares 3 buckets — must appear exactly once
+    assert got == naive
+    assert got.count((1, 10)) == 1
+
+
 def test_q6_all_predicates_reach_scan(spark, sf_dir):
     """Q6 is a pure scan query: every predicate (two timestamp bounds, the
     discount band, the quantity cap) must push to parquet so row groups

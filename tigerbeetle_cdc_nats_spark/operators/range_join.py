@@ -43,3 +43,39 @@ def range_join(facts: DataFrame, intervals: DataFrame, *, ts_col: str,
         (F.col(ts_col) >= F.col(lo_col)) & (F.col(ts_col) <= F.col(hi_col))
     )
     return joined.drop("_bucket")
+
+
+def interval_overlap_join(a: DataFrame, b: DataFrame, *,
+                          a_lo: str, a_hi: str, b_lo: str, b_hi: str,
+                          grain: int) -> DataFrame:
+    """Interval x interval overlap join (half-open [lo, hi) on both sides)
+    — the generalization of ``range_join`` where BOTH sides are intervals.
+
+    Each side replicates into every grain bucket it overlaps; the equality
+    join on the bucket bounds compares to co-bucketed pairs; the exact
+    ``a.lo < b.hi AND b.lo < a.hi`` predicate filters them. A pair that
+    overlaps across several shared buckets would surface once per bucket,
+    so the EMIT-ONCE guard keeps only the bucket containing the overlap's
+    start (``greatest(a.lo, b.lo)``) — no downstream DISTINCT (which would
+    be a second shuffle of the full pair set) is needed.
+
+    Output: all columns of both sides. Compare cost is
+    O(pairs-per-bucket), never |a| x |b|.
+    """
+    ae = a.withColumn(
+        "_bucket",
+        F.explode(F.sequence(F.col(a_lo) - F.col(a_lo) % grain,
+                             (F.col(a_hi) - 1) - (F.col(a_hi) - 1) % grain,
+                             F.lit(grain))))
+    be = b.withColumn(
+        "_bucket",
+        F.explode(F.sequence(F.col(b_lo) - F.col(b_lo) % grain,
+                             (F.col(b_hi) - 1) - (F.col(b_hi) - 1) % grain,
+                             F.lit(grain))))
+    start = F.greatest(F.col(a_lo), F.col(b_lo))
+    return (
+        ae.join(be, on="_bucket")
+        .where((F.col(a_lo) < F.col(b_hi)) & (F.col(b_lo) < F.col(a_hi)))
+        .where(F.col("_bucket") == start - start % grain)
+        .drop("_bucket")
+    )

@@ -142,3 +142,45 @@ FROM z""",
 def q_hll_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_table(spark, sf_dir)
     return sk.hll_sketch(ev, F.col("user_id").cast("string"), ["event_type"])
+
+
+@register(
+    "interval_overlap_join",
+    f"""WITH ev AS ({_EV}),
+a AS (
+  SELECT event_id AS signup_id, ts AS a_lo, ts + {2 * HOUR_NS} AS a_hi
+  FROM ev WHERE event_type = 'signup'
+),
+b AS (
+  SELECT event_id AS purchase_id, ts AS b_lo, ts + {HOUR_NS} AS b_hi
+  FROM ev WHERE event_type = 'purchase'
+)
+SELECT signup_id, purchase_id,
+       LEAST(a_hi, b_hi) - GREATEST(a_lo, b_lo) AS overlap_ns
+FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi""",
+    doc="interval x interval overlap join (signup 2h windows x purchase "
+        "1h windows) via grain bucketing with an emit-once guard — no "
+        "equality key exists, yet the plan is a plain shuffled equality "
+        "join on the bucket, never a nested-loop; the guard emits each "
+        "pair from exactly one shared bucket so no dedup shuffle follows",
+)
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigerbeetle_cdc_nats_spark.operators.range_join import (
+        interval_overlap_join,
+    )
+
+    ev = events_table(spark, sf_dir)
+    a = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("a_lo"),
+        (F.col("ts") + 2 * HOUR_NS).alias("a_hi"))
+    b = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("b_lo"),
+        (F.col("ts") + HOUR_NS).alias("b_hi"))
+    j = interval_overlap_join(a, b, a_lo="a_lo", a_hi="a_hi",
+                              b_lo="b_lo", b_hi="b_hi", grain=HOUR_NS)
+    return j.select(
+        "signup_id", "purchase_id",
+        (F.least("a_hi", "b_hi") - F.greatest("a_lo", "b_lo"))
+        .alias("overlap_ns"))
