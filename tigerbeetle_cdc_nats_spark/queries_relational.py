@@ -1590,3 +1590,120 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.max("u") - F.min("u")).alias("u_span"),
              (F.max("d") - F.min("d")).alias("d_span"))
     )
+
+
+_HOP_NS = 900_000_000_000           # 15 min hop
+_WIN_HOPS = 4                       # 1 h sliding window = 4 hops
+
+
+@register(
+    "sliding_window_counts",
+    f"""WITH ev AS ({_EV}),
+hopped AS (
+  SELECT ts - ts % {_HOP_NS} - unnest(range(0, {_WIN_HOPS})) * {_HOP_NS}
+           AS window_start,
+         user_id, {_CENTS} AS cents
+  FROM ev
+)
+SELECT window_start, COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM hopped GROUP BY window_start""",
+    doc="sliding (hopping) window aggregation: 1 h windows every 15 min — "
+        "each event replicates into its 4 covering windows (explode, the "
+        "batch form of F.window's slide), then one groupBy; tumbling "
+        "windows are the rate_window_counts query, this adds the "
+        "overlapping form",
+)
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    hop = F.explode(F.sequence(F.lit(0), F.lit(_WIN_HOPS - 1))).alias("_i")
+    hopped = ev.select("ts", "user_id", agg.cents().alias("cents"), hop)
+    return (
+        hopped.select(
+            (F.col("ts") - F.col("ts") % _HOP_NS
+             - F.col("_i") * _HOP_NS).alias("window_start"),
+            "user_id", "cents")
+        .groupBy("window_start")
+        .agg(F.count("*").alias("n_events"),
+             F.countDistinct("user_id").cast("bigint").alias("n_users"),
+             F.sum("cents").alias("sum_cents"))
+    )
+
+
+_WEEK_NS = 604_800_000_000_000
+
+
+@register(
+    "cohort_retention",
+    f"""WITH ev AS ({_EV}),
+first_seen AS (
+  SELECT user_id, MIN(ts) // {_WEEK_NS} AS cohort_week
+  FROM ev GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, ts // {_WEEK_NS} AS active_week FROM ev
+)
+SELECT f.cohort_week, a.active_week - f.cohort_week AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM activity a JOIN first_seen f USING (user_id)
+GROUP BY 1, 2""",
+    doc="cohort retention: users grouped by first-seen week, counted in "
+        "each later week they were active — the product-analytics "
+        "retention triangle. Two aggregations plus one join co-keyed on "
+        "user_id; all week arithmetic is integer division of the ns "
+        "timestamp",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    week = F.expr(f"ts div {_WEEK_NS}")
+    first_seen = ev.groupBy("user_id").agg(
+        F.expr(f"min(ts) div {_WEEK_NS}").alias("cohort_week"))
+    activity = ev.select("user_id", week.alias("active_week")).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy("cohort_week",
+                 (F.col("active_week") - F.col("cohort_week"))
+                 .alias("week_offset"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+@register(
+    "conversion_funnel",
+    f"""WITH ev AS ({_EV}),
+v AS (SELECT user_id, MIN(ts) AS v_ts FROM ev
+      WHERE event_type = 'view' GROUP BY user_id),
+s AS (SELECT e.user_id, MIN(e.ts) AS s_ts
+      FROM ev e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'signup' AND e.ts > v.v_ts
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM ev e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.s_ts
+      GROUP BY e.user_id)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_viewed,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_signed_up,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchased""",
+    doc="sequenced conversion funnel: first view, then first signup AFTER "
+        "it, then first purchase after that — per-stage first-occurrence "
+        "aggregations chained by user-keyed joins (ORDERED sequencing, "
+        "not mere per-type presence); every join is co-partitioned on "
+        "user_id so the funnel adds no extra shuffle pattern at scale",
+)
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+
+    v = (ev.where(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("v_ts")))
+    s = (ev.where(F.col("event_type") == "signup")
+         .join(v, "user_id").where(F.col("ts") > F.col("v_ts"))
+         .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .join(s, "user_id").where(F.col("ts") > F.col("s_ts"))
+         .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
+    return (
+        v.agg(F.count("*").cast("bigint").alias("n_viewed"))
+        .crossJoin(s.agg(F.count("*").cast("bigint").alias("n_signed_up")))
+        .crossJoin(p.agg(F.count("*").cast("bigint").alias("n_purchased")))
+    )
