@@ -1707,3 +1707,63 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(s.agg(F.count("*").cast("bigint").alias("n_signed_up")))
         .crossJoin(p.agg(F.count("*").cast("bigint").alias("n_purchased")))
     )
+
+
+@register(
+    "ledger_unpivot",
+    f"""WITH ev AS ({_EV}),
+counts AS (
+  SELECT user_id % 10 AS ledger, event_type, COUNT(*) AS n
+  FROM ev GROUP BY 1, 2
+),
+ledgers AS (SELECT DISTINCT user_id % 10 AS ledger FROM ev),
+types AS (SELECT UNNEST(['click','error','purchase','signup','view'])
+            AS event_type)
+SELECT l.ledger, t.event_type,
+       COALESCE(c.n, 0) AS n_events
+FROM ledgers l CROSS JOIN types t
+LEFT JOIN counts c ON c.ledger = l.ledger AND c.event_type = t.event_type""",
+    doc="unpivot/melt: the wide per-ledger matrix (ledger_pivot's shape) "
+        "folded back to long (ledger, event_type, n) rows via stack() — "
+        "the inverse reshaping operator, zero-filled cells included",
+)
+def q_ledger_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir).withColumn(
+        "ledger", F.col("user_id") % 10)
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = ev.groupBy("ledger").pivot("event_type", types).count()
+    wide = pivoted.select(
+        "ledger", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types])
+    stack_args = ", ".join(f"'{t}', {t}" for t in types)
+    return wide.select(
+        "ledger",
+        F.expr(f"stack({len(types)}, {stack_args}) AS (event_type, n_events)"),
+    ).select("ledger", "event_type", "n_events")
+
+
+@register(
+    "ledger_grouping_sets",
+    f"""WITH ev AS ({_EV})
+SELECT user_id % 10 AS ledger, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM({_CENTS}) AS BIGINT) AS sum_cents,
+       CAST(GROUPING(user_id % 10) * 2 + GROUPING(event_type) AS BIGINT)
+         AS grouping_mask
+FROM ev GROUP BY GROUPING SETS ((user_id % 10), (event_type))""",
+    doc="explicit GROUPING SETS: only the two one-dimension margins (no "
+        "pair cells, no grand total — the slices a dashboard actually "
+        "reads), with GROUPING() disambiguating which margin a row belongs "
+        "to; completes the cube (ledger_cube) / rollup (ledger_rollup) "
+        "family. One pass over the facts expands to just the requested "
+        "sets, not the full 2^k lattice",
+)
+def q_ledger_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir).withColumn(
+        "ledger", F.col("user_id") % 10)
+    return (
+        ev.groupingSets([["ledger"], ["event_type"]], "ledger", "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(agg.cents()).alias("sum_cents"),
+             (F.grouping("ledger") * 2 + F.grouping("event_type"))
+             .cast("bigint").alias("grouping_mask"))
+    )
