@@ -197,3 +197,118 @@ def q_stream_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_ns").alias("max_gap_ns"),
         (F.max("ts") - F.min("ts")).alias("span_ns"),
     )
+
+
+@register(
+    "integrity_audit",
+    f"""WITH ev AS ({_EV})
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM ev
+   WHERE user_id NOT IN (SELECT s_suppkey FROM supplier)) AS n_orphans,
+  (SELECT CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) FROM ev)
+    AS n_dup_ids,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM ev
+   WHERE event_id IS NULL OR ts IS NULL OR user_id IS NULL
+      OR event_type IS NULL OR value IS NULL) AS n_nulls,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM ev WHERE value <= 0) AS n_bad_values,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM ev
+   WHERE ts < 1704067200000000000 OR ts >= 1706745600000000000)
+    AS n_ts_out_of_range""",
+    doc="data-quality audit of the event stream: referential orphans "
+        "(accounts missing from the registry dim — a broadcast anti "
+        "join), duplicate identity keys, null violations, value-range "
+        "violations, timestamp-bound violations — the checks a CDC "
+        "consumer runs before trusting a batch; one pass per check, "
+        "every check a plain aggregate",
+)
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigerbeetle_cdc_nats_spark.operators.joins import anti_join
+    from tigerbeetle_cdc_nats_spark.session import load_table
+
+    ev = events_table(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("user_id"))
+    orphans = anti_join(ev.select("user_id"), supp, "user_id").agg(
+        F.count("*").cast("bigint").alias("n_orphans"))
+    base = ev.agg(
+        (F.count("*") - F.countDistinct("event_id")).cast("bigint")
+        .alias("n_dup_ids"),
+        F.sum(
+            F.when(F.col("event_id").isNull() | F.col("ts").isNull()
+                   | F.col("user_id").isNull() | F.col("event_type").isNull()
+                   | F.col("value").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_nulls"),
+        F.sum(F.when(F.col("value") <= 0, 1).otherwise(0)).cast("bigint")
+        .alias("n_bad_values"),
+        F.sum(F.when((F.col("ts") < 1704067200000000000)
+                     | (F.col("ts") >= 1706745600000000000), 1).otherwise(0))
+        .cast("bigint").alias("n_ts_out_of_range"),
+    )
+    return orphans.crossJoin(base).select(
+        "n_orphans", "n_dup_ids", "n_nulls", "n_bad_values",
+        "n_ts_out_of_range")
+
+
+@register(
+    "column_stats",
+    f"""WITH ev AS ({_EV}),
+g AS (
+  SELECT COUNT(*) AS n,
+    COUNT(DISTINCT event_id) AS d_id, CAST(MIN(event_id) AS VARCHAR) AS mn_id,
+    CAST(MAX(event_id) AS VARCHAR) AS mx_id,
+    COUNT(DISTINCT ts) AS d_ts, CAST(MIN(ts) AS VARCHAR) AS mn_ts,
+    CAST(MAX(ts) AS VARCHAR) AS mx_ts,
+    COUNT(DISTINCT user_id) AS d_u, CAST(MIN(user_id) AS VARCHAR) AS mn_u,
+    CAST(MAX(user_id) AS VARCHAR) AS mx_u,
+    COUNT(DISTINCT event_type) AS d_t, MIN(event_type) AS mn_t,
+    MAX(event_type) AS mx_t,
+    COUNT(DISTINCT {_CENTS}) AS d_c, CAST(MIN({_CENTS}) AS VARCHAR) AS mn_c,
+    CAST(MAX({_CENTS}) AS VARCHAR) AS mx_c
+  FROM ev
+)
+SELECT col_name, n AS n_rows, n_distinct, min_v, max_v FROM (
+  SELECT n, 'event_id' AS col_name, d_id AS n_distinct,
+         mn_id AS min_v, mx_id AS max_v FROM g
+  UNION ALL SELECT n, 'ts', d_ts, mn_ts, mx_ts FROM g
+  UNION ALL SELECT n, 'user_id', d_u, mn_u, mx_u FROM g
+  UNION ALL SELECT n, 'event_type', d_t, mn_t, mx_t FROM g
+  UNION ALL SELECT n, 'cents', d_c, mn_c, mx_c FROM g
+)""",
+    doc="one-pass column statistics (the ANALYZE TABLE shape): row count "
+        "plus per-column distinct count and min/max collected in a SINGLE "
+        "aggregation over the table, then reshaped to one row per column "
+        "— the stats a cost-based optimizer and a zone-map layout "
+        "decision both feed on. Money stats run on exact integer cents "
+        "(double min/max string formatting is engine-specific)",
+)
+def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    cents = agg.cents()
+    g = ev.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("event_id").alias("d_id"),
+        F.min("event_id").cast("string").alias("mn_id"),
+        F.max("event_id").cast("string").alias("mx_id"),
+        F.countDistinct("ts").alias("d_ts"),
+        F.min("ts").cast("string").alias("mn_ts"),
+        F.max("ts").cast("string").alias("mx_ts"),
+        F.countDistinct("user_id").alias("d_u"),
+        F.min("user_id").cast("string").alias("mn_u"),
+        F.max("user_id").cast("string").alias("mx_u"),
+        F.countDistinct("event_type").alias("d_t"),
+        F.min("event_type").alias("mn_t"),
+        F.max("event_type").alias("mx_t"),
+        F.countDistinct(cents).alias("d_c"),
+        F.min(cents).cast("string").alias("mn_c"),
+        F.max(cents).cast("string").alias("mx_c"),
+    )
+    stack = F.expr(
+        "stack(5,"
+        " 'event_id', d_id, mn_id, mx_id,"
+        " 'ts', d_ts, mn_ts, mx_ts,"
+        " 'user_id', d_u, mn_u, mx_u,"
+        " 'event_type', d_t, mn_t, mx_t,"
+        " 'cents', d_c, mn_c, mx_c)"
+        " AS (col_name, n_distinct, min_v, max_v)")
+    return g.select(F.col("n").alias("n_rows"), stack).select(
+        "col_name", "n_rows", "n_distinct", "min_v", "max_v")
