@@ -427,3 +427,48 @@ def q_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_jaccard") >= DUP_CLUSTER_THRESHOLD).select(
         "doc_a", "doc_b")
     return pagerank_e6(undirect(pairs), iterations=2)
+
+
+@register(
+    "edit_distance_dedup",
+    f"""WITH RECURSIVE {_MINHASH_CTES},
+cand AS (SELECT doc_a, doc_b FROM wsig WHERE {_EST_J} >= 0.3),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+         CAST(GREATEST(len(a.text), len(b.text)) AS BIGINT) AS max_len
+  FROM cand c
+  JOIN documents a ON a.doc_id = c.doc_a
+  JOIN documents b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, edit_dist, max_len
+FROM scored
+WHERE edit_dist * 4 <= max_len""",
+    doc="edit-distance fuzzy dedup: exact Levenshtein (identical DP "
+        "definition on both engines) evaluated ONLY on MinHash LSH "
+        "candidate pairs, kept when the distance is <= 25% of the longer "
+        "text — the character-level complement to token-level Jaccard. "
+        "O(len^2) per compare makes the candidate pre-filter mandatory at "
+        "scale; the threshold is integer arithmetic (dist*4 <= len), no "
+        "float ratio",
+)
+def q_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
+    cand = dd.minhash_candidate_pairs(sigs).where(
+        F.col("est_jaccard") >= 0.3).select("doc_a", "doc_b")
+    a = docs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("text").alias("text_b"))
+    scored = (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.levenshtein("text_a", "text_b").cast("bigint")
+            .alias("edit_dist"),
+            F.greatest(F.length("text_a"), F.length("text_b")).cast("bigint")
+            .alias("max_len"),
+        )
+    )
+    return scored.where(F.col("edit_dist") * 4 <= F.col("max_len"))
