@@ -904,3 +904,63 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_x", "source_y")
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
     )
+
+
+#: Passage-chunking geometry: 32-word windows advancing 24 words (8-word
+#: overlap). Real RAG/pretraining chunkers use 256-1024 tokens; the synthetic
+#: docs are ~50 words, so 32/24 yields 2-3 chunks per doc and exercises both
+#: the overlap and the short-tail edge.
+CHUNK_W = 32
+CHUNK_STRIDE = 24
+
+
+@register(
+    "passage_chunking",
+    f"""WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id, words,
+         unnest(generate_series(0, len(words) - 1, {CHUNK_STRIDE})) AS start
+  FROM w
+)
+SELECT doc_id,
+       CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS start_word,
+       CAST(LEAST({CHUNK_W}, len(words) - start) AS BIGINT) AS n_chunk_words,
+       array_to_string(words[start + 1 : start + {CHUNK_W}], ' ')
+         AS chunk_text
+FROM s""",
+    doc="RAG/pretraining passage chunking: sliding word windows "
+        f"(W={CHUNK_W}, stride={CHUNK_STRIDE}, overlap "
+        f"{CHUNK_W - CHUNK_STRIDE}) with per-chunk offsets — the 1->N doc "
+        "-> passage fan-out every retrieval corpus build runs",
+)
+def q_passage_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode each document into overlapping word-window passages.
+
+    Scale shape: split -> sequence -> explode -> slice is a pure per-row
+    JVM pipeline — zero shuffle, whole-stage codegen, and the fan-out
+    factor (~n_words/stride) is bounded per row, so executor memory stays
+    flat no matter the corpus size. Emitting (doc_id, chunk_id, offsets)
+    keeps chunks joinable back to their source doc for provenance, and the
+    chunk rows feed directly into the dedup/embedding stages
+    (exact_dedup/knn run unchanged on chunk_text).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(0), F.size(words) - 1, F.lit(CHUNK_STRIDE))
+    return (
+        docs.select("doc_id", words.alias("words"),
+                    F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+            F.col("start").cast("bigint").alias("start_word"),
+            F.least(F.lit(CHUNK_W), F.size("words") - F.col("start"))
+            .cast("bigint").alias("n_chunk_words"),
+            F.array_join(F.slice("words", F.col("start") + 1, CHUNK_W), " ")
+            .alias("chunk_text"),
+        )
+    )

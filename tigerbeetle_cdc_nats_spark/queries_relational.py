@@ -1767,3 +1767,50 @@ def q_ledger_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.grouping("ledger") * 2 + F.grouping("event_type"))
              .cast("bigint").alias("grouping_mask"))
     )
+
+
+@register(
+    "bloom_prefilter_join",
+    """SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem
+WHERE l_orderkey IN
+      (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag""",
+    doc="bloom-prefiltered semi join: fact rows are pruned by a bit-packed "
+        "bloom filter (built from the selective order subset, probed via "
+        "broadcast word-index joins) BEFORE the exact semi join resolves "
+        "false positives — result-identical to the plain semi join, which "
+        "is exactly why it is oracle-checkable",
+)
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem revenue by return flag for urgent orders, with the fact scan
+    bloom-pruned before the join.
+
+    Scale shape: the bloom build aggregates to <= m/64 = 2048 rows no matter
+    how many urgent orders exist (bit_or partial-aggregates map-side); the
+    probe is k=3 broadcast joins of a few KB each, so the 100 TB fact table
+    is filtered in its scan stage without shuffling. Only survivors (true
+    matches + <1% false positives) pay the exact semi-join shuffle. This is
+    the manual analogue of Spark's runtime row-level bloom filtering, which
+    Catalyst can't inject here because the fact side has no selective scan
+    predicate of its own.
+    """
+    from tigerbeetle_cdc_nats_spark.operators import bloom
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = (load_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_orderkey"))
+    words = bloom.bloom_build(urgent, "o_orderkey")
+    pruned = bloom.bloom_probe(li, "l_orderkey", words)
+    exact = pruned.join(urgent, pruned["l_orderkey"] == urgent["o_orderkey"],
+                        "left_semi")
+    return (
+        exact.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_items"),
+             F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+             .cast("bigint").alias("price_cents"))
+    )
