@@ -59,7 +59,7 @@ def bloom_build(keys: DataFrame, key: str,
     pos = F.explode(F.array(*_positions(kc, k, m_bits))).alias("pos")
     return (
         keys.select(pos)
-        .select((F.col("pos") / 64).cast("bigint").alias("word"),
+        .select(F.expr("pos DIV 64").alias("word"),
                 # F.shiftleft only takes a literal shift; the SQL form
                 # accepts a column shift and stays in codegen
                 F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
@@ -75,8 +75,14 @@ def bloom_probe(probe: DataFrame, key: str, words: DataFrame,
     negatives; false positives pass and must be resolved by an exact join).
 
     Each of the ``k`` membership tests is a broadcast left join on the
-    packed word index — the fact side stays un-shuffled.
+    packed word index — the fact side stays un-shuffled. The word index is
+    persisted because the per-test column renames give the three broadcast
+    subtrees different canonical forms, defeating ReusedExchange — without
+    it the build-side scan+aggregate would run k times.
     """
+    from pyspark import StorageLevel
+
+    words = words.persist(StorageLevel.MEMORY_AND_DISK)
     out = probe
     keep = F.lit(True)
     for i, pos in enumerate(_positions(F.col(key), k, m_bits)):
@@ -84,7 +90,7 @@ def bloom_probe(probe: DataFrame, key: str, words: DataFrame,
              .withColumnRenamed("mask", f"_bm{i}"))
         out = out.withColumn(f"_bp{i}", pos).join(
             F.broadcast(w),
-            (F.col(f"_bp{i}") / 64).cast("bigint") == F.col(f"_bw{i}"),
+            F.expr(f"_bp{i} DIV 64") == F.col(f"_bw{i}"),
             "left")
         keep = keep & (
             F.expr(f"shiftright(coalesce(_bm{i}, CAST(0 AS BIGINT)),"
