@@ -964,3 +964,128 @@ def q_passage_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chunk_text"),
         )
     )
+
+
+#: Heavy-hitter threshold: report tokens whose exact global count exceeds
+#: total_tokens / HH_K. The Misra-Gries summaries are sized to this k, which
+#: is what makes the candidate set provably complete (see query docstring).
+#: 30 sits just under the synthetic corpus's ~1/31-uniform token shares, so
+#: the filter genuinely discriminates (some tokens pass, some don't).
+HH_K = 30
+
+
+@register(
+    "heavy_hitters",
+    f"""WITH toks AS (
+  SELECT unnest(str_split(text, ' ')) AS tok FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM toks),
+cnts AS (SELECT tok, COUNT(*) AS n_occurrences FROM toks GROUP BY tok)
+SELECT c.tok, c.n_occurrences
+FROM cnts c, tot t
+WHERE c.n_occurrences * {HH_K} > t.n""",
+    doc=f"heavy hitters: tokens with exact frequency > 1/{HH_K} of the "
+        "corpus, found via per-partition Misra-Gries summaries + exact "
+        "recount of the candidate union — the mergeable-sketch pattern "
+        "that replaces a full-vocabulary shuffle at corpus scale",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-token detection with a sketch-then-verify plan.
+
+    Scale shape: the naive plan shuffles the ENTIRE vocabulary histogram
+    (billions of distinct tokens at 100 TB) to answer a question about the
+    ~k most frequent ones. Here each input partition builds a bounded
+    Misra-Gries summary (capacity k, Arrow-batched via mapInPandas, state
+    carried across batches within the partition), so the only full-data
+    shuffle is the recount of candidate tokens — and the candidate list is
+    <= k x n_partitions rows, broadcast back for a map-side semi probe.
+    Completeness: a token with global count > n/k has, by pigeonhole,
+    count_p > n_p/k in some partition, and a capacity-k MG summary never
+    evicts such a token — so the exact recount sees every true heavy
+    hitter, which is why the result matches the exact oracle.
+    """
+    cap = HH_K  # MG guarantee needs capacity >= k - 1; use k
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, cnt in pdf["tok"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            if len(counters) > cap:
+                # bulk-decrement: subtract the (cap+1)-th largest count,
+                # drop non-positives (mergeable-summaries form of MG)
+                cut = sorted(counters.values(), reverse=True)[cap]
+                counters = {t: c - cut for t, c in counters.items()
+                            if c - cut > 0}
+        yield pd.DataFrame({"tok": list(counters.keys())})
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    candidates = (toks.mapInPandas(mg_partition, "tok string")
+                  .distinct())
+    total = toks.agg(F.count("*").alias("n"))
+    return (
+        toks.join(F.broadcast(candidates), "tok", "left_semi")
+        .groupBy("tok").agg(F.count("*").alias("n_occurrences"))
+        .join(F.broadcast(total))
+        .where(F.col("n_occurrences") * HH_K > F.col("n"))
+        .select("tok", "n_occurrences")
+    )
+
+
+@register(
+    "chunk_dedup",
+    f"""WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+s AS (
+  SELECT doc_id, words,
+         unnest(generate_series(0, len(words) - 1, {CHUNK_STRIDE})) AS start
+  FROM w
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(array_to_string(
+           words[start + 1 : start + {CHUNK_W}], ' ')), 1, 15)) AS BIGINT)
+           AS h
+  FROM s
+)
+SELECT h,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(doc_id) AS keeper_doc
+FROM chunks
+GROUP BY h
+HAVING COUNT(*) > 1""",
+    doc="passage-level dedup: hash every overlapping word-window chunk "
+        "(same geometry as passage_chunking) and report chunks appearing "
+        "more than once — the paragraph/passage analogue of exact_dedup "
+        "that catches copy-paste reuse inside otherwise-distinct docs",
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated passages across (and within) documents.
+
+    Scale shape: chunking is the same zero-shuffle per-row fan-out as
+    passage_chunking; the only shuffle is the groupBy on the 60-bit chunk
+    hash — high-cardinality, evenly spread, map-side combinable. Grouping
+    on the hash instead of chunk_text keeps shuffle rows ~8 bytes wide
+    rather than passage-sized; HAVING > 1 prunes the (dominant) unique
+    mass before it reaches the driver-facing result.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(0), F.size(words) - 1, F.lit(CHUNK_STRIDE))
+    chunk_text = F.array_join(
+        F.slice("words", F.col("start") + 1, CHUNK_W), " ")
+    return (
+        docs.select("doc_id", words.alias("words"),
+                    F.explode(starts).alias("start"))
+        .select("doc_id", dd.hash60(chunk_text).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("n_occurrences"),
+             F.countDistinct("doc_id").alias("n_docs"),
+             F.min("doc_id").alias("keeper_doc"))
+        .where(F.col("n_occurrences") > 1)
+    )
