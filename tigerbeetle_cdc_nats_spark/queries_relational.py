@@ -1814,3 +1814,165 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
              .cast("bigint").alias("price_cents"))
     )
+
+
+@register(
+    "numeric_corr_matrix",
+    """WITH c AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS p,
+         CAST(FLOOR(l_discount * 100) AS BIGINT) AS d
+  FROM lineitem
+),
+s AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(q) AS DOUBLE) AS sq, CAST(SUM(p) AS DOUBLE) AS sp,
+    CAST(SUM(d) AS DOUBLE) AS sd,
+    CAST(SUM(q * q) AS DOUBLE) AS sqq, CAST(SUM(p * p) AS DOUBLE) AS spp,
+    CAST(SUM(d * d) AS DOUBLE) AS sdd,
+    CAST(SUM(q * p) AS DOUBLE) AS sqp, CAST(SUM(q * d) AS DOUBLE) AS sqd,
+    CAST(SUM(p * d) AS DOUBLE) AS spd
+  FROM c
+)
+SELECT col_x, col_y, n AS n_rows,
+       (n * sxy - sx * sy)
+         / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_r
+FROM (
+  SELECT n, 'quantity' AS col_x, 'price' AS col_y,
+         sq AS sx, sp AS sy, sqq AS sxx, spp AS syy, sqp AS sxy FROM s
+  UNION ALL SELECT n, 'quantity', 'discount', sq, sd, sqq, sdd, sqd FROM s
+  UNION ALL SELECT n, 'price', 'discount', sp, sd, spp, sdd, spd FROM s
+)""",
+    doc="pairwise Pearson correlation matrix over lineitem numerics from "
+        "ONE aggregation pass of exact integer sums (quantity, price-cents, "
+        "discount-cents); the final r is computed from those exact sums "
+        "with identical double arithmetic on both engines — no streaming "
+        "co-moment accumulation whose result depends on row order",
+)
+def q_numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation profiling, the scale-safe way.
+
+    Scale shape: one full scan, one partial-aggregated reduce to a single
+    row of 10 exact integer sums (DECIMAL-wide against 100 TB overflow),
+    then a constant-size stack to the 3 pairs. Built-in F.corr is a
+    running co-moment whose floating result depends on partition order —
+    fine for exploration, wrong for a cross-engine-checked profile; sums
+    of integers are associative, so this plan is deterministic under any
+    partitioning.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("p"),
+        F.floor(F.col("l_discount") * 100).cast("bigint").alias("d"),
+    )
+    dec = "decimal(38,0)"
+    s = c.agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.expr(e).cast(dec)).cast("double").alias(a) for e, a in [
+            ("q", "sq"), ("p", "sp"), ("d", "sd"),
+            ("q * q", "sqq"), ("p * p", "spp"), ("d * d", "sdd"),
+            ("q * p", "sqp"), ("q * d", "sqd"), ("p * d", "spd")]],
+    )
+    stacked = s.select(
+        "n",
+        F.expr(
+            "stack(3,"
+            " 'quantity', 'price',    sq, sp, sqq, spp, sqp,"
+            " 'quantity', 'discount', sq, sd, sqq, sdd, sqd,"
+            " 'price',    'discount', sp, sd, spp, sdd, spd)"
+            " AS (col_x, col_y, sx, sy, sxx, syy, sxy)"))
+    n = F.col("n").cast("double")
+    r = ((n * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / (F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))))
+    return stacked.select(
+        "col_x", "col_y", F.col("n").alias("n_rows"), r.alias("corr_r"))
+
+
+@register(
+    "mad_outliers",
+    f"""WITH ev AS ({_EV}),
+c AS (SELECT event_type, ts, {_CENTS} AS cents FROM ev),
+r1 AS (
+  SELECT event_type, cents,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, ts) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+),
+med AS (
+  SELECT event_type, MAX(n) AS n_events,
+    MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.50) AS BIGINT) + 1
+             THEN cents END) AS med_cents
+  FROM r1 GROUP BY event_type
+),
+dev AS (
+  SELECT c.event_type, c.ts, ABS(c.cents - m.med_cents) AS adev
+  FROM c JOIN med m ON c.event_type = m.event_type
+),
+r2 AS (
+  SELECT event_type, adev,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev, ts) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type,
+    MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.50) AS BIGINT) + 1
+             THEN adev END) AS mad_cents
+  FROM r2 GROUP BY event_type
+)
+SELECT m.event_type, m.n_events, m.med_cents, d.mad_cents,
+       CAST(SUM(CASE WHEN v.adev > 3 * d.mad_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM med m
+JOIN mad d ON m.event_type = d.event_type
+JOIN dev v ON v.event_type = m.event_type
+GROUP BY m.event_type, m.n_events, m.med_cents, d.mad_cents""",
+    doc="robust outlier detection: per-type median and median-absolute-"
+        "deviation of integer cents (positional lower medians — exact "
+        "cross-engine), counting events beyond 3 MADs — the robust-stats "
+        "alternative to mean/stddev z-scores that heavy tails don't skew",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median / MAD / 3-MAD outlier counts per event type.
+
+    Scale shape: two positional-median passes (window rank + tiny agg) and
+    a final count, all keyed on event_type. With only a handful of types
+    the window partitions are huge at 100 TB — the honest fix at that
+    scale is the sketch path (approx_distinct_sketch's percentile_approx)
+    or a salted two-level median-of-medians; this operator is the exact
+    form the sketch is audited against, so it keeps the deterministic
+    rank-based shape. The median join-backs are 5-row broadcasts.
+    """
+    from pyspark.sql import Window as W
+
+    ev = events_table(spark, sf_dir)
+    c = ev.select("event_type", "ts", agg.cents().alias("cents"))
+
+    def positional_median(df, col, out):
+        w = W.partitionBy("event_type").orderBy(col, "ts")
+        r = df.select(
+            "event_type", col,
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(W.partitionBy("event_type")).alias("n"))
+        pos = F.floor((F.col("n") - 1) * 0.50).cast("bigint") + 1
+        return r.groupBy("event_type").agg(
+            F.max("n").alias("n_events"),
+            F.max(F.when(F.col("rn") == pos, F.col(col))).alias(out))
+
+    med = positional_median(c, "cents", "med_cents")
+    dev = (c.join(F.broadcast(med), "event_type")
+           .select("event_type", "ts",
+                   F.abs(F.col("cents") - F.col("med_cents")).alias("adev")))
+    mad = positional_median(dev, "adev", "mad_cents").drop("n_events")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(med.select("event_type", "n_events", "med_cents")),
+              "event_type")
+        .groupBy("event_type", "n_events", "med_cents", "mad_cents")
+        .agg(F.sum(F.when(F.col("adev") > 3 * F.col("mad_cents"), 1)
+                   .otherwise(0)).cast("bigint").alias("n_outliers"))
+        .select("event_type", "n_events", "med_cents", "mad_cents",
+                "n_outliers")
+    )
