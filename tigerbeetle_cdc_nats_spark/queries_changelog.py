@@ -312,3 +312,58 @@ def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS (col_name, n_distinct, min_v, max_v)")
     return g.select(F.col("n").alias("n_rows"), stack).select(
         "col_name", "n_rows", "n_distinct", "min_v", "max_v")
+
+
+@register(
+    "scd2_intervals",
+    f"""WITH ev AS ({_EV}),
+ch AS (
+  SELECT user_id, event_type, ts,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM ev
+),
+chg AS (
+  SELECT user_id, event_type AS state, ts AS valid_from
+  FROM ch WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, state, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from) AS valid_to,
+       CAST(CASE WHEN LEAD(valid_from) OVER (PARTITION BY user_id
+                                             ORDER BY valid_from) IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM chg""",
+    doc="SCD type-2 build: collapse each user's event stream into "
+        "validity intervals — a new row only when the state actually "
+        "changes, valid_to chained from the next change, open interval "
+        "flagged current. The standard warehouse history-table "
+        "materialization of a CDC stream",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) intervals from the event stream.
+
+    Scale shape: two window passes over the same (user_id; ts) ordering —
+    Catalyst evaluates both in a single sort within one shuffle because
+    the second window's partition/order is a prefix of the first's.
+    Change-point compression happens before the interval chaining, so the
+    second pass sees only state transitions (a small fraction of events).
+    user_id is high-cardinality, so the one shuffle spreads evenly.
+    """
+    from pyspark.sql import Window as W
+
+    ev = events_table(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = ev.select(
+        "user_id", "event_type", "ts",
+        F.lag("event_type").over(w).alias("prev_type"))
+    chg = (ch.where(F.col("prev_type").isNull()
+                    | (F.col("prev_type") != F.col("event_type")))
+           .select("user_id", F.col("event_type").alias("state"),
+                   F.col("ts").alias("valid_from")))
+    w2 = W.partitionBy("user_id").orderBy("valid_from")
+    valid_to = F.lead("valid_from").over(w2)
+    return chg.select(
+        "user_id", "state", "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().cast("bigint").alias("is_current"))

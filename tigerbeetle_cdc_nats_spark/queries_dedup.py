@@ -472,3 +472,67 @@ def q_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.where(F.col("edit_dist") * 4 <= F.col("max_len"))
+
+
+@register(
+    "dup_triangles",
+    f"""WITH RECURSIVE {_MINHASH_CTES},
+e AS (SELECT doc_a, doc_b FROM wsig
+      WHERE {_EST_J} >= {DUP_CLUSTER_THRESHOLD}),
+wedge AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
+),
+tri AS (
+  SELECT w.a, w.b, w.c
+  FROM wedge w JOIN e e3 ON w.a = e3.doc_a AND w.c = e3.doc_b
+)
+SELECT (SELECT COUNT(*) FROM wedge) AS n_wedges,
+       (SELECT COUNT(*) FROM tri) AS n_triangles,
+       CASE WHEN (SELECT COUNT(*) FROM wedge) > 0
+            THEN (SELECT COUNT(*) FROM tri)
+                 / CAST((SELECT COUNT(*) FROM wedge) AS DOUBLE)
+            ELSE 0.0 END AS closure_ratio""",
+    doc="triangle census over the near-dup graph: ordered wedges (a<b<c "
+        "paths) and closed triangles counted via two joins on the "
+        "id-ordered edge list, plus the global closure ratio — the "
+        "transitivity diagnostic that says whether near-dup clusters are "
+        "tight copy-families (high closure) or loose hub-and-spoke chains",
+)
+def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wedge/triangle counts + closure ratio of the MinHash dup graph.
+
+    Scale shape: the classic ordered-edge triangle count — every edge is
+    stored once as (lo, hi), wedges come from one self-join on the middle
+    vertex, closure from one more join on the (a, c) endpoints. The id
+    ordering means each triangle is counted exactly once, no permutation
+    blow-up, and both joins key on vertex ids (high cardinality, even
+    spread; a power-law hub would call for the degree-ordered variant).
+    The edge list is persisted: it feeds both joins and the wedge count.
+    """
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
+    e = (dd.minhash_candidate_pairs(sigs)
+         .where(F.col("est_jaccard") >= DUP_CLUSTER_THRESHOLD)
+         .select("doc_a", "doc_b")
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = e.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    wedge = (e1.join(e2, F.col("b") == F.col("b2"))
+             .select("a", "b", "c")
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    e3 = e.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = wedge.join(
+        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+    n_w = wedge.agg(F.count("*").alias("n_wedges"))
+    n_t = tri.agg(F.count("*").alias("n_triangles"))
+    return (
+        n_w.crossJoin(n_t)
+        .select(
+            "n_wedges", "n_triangles",
+            F.when(F.col("n_wedges") > 0,
+                   F.col("n_triangles") / F.col("n_wedges").cast("double"))
+            .otherwise(F.lit(0.0)).alias("closure_ratio"))
+    )
