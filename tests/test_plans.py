@@ -531,3 +531,14 @@ def test_dsir_importance_single_fit_pass(spark, sf_dir):
     plan = physical_plan(df)
     assert plan.count("documents.parquet") == 2
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["scd2_intervals", "time_weighted_value"])
+def test_windowed_changelog_queries_shuffle_once(spark, sf_dir, name):
+    """Both passes (window + follow-up window/agg) key on user_id, so the
+    whole query must run inside ONE Exchange — a second shuffle here would
+    double the dominant cost on a 100 TB stream."""
+    import re
+
+    plan = plan_of(spark, sf_dir, name)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan

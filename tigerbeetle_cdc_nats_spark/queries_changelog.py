@@ -367,3 +367,56 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "state", "valid_from",
         valid_to.alias("valid_to"),
         valid_to.isNull().cast("bigint").alias("is_current"))
+
+
+@register(
+    "time_weighted_value",
+    f"""WITH ev AS ({_EV}),
+iv AS (
+  SELECT user_id, {_CENTS} AS cents, ts,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) - ts
+           AS dt_ns
+  FROM ev
+)
+SELECT user_id,
+       COUNT(dt_ns) AS n_intervals,
+       CAST(SUM(dt_ns) AS BIGINT) AS total_ns,
+       CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0)) * dt_ns) AS DOUBLE)
+            / CAST(SUM(dt_ns) AS DOUBLE) AS DOUBLE) AS twap_cents
+FROM iv
+WHERE dt_ns IS NOT NULL
+GROUP BY user_id""",
+    doc="time-weighted average value (TWAP) per account: each observation "
+        "weighted by how long it was the latest state (lead-ts interval), "
+        "the financial-series mean that ignores sampling cadence; sums are "
+        "exact integer cents x ns in DECIMAL(38,0), the division is one "
+        "deterministic double op at the end",
+)
+def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWAP of event value per user over the stream's holding intervals.
+
+    Scale shape: one window pass (user_id; ts ordering) to get interval
+    lengths, then one groupBy on the same key — the aggregation reuses the
+    window's shuffle partitioning, so the whole query is a single
+    Exchange. Weighted sums stay in DECIMAL(38,0): cents x ns products
+    overflow BIGINT at ~month-long intervals, and 100 TB streams span
+    years.
+    """
+    from pyspark.sql import Window as W
+
+    ev = events_table(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = ev.select(
+        "user_id", agg.cents().alias("cents"), "ts",
+        (F.lead("ts").over(w) - F.col("ts")).alias("dt_ns"))
+    return (
+        iv.where(F.col("dt_ns").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("dt_ns").alias("n_intervals"),
+            F.sum("dt_ns").cast("bigint").alias("total_ns"),
+            (F.sum(F.col("cents").cast("decimal(38,0)") * F.col("dt_ns"))
+             .cast("double")
+             / F.sum("dt_ns").cast("double")).cast("double")
+            .alias("twap_cents"))
+    )
