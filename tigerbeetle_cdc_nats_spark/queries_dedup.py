@@ -536,3 +536,93 @@ def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("n_triangles") / F.col("n_wedges").cast("double"))
             .otherwise(F.lit(0.0)).alias("closure_ratio"))
     )
+
+
+#: Exact-similarity-join threshold (J >= 1/2; the filter compares
+#: 2*inter >= union so the cut is integer-exact on both engines).
+PPJOIN_T_NUM, PPJOIN_T_DEN = 1, 2
+
+
+@register(
+    "prefix_jaccard_join",
+    f"""WITH g AS (
+  SELECT doc_id, unnest({_SHH}) AS h FROM documents
+),
+n AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       na.n + nb.n - i.n_inter AS n_union,
+       CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN n na ON na.doc_id = i.doc_a
+JOIN n nb ON nb.doc_id = i.doc_b
+WHERE {PPJOIN_T_DEN} * i.n_inter
+      >= {PPJOIN_T_NUM} * (na.n + nb.n - i.n_inter)""",
+    doc="exact set-similarity join (PPJoin-style): all document pairs with "
+        "3-gram Jaccard >= 0.5, found via prefix filtering — each doc "
+        "contributes only its |x| - ceil(t|x|) + 1 globally-rarest grams "
+        "to the candidate join, yet the result is provably complete; the "
+        "exact-verify step makes it identical to the brute-force oracle",
+)
+def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally exact Jaccard-similarity join without blocking or sketches.
+
+    Scale shape: the naive exact join explodes on every shared gram
+    (quadratic in posting-list length for common grams). Prefix filtering
+    inverts that: order each doc's grams by ascending global frequency
+    (one count + one window over the gram index), keep only the short
+    prefix a qualifying pair MUST overlap in (the (1-t)/(1+... lemma:
+    prefix length |x| - ceil(t*|x|) + 1 under one global order), and join
+    candidates on PREFIX grams only — the rarest grams, exactly the ones
+    with short posting lists. Verification then computes true
+    intersections just for candidates via two keyed joins. Every shuffle
+    is keyed on gram hash or doc id (high cardinality); nothing is
+    all-pairs. Unlike ngram_jaccard_dedup (within-block exact) or
+    minhash_dedup (sketch estimate), this is corpus-global AND exact.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (dd.gram_hash_rows(docs)
+             .dropDuplicates(["doc_id", "h"])
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    freq = grams.groupBy("h").agg(F.count("*").alias("f"))
+    w = W.partitionBy("doc_id").orderBy("f", "h")
+    gf = (grams.join(freq, "h")
+          .select("doc_id", "h",
+                  F.row_number().over(w).alias("pos"),
+                  F.count("*").over(W.partitionBy("doc_id")).alias("n")))
+    # prefix length for J >= t: n - ceil(t*n) + 1  (t = 1/2)
+    plen = (F.col("n")
+            - F.ceil(F.col("n") * PPJOIN_T_NUM / PPJOIN_T_DEN) + 1)
+    prefix = gf.where(F.col("pos") <= plen).select("doc_id", "h")
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), "h")
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), "h")
+    cands = (pa.join(pb, "h")
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct())
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
+    gb = grams.select(F.col("doc_id").alias("doc_b2"), F.col("h").alias("hb"))
+    inter = (cands.join(ga, "doc_a")
+             .join(gb, (F.col("doc_b") == F.col("doc_b2"))
+                   & (F.col("ha") == F.col("hb")))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("n_inter")))
+    n = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    union = F.col("na") + F.col("nb") - F.col("n_inter")
+    return (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .where(F.lit(PPJOIN_T_DEN) * F.col("n_inter")
+               >= F.lit(PPJOIN_T_NUM) * union)
+        .select("doc_a", "doc_b", "n_inter",
+                union.cast("bigint").alias("n_union"),
+                (F.col("n_inter").cast("double") / union.cast("double"))
+                .alias("jaccard"))
+    )
