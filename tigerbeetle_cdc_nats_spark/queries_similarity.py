@@ -619,3 +619,96 @@ def q_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("agreement_class")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+#: Two-stage retrieval geometry: coarse int8 top-C candidates per query,
+#: exact float rerank to top-K.
+COARSE_C = 30
+RERANK_K = 10
+
+#: Shared quantization SQL (engine-identical): symmetric int8 with a
+#: per-vector max-abs scale; quantized values are integral doubles, so the
+#: coarse dot product (|v| <= 127, dim 64 -> sums < 2^21) is EXACT in
+#: double arithmetic on both engines regardless of summation order.
+_Q8_MAXABS = "list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))"
+_Q8_LIST = ("list_transform(embedding, v -> CASE WHEN maxabs = 0 "
+            "THEN CAST(0 AS DOUBLE) "
+            "ELSE CAST(FLOOR(CAST(v AS DOUBLE) * 127.0 / maxabs) AS DOUBLE) "
+            "END)")
+
+
+@register(
+    "two_stage_rerank",
+    f"""WITH e AS (
+  SELECT vec_id, embedding, {_Q8_MAXABS} AS maxabs FROM embeddings
+),
+v8 AS (SELECT vec_id, embedding, {_Q8_LIST} AS q8 FROM e),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, q8 AS q_q8
+      FROM v8 WHERE vec_id IN {QUERY_IDS}),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb, q8 AS c_q8 FROM v8),
+s AS (SELECT q_id, c_id, q_emb, c_emb,
+        CAST(list_dot_product(q_q8, c_q8) AS BIGINT) AS coarse_dot
+      FROM q, c WHERE q_id != c_id),
+rc AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY coarse_dot DESC, c_id) AS crank
+       FROM s),
+cand AS (SELECT * FROM rc WHERE crank <= {COARSE_C}),
+rr AS (SELECT q_id, c_id, coarse_dot, {_COS} AS sim_e6 FROM cand),
+fr AS (SELECT q_id, c_id, coarse_dot, sim_e6,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY sim_e6 DESC, c_id) AS knn_rank
+       FROM rr)
+SELECT q_id, c_id, coarse_dot, sim_e6, knn_rank
+FROM fr WHERE knn_rank <= {RERANK_K}""",
+    doc="two-stage retrieval: int8-quantized coarse scan takes top-30 "
+        "candidates per query (exact integer scores), full-precision "
+        "cosine reranks them to top-10 — the memory-bandwidth play "
+        "(4x smaller vectors in the hot scan) every production vector "
+        "store makes; both stages are engine-identical, so the oracle "
+        "mirrors the same pipeline",
+)
+def q_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse int8 scan + exact rerank, the production ANN memory layout.
+
+    Scale shape: the coarse stage streams the (4x smaller) quantized
+    corpus against the broadcast query side with an unrolled
+    whole-stage-codegen integer dot — no shuffle, per-query top-C via
+    WindowGroupLimit heaps. Only C=30 candidates per query carry their
+    float vectors into the rerank, so full-precision cost is O(Q x C)
+    instead of O(Q x N). Quantized scores are exact integers (<= 127^2 x
+    dim < 2^21), making the candidate cut deterministic across engines.
+    """
+    from pyspark.sql import Window, functions as F
+
+    dim = _dim(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Spark spelling of the shared quantization SQL: HOF is `transform`,
+    # reduction is `array_max`
+    maxabs_sql = _Q8_MAXABS.replace("list_transform", "transform").replace(
+        "list_max", "array_max")
+    q8_sql = _Q8_LIST.replace("list_transform", "transform")
+    v8 = (emb.withColumn("maxabs", F.expr(maxabs_sql))
+          .withColumn("q8", F.expr(q8_sql)))
+    q = (v8.where(F.col("vec_id").isin(list(QUERY_IDS)))
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.col("q8").alias("q_q8")))
+    c = v8.select(F.col("vec_id").alias("c_id"),
+                  F.col("embedding").alias("c_emb"),
+                  F.col("q8").alias("c_q8"))
+    coarse = (F.broadcast(q).crossJoin(c)
+              .where(F.col("q_id") != F.col("c_id"))
+              .withColumn("coarse_dot",
+                          F.expr(sim._unrolled_dot_sql("q_q8", "c_q8", dim))
+                          .cast("bigint")))
+    wc = Window.partitionBy("q_id").orderBy(
+        F.col("coarse_dot").desc(), "c_id")
+    cand = (coarse.withColumn("crank", F.row_number().over(wc))
+            .where(F.col("crank") <= COARSE_C))
+    rr = cand.select(
+        "q_id", "c_id", "coarse_dot",
+        sim.cosine_sim_e6("q_emb", "c_emb", dim).alias("sim_e6"))
+    wf = Window.partitionBy("q_id").orderBy(F.col("sim_e6").desc(), "c_id")
+    return (rr.withColumn("knn_rank", F.row_number().over(wf))
+            .where(F.col("knn_rank") <= RERANK_K)
+            .select("q_id", "c_id", "coarse_dot", "sim_e6", "knn_rank"))
