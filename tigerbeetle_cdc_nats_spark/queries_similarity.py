@@ -711,4 +711,6 @@ def q_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     wf = Window.partitionBy("q_id").orderBy(F.col("sim_e6").desc(), "c_id")
     return (rr.withColumn("knn_rank", F.row_number().over(wf))
             .where(F.col("knn_rank") <= RERANK_K)
-            .select("q_id", "c_id", "coarse_dot", "sim_e6", "knn_rank"))
+            .select("q_id", "c_id", "coarse_dot", "sim_e6",
+                    # row_number is 32-bit; DuckDB's is BIGINT
+                    F.col("knn_rank").cast("bigint").alias("knn_rank")))
