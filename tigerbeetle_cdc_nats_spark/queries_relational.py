@@ -1976,3 +1976,62 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_events", "med_cents", "mad_cents",
                 "n_outliers")
     )
+
+
+@register(
+    "join_key_skew_audit",
+    """WITH f AS (
+  SELECT o_custkey AS k, COUNT(*) AS freq FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT k, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, k) AS rk FROM f
+),
+s AS (
+  SELECT COUNT(*) AS n_keys, CAST(SUM(freq) AS BIGINT) AS n_rows,
+         MAX(freq) AS max_freq,
+         CAST(SUM(CASE WHEN rk <= 10 THEN freq ELSE 0 END) AS BIGINT)
+           AS top10_rows
+  FROM r
+)
+SELECT n_rows, n_keys, max_freq, top10_rows,
+       CAST(max_freq AS DOUBLE) / (CAST(n_rows AS DOUBLE) / n_keys)
+         AS skew_ratio,
+       CAST(CEIL(CAST(max_freq AS DOUBLE)
+                 / (CAST(n_rows AS DOUBLE) / n_keys)) AS BIGINT)
+         AS salt_factor
+FROM s""",
+    doc="join-key skew audit: per-key frequency profile of the fact side "
+        "(orders.o_custkey) — max/top-10 key mass, skew ratio vs the "
+        "uniform expectation, and the replication factor a salted join "
+        "of this key would need; the diagnostic that decides between "
+        "plain shuffle, AQE skew split, and explicit salting",
+)
+def q_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profile of a join key before committing to a strategy.
+
+    Scale shape: one groupBy on the key (map-side combinable — output is
+    |keys| rows), one global rank of the frequency table (|keys| rows,
+    NOT |rows| — the window runs on the aggregate, so the single-
+    partition sort it implies is bounded), one scalar summary. The
+    salt_factor output is exactly what skew_salted_join consumes as its
+    replication constant.
+    """
+    from pyspark.sql import Window as W
+
+    f = (load_table(spark, sf_dir, "orders")
+         .groupBy(F.col("o_custkey").alias("k"))
+         .agg(F.count("*").alias("freq")))
+    r = f.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.col("freq").desc(), "k")))
+    s = r.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("freq").cast("bigint").alias("n_rows"),
+        F.max("freq").alias("max_freq"),
+        F.sum(F.when(F.col("rk") <= 10, F.col("freq")).otherwise(0))
+        .cast("bigint").alias("top10_rows"))
+    avg = F.col("n_rows").cast("double") / F.col("n_keys")
+    return s.select(
+        "n_rows", "n_keys", "max_freq", "top10_rows",
+        (F.col("max_freq").cast("double") / avg).alias("skew_ratio"),
+        F.ceil(F.col("max_freq").cast("double") / avg).cast("bigint")
+        .alias("salt_factor"))
