@@ -420,3 +420,66 @@ def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.sum("dt_ns").cast("double")).cast("double")
             .alias("twap_cents"))
     )
+
+
+@register(
+    "revenue_trend",
+    f"""WITH ev AS ({_EV}),
+c AS (
+  SELECT event_type,
+         CAST(ts // 86400000000000 AS BIGINT) AS day,
+         {_CENTS} AS cents
+  FROM ev
+),
+d AS (
+  SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS day_cents
+  FROM c GROUP BY event_type, day
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n_days,
+    CAST(SUM(day) AS DOUBLE) AS sx,
+    CAST(SUM(day_cents) AS DOUBLE) AS sy,
+    CAST(SUM(day * day) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(day AS DECIMAL(38,0)) * day_cents) AS DOUBLE) AS sxy
+  FROM d GROUP BY event_type
+)
+SELECT event_type, n_days,
+       CASE WHEN n_days * sxx - sx * sx = 0 THEN 0.0
+            ELSE (n_days * sxy - sx * sy) / (n_days * sxx - sx * sx)
+       END AS slope_cents_per_day
+FROM s""",
+    doc="per-type revenue trend: OLS slope of daily cents over the day "
+        "index, from exact integer sums (two-level: day rollup then "
+        "moment sums) with one deterministic double expression at the "
+        "end — the grouped-regression shape of a metrics pipeline",
+)
+def q_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares daily revenue slope per event type.
+
+    Scale shape: the day rollup collapses events to |types| x |days| rows
+    before any regression math, so the moment sums aggregate a tiny
+    table; both aggregations are map-side combinable and keyed on the
+    same leading column. Sums stay integer-exact (DECIMAL for day x
+    cents products), making the slope bit-identical across engines and
+    partitionings.
+    """
+    ev = events_table(spark, sf_dir)
+    c = ev.select(
+        "event_type",
+        F.expr("ts div 86400000000000").cast("bigint").alias("day"),
+        agg.cents().alias("cents"))
+    d = (c.groupBy("event_type", "day")
+         .agg(F.sum("cents").cast("bigint").alias("day_cents")))
+    s = d.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("day").cast("double").alias("sx"),
+        F.sum("day_cents").cast("double").alias("sy"),
+        F.sum(F.expr("day * day")).cast("double").alias("sxx"),
+        F.sum(F.col("day").cast("decimal(38,0)") * F.col("day_cents"))
+        .cast("double").alias("sxy"))
+    n = F.col("n_days").cast("double")
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(denom == 0, F.lit(0.0)).otherwise(
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom)
+    return s.select("event_type", "n_days",
+                    slope.alias("slope_cents_per_day"))
