@@ -2035,3 +2035,95 @@ def q_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("max_freq").cast("double") / avg).alias("skew_ratio"),
         F.ceil(F.col("max_freq").cast("double") / avg).cast("bigint")
         .alias("salt_factor"))
+
+
+@register(
+    "event_stream_intersect_except",
+    f"""WITH ev AS ({_EV}),
+recent AS (SELECT DISTINCT user_id FROM ev
+           WHERE ts >= (SELECT MIN(ts) FROM ev)
+                       + (SELECT (MAX(ts) - MIN(ts)) // 2 FROM ev)),
+buyers AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase'),
+i AS (SELECT user_id FROM recent INTERSECT SELECT user_id FROM buyers),
+d AS (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM recent)
+SELECT 'intersect' AS op, COUNT(*) AS n_users,
+       CAST(COALESCE(MIN(user_id), -1) AS BIGINT) AS min_user FROM i
+UNION ALL
+SELECT 'except', COUNT(*), CAST(COALESCE(MIN(user_id), -1) AS BIGINT)
+FROM d""",
+    doc="completes the SURVEY 2.7 set-op family alongside union: "
+        "second-half-active users INTERSECT purchasers, and purchasers "
+        "EXCEPT second-half-active (lapsed buyers) — both set ops over "
+        "distinct key sets, summarized",
+)
+def q_event_stream_intersect_except(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over user-id sets (lapsed-buyer analysis).
+
+    Scale shape: both set ops run on DISTINCT user-id projections —
+    |users| rows, not |events| — and compile to hash joins (LeftSemi /
+    LeftAnti after aggregation) on a high-cardinality key. The summary
+    keeps the driver result O(1).
+    """
+    ev = events_table(spark, sf_dir)
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    mid = bounds.select(
+        (F.col("lo") + F.expr("(hi - lo) div 2")).alias("mid"))
+    recent = (ev.join(F.broadcast(mid))
+              .where(F.col("ts") >= F.col("mid"))
+              .select("user_id").distinct())
+    buyers = (ev.where(F.col("event_type") == "purchase")
+              .select("user_id").distinct())
+    i = recent.intersect(buyers)
+    d = buyers.exceptAll(recent).distinct()
+
+    def summarize(df, op):
+        return df.agg(
+            F.count("*").alias("n_users"),
+            F.coalesce(F.min("user_id"), F.lit(-1)).cast("bigint")
+            .alias("min_user")).select(F.lit(op).alias("op"),
+                                       "n_users", "min_user")
+
+    return summarize(i, "intersect").unionByName(summarize(d, "except"))
+
+
+@register(
+    "weekly_growth",
+    f"""WITH ev AS ({_EV}),
+w AS (
+  SELECT CAST(ts // 604800000000000 AS BIGINT) AS week,
+         CAST(SUM({_CENTS}) AS BIGINT) AS week_cents
+  FROM ev GROUP BY 1
+)
+SELECT week, week_cents,
+       LAG(week_cents) OVER (ORDER BY week) AS prev_cents,
+       CASE WHEN LAG(week_cents) OVER (ORDER BY week) IS NULL
+                 OR LAG(week_cents) OVER (ORDER BY week) = 0 THEN NULL
+            ELSE CAST(week_cents - LAG(week_cents) OVER (ORDER BY week)
+                      AS DOUBLE)
+                 / LAG(week_cents) OVER (ORDER BY week)
+       END AS wow_growth
+FROM w""",
+    doc="week-over-week revenue growth: weekly integer-cents rollup plus "
+        "a lag window for the growth ratio — the standard metrics-"
+        "dashboard period-over-period shape",
+)
+def q_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WoW growth over the weekly revenue rollup.
+
+    Scale shape: the only full-data pass is the weekly groupBy (map-side
+    combinable, |weeks| output rows); the unpartitioned lag window then
+    sorts a table of a few hundred rows — bounded by calendar length, not
+    data size, so the single-partition window is safe at any scale.
+    """
+    from pyspark.sql import Window as W
+
+    ev = events_table(spark, sf_dir)
+    w = (ev.groupBy(F.expr("ts div 604800000000000").cast("bigint")
+                    .alias("week"))
+         .agg(F.sum(agg.cents()).cast("bigint").alias("week_cents")))
+    prev = F.lag("week_cents").over(W.orderBy("week"))
+    growth = F.when(prev.isNull() | (prev == 0), F.lit(None)).otherwise(
+        (F.col("week_cents") - prev).cast("double") / prev)
+    return w.select("week", "week_cents", prev.alias("prev_cents"),
+                    growth.alias("wow_growth"))
