@@ -2127,3 +2127,67 @@ def q_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("week_cents") - prev).cast("double") / prev)
     return w.select("week", "week_cents", prev.alias("prev_cents"),
                     growth.alias("wow_growth"))
+
+
+@register(
+    "order_denormalize",
+    """WITH li AS (
+  SELECT l_orderkey,
+         CAST(l_partkey AS VARCHAR) || ':' ||
+         CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS item_tag,
+         l_linenumber,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS price_cents
+  FROM lineitem
+),
+g AS (
+  SELECT l_orderkey,
+         COUNT(*) AS n_items,
+         CAST(SUM(price_cents) AS BIGINT) AS total_cents,
+         CAST(('0x' || substr(md5(string_agg(item_tag, ','
+                ORDER BY l_linenumber, item_tag)), 1, 15)) AS BIGINT)
+           AS items_fp
+  FROM li GROUP BY l_orderkey
+)
+SELECT o.o_orderkey, o.o_orderstatus, g.n_items, g.total_cents, g.items_fp
+FROM orders o JOIN g ON g.l_orderkey = o.o_orderkey""",
+    doc="order->document denormalization: collapse each order's lineitems "
+        "into one nested record (the document-store / CDC-envelope export "
+        "shape, message.go:70-77's pre-joined nesting applied to the star "
+        "schema); the line-number-ordered item fingerprint makes the "
+        "nested array content oracle-checkable without comparing engine-"
+        "specific JSON",
+)
+def q_order_denormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One nested document per order, summarized deterministically.
+
+    Scale shape: the real export materializes
+    struct(order, array_of(items)) via collect_list over a single
+    groupBy(orderkey) shuffle — exactly what this computes, with the
+    array's content reduced to an order-insensitive-to-partitioning
+    fingerprint (sort_array over (linenumber, tag) makes the
+    concatenation deterministic under any parallelism). The order join
+    is keyed on the same column as the aggregation, so AQE plans it
+    without an extra fact-side shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.concat_ws(
+            ":", F.col("l_partkey").cast("string"),
+            F.col("l_quantity").cast("bigint").cast("string"))
+        .alias("item_tag"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+        .alias("price_cents"))
+    items = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("l_linenumber",
+                                                 "item_tag"))),
+            lambda s: s["item_tag"]), ",")
+    g = (li.groupBy("l_orderkey")
+         .agg(F.count("*").alias("n_items"),
+              F.sum("price_cents").cast("bigint").alias("total_cents"),
+              F.conv(F.substring(F.md5(items), 1, 15), 16, 10).cast("long")
+              .alias("items_fp")))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus")
+    return o.join(g, o["o_orderkey"] == g["l_orderkey"]).select(
+        "o_orderkey", "o_orderstatus", "n_items", "total_cents", "items_fp")
