@@ -483,3 +483,111 @@ def q_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom)
     return s.select("event_type", "n_days",
                     slope.alias("slope_cents_per_day"))
+
+
+@register(
+    "rate_anomaly",
+    f"""WITH ev AS ({_EV}),
+h AS (
+  SELECT user_id, CAST(ts // 3600000000000 AS BIGINT) AS hour,
+         COUNT(*) AS n
+  FROM ev GROUP BY 1, 2
+),
+s AS (
+  SELECT user_id, COUNT(*) AS n_hours,
+         CAST(SUM(n) AS DOUBLE) AS sn, CAST(SUM(n * n) AS DOUBLE) AS snn
+  FROM h GROUP BY user_id
+)
+SELECT h.user_id, h.hour, h.n,
+       CASE WHEN s.n_hours * snn - sn * sn <= 0 THEN 0.0
+            ELSE (h.n * s.n_hours - sn)
+                 / SQRT(s.n_hours * snn - sn * sn) END AS z_score
+FROM h JOIN s ON s.user_id = h.user_id
+WHERE s.n_hours >= 3
+  AND CASE WHEN s.n_hours * snn - sn * sn <= 0 THEN 0.0
+           ELSE (h.n * s.n_hours - sn)
+                / SQRT(s.n_hours * snn - sn * sn) END > 2.0""",
+    doc="event-rate anomaly detection: per-user hourly counts z-scored "
+        "against that user's own rate distribution (exact integer moment "
+        "sums, one deterministic double expression), surfacing hours more "
+        "than 2 sigma above the user's norm — the rate-based complement "
+        "to mad_outliers' value-based outliers",
+)
+def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours where a user's event rate spikes beyond 2 sigma of their own
+    distribution.
+
+    Scale shape: the hourly rollup collapses events to |users| x |hours|
+    before any statistics; the per-user moment sums aggregate that small
+    table, and the join back is keyed on user_id — same key as both
+    aggregations, so the whole query reuses one partitioning. The z
+    expression uses the n*Sxx - Sx^2 form over exact integer sums, so
+    no variance accumulation order can differ between engines.
+    """
+    ev = events_table(spark, sf_dir)
+    h = (ev.groupBy("user_id",
+                    F.expr("ts div 3600000000000").cast("bigint")
+                    .alias("hour"))
+         .agg(F.count("*").alias("n")))
+    s = h.groupBy("user_id").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("n").cast("double").alias("sn"),
+        F.sum(F.expr("n * n")).cast("double").alias("snn"))
+    j = h.join(s, "user_id").where(F.col("n_hours") >= 3)
+    denom = F.col("n_hours") * F.col("snn") - F.col("sn") * F.col("sn")
+    z = F.when(denom <= 0, F.lit(0.0)).otherwise(
+        (F.col("n") * F.col("n_hours") - F.col("sn")) / F.sqrt(denom))
+    return (j.withColumn("z_score", z)
+            .where(F.col("z_score") > 2.0)
+            .select("user_id", "hour", "n", "z_score"))
+
+
+@register(
+    "event_transition_matrix",
+    f"""WITH ev AS ({_EV}),
+seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM ev
+),
+t AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+r AS (SELECT prev_type, CAST(SUM(n_transitions) AS BIGINT) AS row_total
+      FROM t GROUP BY prev_type)
+SELECT t.prev_type, t.next_type, t.n_transitions,
+       CAST(t.n_transitions AS DOUBLE) / r.row_total AS p_transition
+FROM t JOIN r ON r.prev_type = t.prev_type""",
+    doc="first-order Markov transition matrix over per-user event-type "
+        "sequences: lag-window bigrams, global transition counts, and "
+        "row-normalized probabilities — the sequence-model summary that "
+        "feeds funnel design and next-event prediction baselines",
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(next event type | previous event type) across all user streams.
+
+    Scale shape: one window pass keyed on user_id (high cardinality)
+    produces bigrams in-stream; the transition count table is |types|^2
+    rows, so the normalization join is a trivial broadcast. At 100 TB the
+    only full-data cost is the single user-keyed sort the lag window
+    needs — the same shuffle every sequence feature in this engine rides.
+    """
+    from pyspark.sql import Window as W
+
+    ev = events_table(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"))
+    t = (seq.where(F.col("prev_type").isNotNull())
+         .groupBy("prev_type", F.col("event_type").alias("next_type"))
+         .agg(F.count("*").alias("n_transitions")))
+    r = t.groupBy("prev_type").agg(
+        F.sum("n_transitions").cast("bigint").alias("row_total"))
+    return (t.join(F.broadcast(r), "prev_type")
+            .select("prev_type", "next_type", "n_transitions",
+                    (F.col("n_transitions").cast("double")
+                     / F.col("row_total")).alias("p_transition")))
