@@ -400,3 +400,80 @@ def connected_components(edges: DataFrame, src: str = "src",
             break
         prev = cur
     return labels.select("node", F.col("lbl").alias("cluster_id"))
+
+
+def prefix_jaccard_pairs(docs: DataFrame, *, t_num: int = 1, t_den: int = 2,
+                         n: int = 3) -> DataFrame:
+    """Exact set-similarity join: all (doc_a < doc_b) pairs whose word-n-gram
+    Jaccard >= t_num/t_den, via PPJoin-style prefix filtering.
+
+    Completeness chain (each step keeps a superset of qualifying pairs):
+    - prefix filter: under ONE global gram order (ascending frequency,
+      hash tie-break), a pair with J >= t must share a gram within each
+      doc's first |x| - ceil(t*|x|) + 1 grams;
+    - length filter: J >= t forces min_size >= t * max_size
+      (inter <= min, union >= max);
+    - positional filter: for the pair's FIRST shared gram, at prefix
+      positions (pa, pb), overlap <= 1 + min(na-pa, nb-pb) — both docs
+      list common grams in the same global order, so all later shared
+      grams sit after pa AND pb. Candidate rows are OR-ed per pair, so a
+      row for the first shared gram always survives if the pair can
+      qualify.
+    Exact verification (sorted-array intersection per candidate) then
+    removes every false positive, so the result equals brute force.
+
+    Scale: the candidate join touches only prefix grams — by construction
+    the globally RAREST ones, i.e. the shortest posting lists; the verify
+    step is two |cands|-row keyed joins + an O(set) array intersect. No
+    stage is all-pairs. The exact/blocked/sketched trio: this operator is
+    corpus-global AND exact; ngram_jaccard_pairs is exact within blocks;
+    minhash LSH is global but an estimate.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window as W
+
+    grams = (gram_hash_rows(docs, n=n)
+             .dropDuplicates(["doc_id", "h"])
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    freq = grams.groupBy("h").agg(F.count("*").alias("f"))
+    w = W.partitionBy("doc_id").orderBy("f", "h")
+    gf = (grams.join(freq, "h")
+          .select("doc_id", "h",
+                  F.row_number().over(w).alias("pos"),
+                  F.count("*").over(W.partitionBy("doc_id")).alias("n")))
+    plen = F.col("n") - F.ceil(F.col("n") * t_num / t_den) + 1
+    prefix = gf.where(F.col("pos") <= plen).select("doc_id", "h", "pos", "n")
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), "h",
+                       F.col("pos").alias("pos_a"), F.col("n").alias("na_p"))
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), "h",
+                       F.col("pos").alias("pos_b"), F.col("n").alias("nb_p"))
+    ub = (F.lit(1)
+          + F.least(F.col("na_p") - F.col("pos_a"),
+                    F.col("nb_p") - F.col("pos_b")))
+    cands = (pa.join(pb, "h")
+             .where((F.col("doc_a") < F.col("doc_b"))
+                    & (t_den * F.least("na_p", "nb_p")
+                       >= t_num * F.greatest("na_p", "nb_p"))
+                    & ((t_den + t_num) * ub
+                       >= t_num * (F.col("na_p") + F.col("nb_p"))))
+             .select("doc_a", "doc_b").distinct())
+    sets = grams.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("h")).alias("hs"),
+        F.count("*").alias("n"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("hs").alias("ha"), F.col("n").alias("na"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("hs").alias("hb"), F.col("n").alias("nb"))
+    scored = (cands.join(sa, "doc_a").join(sb, "doc_b")
+              .withColumn("n_inter",
+                          F.size(F.array_intersect("ha", "hb"))
+                          .cast("bigint")))
+    union = F.col("na") + F.col("nb") - F.col("n_inter")
+    return (
+        scored
+        .where(F.lit(t_den) * F.col("n_inter") >= F.lit(t_num) * union)
+        .select("doc_a", "doc_b", "n_inter",
+                union.cast("bigint").alias("n_union"),
+                (F.col("n_inter").cast("double") / union.cast("double"))
+                .alias("jaccard"))
+    )

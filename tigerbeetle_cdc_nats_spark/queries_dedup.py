@@ -584,68 +584,6 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs. Unlike ngram_jaccard_dedup (within-block exact) or
     minhash_dedup (sketch estimate), this is corpus-global AND exact.
     """
-    from pyspark import StorageLevel
-    from pyspark.sql import Window as W
-
     docs = load_table(spark, sf_dir, "documents")
-    grams = (dd.gram_hash_rows(docs)
-             .dropDuplicates(["doc_id", "h"])
-             .persist(StorageLevel.MEMORY_AND_DISK))
-    freq = grams.groupBy("h").agg(F.count("*").alias("f"))
-    w = W.partitionBy("doc_id").orderBy("f", "h")
-    gf = (grams.join(freq, "h")
-          .select("doc_id", "h",
-                  F.row_number().over(w).alias("pos"),
-                  F.count("*").over(W.partitionBy("doc_id")).alias("n")))
-    # prefix length for J >= t: n - ceil(t*n) + 1  (t = 1/2)
-    plen = (F.col("n")
-            - F.ceil(F.col("n") * PPJOIN_T_NUM / PPJOIN_T_DEN) + 1)
-    prefix = gf.where(F.col("pos") <= plen).select("doc_id", "h", "pos", "n")
-    pa = prefix.select(F.col("doc_id").alias("doc_a"), "h",
-                       F.col("pos").alias("pos_a"), F.col("n").alias("na_p"))
-    pb = prefix.select(F.col("doc_id").alias("doc_b"), "h",
-                       F.col("pos").alias("pos_b"), F.col("n").alias("nb_p"))
-    # PPJoin pruning at candidate time — completeness-preserving:
-    # - length filter: J >= t forces (den-num)*... here t=1/2: sizes within 2x
-    # - positional filter: a match at prefix positions (pa, pb) bounds the
-    #   achievable overlap by 1 + min(na-pa, nb-pb), which must reach the
-    #   PPJoin overlap requirement t/(1+t)*(na+nb); for t=1/2 that is
-    #   3*ub >= na+nb. Most false candidates die here instead of paying the
-    #   verify join.
-    ub = (F.lit(1)
-          + F.least(F.col("na_p") - F.col("pos_a"),
-                    F.col("nb_p") - F.col("pos_b")))
-    cands = (pa.join(pb, "h")
-             .where((F.col("doc_a") < F.col("doc_b"))
-                    & (2 * F.least("na_p", "nb_p")
-                       >= F.greatest("na_p", "nb_p"))
-                    & ((PPJOIN_T_DEN + PPJOIN_T_NUM) * ub
-                       >= PPJOIN_T_NUM * (F.col("na_p") + F.col("nb_p"))))
-             .select("doc_a", "doc_b").distinct())
-    # verification: per-doc sorted gram-set arrays, intersected per pair.
-    # Joining candidate pairs back to the EXPLODED gram index costs
-    # |cands| x |grams/doc| shuffled rows; carrying each doc's whole set as
-    # one array row makes verification two keyed joins of |cands| rows and
-    # a per-pair array_intersect over ~50-element arrays (codegen, no
-    # extra shuffle) — measured 4.1 s -> ~1 s at sf0.1.
-    sets = grams.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("h")).alias("hs"),
-        F.count("*").alias("n"))
-    sa = sets.select(F.col("doc_id").alias("doc_a"),
-                     F.col("hs").alias("ha"), F.col("n").alias("na"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"),
-                     F.col("hs").alias("hb"), F.col("n").alias("nb"))
-    scored = (cands.join(sa, "doc_a").join(sb, "doc_b")
-              .withColumn("n_inter",
-                          F.size(F.array_intersect("ha", "hb"))
-                          .cast("bigint")))
-    union = F.col("na") + F.col("nb") - F.col("n_inter")
-    return (
-        scored
-        .where(F.lit(PPJOIN_T_DEN) * F.col("n_inter")
-               >= F.lit(PPJOIN_T_NUM) * union)
-        .select("doc_a", "doc_b", "n_inter",
-                union.cast("bigint").alias("n_union"),
-                (F.col("n_inter").cast("double") / union.cast("double"))
-                .alias("jaccard"))
-    )
+    return dd.prefix_jaccard_pairs(docs, t_num=PPJOIN_T_NUM,
+                                   t_den=PPJOIN_T_DEN)
