@@ -2191,3 +2191,121 @@ def q_order_denormalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus")
     return o.join(g, o["o_orderkey"] == g["l_orderkey"]).select(
         "o_orderkey", "o_orderstatus", "n_items", "total_cents", "items_fp")
+
+
+@register(
+    "part_cooccurrence",
+    """WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey % 50 AS pgrp FROM lineitem
+),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM li),
+cnt AS (SELECT pgrp, COUNT(*) AS n_grp FROM li GROUP BY pgrp),
+pair AS (
+  SELECT a.pgrp AS grp_a, b.pgrp AS grp_b, COUNT(*) AS n_both
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.pgrp < b.pgrp
+  GROUP BY 1, 2
+)
+SELECT p.grp_a, p.grp_b, p.n_both,
+       CAST(p.n_both AS DOUBLE) / t.n AS support,
+       CAST(p.n_both AS DOUBLE) * t.n
+         / (CAST(ca.n_grp AS DOUBLE) * cb.n_grp) AS lift
+FROM pair p
+JOIN cnt ca ON ca.pgrp = p.grp_a
+JOIN cnt cb ON cb.pgrp = p.grp_b
+CROSS JOIN n_orders t
+WHERE p.n_both >= 5""",
+    doc="market-basket co-occurrence: part-group pairs bought in the same "
+        "order with support and lift — the association-rule primitives; "
+        "the within-order self-join fans out as C(basket,2), linear in "
+        "orders for bounded baskets",
+)
+def q_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support and lift for part-group pairs inside the same order.
+
+    Scale shape: the pair join is keyed on l_orderkey, so its cost is
+    sum-over-orders of C(basket_size, 2) — linear when baskets are
+    bounded (TPC-H ~4 lines/order; a degenerate mega-basket is
+    skew-salting territory). Group and total counts are tiny aggregates
+    broadcast into the final lift projection.
+    """
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", (F.col("l_partkey") % 50).alias("pgrp"))
+          .distinct())
+    n_orders = li.agg(
+        F.countDistinct("l_orderkey").alias("n"))
+    cnt = li.groupBy("pgrp").agg(F.count("*").alias("n_grp"))
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("pgrp").alias("grp_a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("pgrp").alias("grp_b"))
+    pair = (a.join(b, "k")
+            .where(F.col("grp_a") < F.col("grp_b"))
+            .groupBy("grp_a", "grp_b")
+            .agg(F.count("*").alias("n_both"))
+            .where(F.col("n_both") >= 5))
+    ca = cnt.select(F.col("pgrp").alias("grp_a"), F.col("n_grp").alias("na"))
+    cb = cnt.select(F.col("pgrp").alias("grp_b"), F.col("n_grp").alias("nb"))
+    return (pair.join(F.broadcast(ca), "grp_a")
+            .join(F.broadcast(cb), "grp_b")
+            .join(F.broadcast(n_orders))
+            .select(
+                "grp_a", "grp_b", "n_both",
+                (F.col("n_both").cast("double") / F.col("n"))
+                .alias("support"),
+                (F.col("n_both").cast("double") * F.col("n")
+                 / (F.col("na").cast("double") * F.col("nb")))
+                .alias("lift")))
+
+
+@register(
+    "pareto_abc",
+    """WITH rev AS (
+  SELECT l_partkey % 200 AS pgrp,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY 1
+),
+t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev),
+r AS (
+  SELECT pgrp, cents,
+         CAST(SUM(cents) OVER (ORDER BY cents DESC, pgrp) AS BIGINT)
+           AS cum_cents
+  FROM rev
+)
+SELECT r.pgrp, r.cents, r.cum_cents,
+       CASE WHEN r.cum_cents * 100 <= t.total * 80 THEN 'A'
+            WHEN r.cum_cents * 100 <= t.total * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM r CROSS JOIN t""",
+    doc="Pareto / ABC classification: part groups ranked by revenue with "
+        "an exact integer cumulative share, classed A (first 80% of "
+        "revenue), B (to 95%), C (tail) — the inventory-analysis standard",
+)
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC classes over the revenue-ranked part groups.
+
+    Scale shape: the only full-data pass is the revenue rollup (map-side
+    combinable, |groups| output rows); the running-total window then
+    sorts the aggregate — bounded by group cardinality, not fact rows.
+    Class boundaries compare exact integer cumulative cents against
+    integer percent products, so no float rounding can flip a class
+    across engines.
+    """
+    from pyspark.sql import Window as W
+
+    rev = (load_table(spark, sf_dir, "lineitem")
+           .groupBy((F.col("l_partkey") % 200).alias("pgrp"))
+           .agg(F.sum(F.floor(F.col("l_extendedprice") * 100)
+                      .cast("bigint")).cast("bigint").alias("cents")))
+    t = rev.agg(F.sum("cents").cast("bigint").alias("total"))
+    r = rev.withColumn(
+        "cum_cents",
+        F.sum("cents").over(
+            W.orderBy(F.col("cents").desc(), "pgrp")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint"))
+    return (r.join(F.broadcast(t))
+            .select(
+                "pgrp", "cents", "cum_cents",
+                F.when(F.col("cum_cents") * 100 <= F.col("total") * 80, "A")
+                .when(F.col("cum_cents") * 100 <= F.col("total") * 95, "B")
+                .otherwise("C").alias("abc_class")))
