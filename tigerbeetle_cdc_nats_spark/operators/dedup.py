@@ -477,3 +477,65 @@ def prefix_jaccard_pairs(docs: DataFrame, *, t_num: int = 1, t_den: int = 2,
                 (F.col("n_inter").cast("double") / union.cast("double"))
                 .alias("jaccard"))
     )
+
+
+def banded_buckets(sigs: DataFrame, bands: int = MINHASH_BANDS,
+                   k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, band, bucket, sig) LSH rows — the shared banding step of
+    the full self-join (minhash_candidate_pairs) and the incremental
+    delta-vs-index probe (minhash_incremental_pairs)."""
+    rows_per_band = k // bands
+    band = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    return sigs.select("doc_id", "sig", band).select(
+        "doc_id",
+        "band",
+        F.concat_ws(",", *[
+            F.element_at("sig", (F.col("band") * rows_per_band + j + 1)
+                         .cast("int")).cast("string")
+            for j in range(rows_per_band)
+        ]).alias("bucket"),
+        "sig",
+    )
+
+
+def minhash_incremental_pairs(sigs: DataFrame, delta: Column,
+                              k: int = MINHASH_K) -> DataFrame:
+    """Incremental LSH dedup: candidate pairs (delta doc, ANY other doc)
+    instead of the full self-join — the daily-batch production shape where
+    yesterday's corpus is already indexed and only the delta probes it.
+
+    Output: (doc_id [delta side], other_id, other_is_delta, est_jaccard),
+    BOTH orientations for delta-delta pairs (each delta doc sees its
+    partner), one orientation per delta-base pair.
+
+    Scale: the probe side is |delta| x bands rows — typically a small
+    fraction of the corpus, broadcast-able when the daily batch fits; the
+    index side is the persisted banded corpus. Join cost tracks the DELTA
+    size, not the corpus size: that asymmetry is the entire point of
+    maintaining the index incrementally.
+    """
+    banded = banded_buckets(sigs, k=k).withColumn("is_delta", delta)
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded.count()  # eager: both join sides read one materialization
+    probe = banded.where("is_delta").alias("a")
+    index = banded.alias("b")
+    pairs = (
+        probe.join(index, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("other_id"),
+            F.col("b.is_delta").alias("other_is_delta"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_id", "other_id"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                        lambda v: v))
+        / F.lit(float(k))
+    )
+    return pairs.select("doc_id", "other_id", "other_is_delta",
+                        est.alias("est_jaccard"))

@@ -587,3 +587,64 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.prefix_jaccard_pairs(docs, t_num=PPJOIN_T_NUM,
                                    t_den=PPJOIN_T_DEN)
+
+
+@register(
+    "incremental_dedup",
+    f"""WITH RECURSIVE {_MINHASH_CTES},
+scored AS (SELECT doc_a, doc_b FROM wsig
+           WHERE {_EST_J} >= {DUP_CLUSTER_THRESHOLD}),
+dp AS (
+  SELECT doc_a AS doc_id, doc_b AS o FROM scored WHERE doc_a % 5 = 4
+  UNION ALL
+  SELECT doc_b, doc_a FROM scored WHERE doc_b % 5 = 4
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN o % 5 <> 4 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_base_dups,
+         CAST(SUM(CASE WHEN o % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_delta_dups
+  FROM dp GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_base_dups, 0) AS n_base_dups,
+       COALESCE(a.n_delta_dups, 0) AS n_delta_dups,
+       CAST(a.doc_id IS NULL AS BIGINT) AS is_new
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
+LEFT JOIN agg a ON a.doc_id = d.doc_id""",
+    doc="incremental dedup: a 20% delta batch (doc_id % 5 = 4) probes the "
+        "LSH band index of the WHOLE corpus — per delta doc, dup partners "
+        "in the base vs within the delta, and a clean is_new flag; the "
+        "daily-batch shape where join cost tracks the delta, not the "
+        "corpus",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup verdicts for a delta batch against an indexed corpus.
+
+    Scale shape: see operators/dedup.minhash_incremental_pairs — the
+    banded delta (|delta| x 8 rows) probes the persisted banded index, so
+    the candidate join is delta-bounded; at real scale the index side is
+    the stored output of yesterday's run and the delta side is broadcast-
+    able. The final left join keeps never-seen docs with is_new = 1.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
+    pairs = dd.minhash_incremental_pairs(
+        sigs, (F.col("doc_id") % 5) == 4).where(
+        F.col("est_jaccard") >= DUP_CLUSTER_THRESHOLD)
+    agg = pairs.groupBy("doc_id").agg(
+        F.sum(F.when(~F.col("other_is_delta"), 1).otherwise(0))
+        .cast("bigint").alias("n_base_dups"),
+        F.sum(F.when(F.col("other_is_delta"), 1).otherwise(0))
+        .cast("bigint").alias("n_delta_dups"))
+    delta_docs = docs.where((F.col("doc_id") % 5) == 4).select("doc_id")
+    return (delta_docs.join(agg.withColumnRenamed("doc_id", "a_id"),
+                            delta_docs["doc_id"] == F.col("a_id"), "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_base_dups", F.lit(0)).cast("bigint")
+                .alias("n_base_dups"),
+                F.coalesce("n_delta_dups", F.lit(0)).cast("bigint")
+                .alias("n_delta_dups"),
+                F.col("a_id").isNull().cast("bigint").alias("is_new")))
