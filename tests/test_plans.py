@@ -542,3 +542,20 @@ def test_windowed_changelog_queries_shuffle_once(spark, sf_dir, name):
 
     plan = plan_of(spark, sf_dir, name)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_no_query_degrades_to_cartesian(spark, sf_dir):
+    """Global sweep: NO registered query may compile to a CartesianProduct.
+    Tiny scalar cross-joins (totals, bounds) legitimately become broadcast
+    nested-loop joins; an actual CartesianProduct means a join lost its
+    keys and would be O(n^2) shuffled at scale."""
+    bad = []
+    for name in sorted(QUERIES):
+        try:
+            plan = plan_of(spark, sf_dir, name)
+        except Exception as e:  # pragma: no cover - surface as failure
+            bad.append((name, f"plan build failed: {e}"))
+            continue
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+    assert not bad, bad

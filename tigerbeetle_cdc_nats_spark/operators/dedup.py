@@ -168,18 +168,7 @@ def minhash_candidate_pairs(sigs: DataFrame, bands: int = MINHASH_BANDS,
                             k: int = MINHASH_K) -> DataFrame:
     """LSH banding: bucket = md5 of each band's signature slice; candidate
     pairs share (band, bucket). Equality join — the 100 TB path."""
-    rows_per_band = k // bands
-    band = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    banded = sigs.select("doc_id", "sig", band).select(
-        "doc_id",
-        "band",
-        F.concat_ws(",", *[
-            F.element_at("sig", (F.col("band") * rows_per_band + j + 1)
-                         .cast("int")).cast("string")
-            for j in range(rows_per_band)
-        ]).alias("bucket"),
-        "sig",
-    )
+    banded = banded_buckets(sigs, bands=bands, k=k)
     # The self-join references the banded/signature subtree twice and Spark's
     # exchange-reuse rule does not fire across the two join inputs (verified
     # in the recorded plan: two full Scan->Generate subtrees). Materialize the
