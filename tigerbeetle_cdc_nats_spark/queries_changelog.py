@@ -591,3 +591,59 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("prev_type", "next_type", "n_transitions",
                     (F.col("n_transitions").cast("double")
                      / F.col("row_total")).alias("p_transition")))
+
+
+#: Equi-depth bucket count for the value distribution.
+EQUIDEPTH_B = 8
+
+
+@register(
+    "equidepth_histogram",
+    f"""WITH ev AS ({_EV}),
+c AS (SELECT {_CENTS} AS cents, ts FROM ev),
+r AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, ts) AS rn,
+         COUNT(*) OVER () AS n
+  FROM c
+),
+b AS (
+  SELECT cents, CAST(((rn - 1) * {EQUIDEPTH_B}) // n AS BIGINT) AS bucket
+  FROM r
+)
+SELECT bucket, COUNT(*) AS n_rows,
+       CAST(MIN(cents) AS BIGINT) AS lo_cents,
+       CAST(MAX(cents) AS BIGINT) AS hi_cents
+FROM b GROUP BY bucket""",
+    doc=f"equi-depth histogram: rank-partition the value distribution into "
+        f"{EQUIDEPTH_B} equal-population buckets with exact integer "
+        "boundaries — the quantile-sketch ground truth and the "
+        "equi-width complement (value_histogram) for CBO-style stats",
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-population value buckets with exact boundaries.
+
+    Scale shape: the rank window is a global sort — the one operation
+    here that is honestly expensive at 100 TB; the production form
+    samples or sketches the CDF first (percentile_approx in
+    approx_distinct_sketch) and this exact operator is its audit. The
+    deterministic (cents, ts) order makes bucket assignment — and thus
+    the min/max boundaries — engine-identical, unlike ntile over a
+    nondeterministic order.
+    """
+    from pyspark.sql import Window as W
+
+    ev = events_table(spark, sf_dir)
+    c = ev.select(agg.cents().alias("cents"), "ts")
+    r = c.select(
+        "cents",
+        F.row_number().over(W.orderBy("cents", "ts")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n"))
+    b = r.select(
+        "cents",
+        F.expr(f"((rn - 1) * {EQUIDEPTH_B}) div n").cast("bigint")
+        .alias("bucket"))
+    return (b.groupBy("bucket")
+            .agg(F.count("*").alias("n_rows"),
+                 F.min("cents").cast("bigint").alias("lo_cents"),
+                 F.max("cents").cast("bigint").alias("hi_cents")))

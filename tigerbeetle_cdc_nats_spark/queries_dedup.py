@@ -648,3 +648,58 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n_delta_dups", F.lit(0)).cast("bigint")
                 .alias("n_delta_dups"),
                 F.col("a_id").isNull().cast("bigint").alias("is_new")))
+
+
+@register(
+    "novelty_score",
+    f"""WITH RECURSIVE {_MINHASH_CTES},
+dp AS (
+  SELECT doc_a AS doc_id, doc_b AS o, {_EST_J} AS j FROM wsig
+  WHERE doc_a % 5 = 4
+  UNION ALL
+  SELECT doc_b, doc_a, {_EST_J} FROM wsig WHERE doc_b % 5 = 4
+),
+m AS (
+  SELECT doc_id, MAX(j) AS max_sim,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates
+  FROM dp WHERE o % 5 <> 4
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(m.max_sim, 0.0) AS max_base_sim,
+       1.0 - COALESCE(m.max_sim, 0.0) AS novelty,
+       COALESCE(m.n_candidates, 0) AS n_candidates
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
+LEFT JOIN m ON m.doc_id = d.doc_id""",
+    doc="novelty scoring for a delta batch: 1 - max estimated Jaccard "
+        "against the base corpus (LSH candidates only — docs sharing no "
+        "band bucket score as fully novel), the dedup-adjacent signal "
+        "data-curation pipelines rank fresh crawls by",
+)
+def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-delta-doc novelty vs the indexed base corpus.
+
+    Scale shape: identical delta-probes-index asymmetry as
+    incremental_dedup (cost tracks the delta); max/count aggregate the
+    candidate list per doc, and docs with zero candidates — the common
+    case for genuinely new content — short-circuit to novelty 1.0 via
+    the left join, never touching a similarity computation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
+    pairs = dd.minhash_incremental_pairs(
+        sigs, (F.col("doc_id") % 5) == 4)
+    m = (pairs.where(~F.col("other_is_delta"))
+         .groupBy("doc_id")
+         .agg(F.max("est_jaccard").alias("max_sim"),
+              F.count("*").cast("bigint").alias("n_candidates")))
+    delta_docs = docs.where((F.col("doc_id") % 5) == 4).select("doc_id")
+    return (delta_docs.join(m.withColumnRenamed("doc_id", "m_id"),
+                            delta_docs["doc_id"] == F.col("m_id"), "left")
+            .select(
+                "doc_id",
+                F.coalesce("max_sim", F.lit(0.0)).alias("max_base_sim"),
+                (F.lit(1.0) - F.coalesce("max_sim", F.lit(0.0)))
+                .alias("novelty"),
+                F.coalesce("n_candidates", F.lit(0)).cast("bigint")
+                .alias("n_candidates")))
