@@ -102,3 +102,32 @@ def test_nats_sink_with_injected_transport(spark, tmp_path):
     assert sample["subject"].startswith("tigerbeetle.cdc.")
     assert set(HEADER_COLS) | {"Nats-Msg-Id"} == set(sample["headers"])
     assert sample["n"] > 500  # full envelope payload
+
+
+def test_csv_and_orc_roundtrip(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from tigerbeetle_cdc_nats_spark.sources.formats import (
+        read_csv,
+        read_orc,
+        write_csv,
+        write_orc,
+    )
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    rows = [(1, "a", 1.5), (2, "b,c", -2.0), (3, None, 0.0)]
+    df = spark.createDataFrame(rows, schema)
+
+    csv_dir = str(tmp_path / "csv")
+    write_csv(df, csv_dir, mode="overwrite")
+    got_csv = sorted(map(tuple, read_csv(spark, csv_dir, schema).collect()))
+    assert got_csv == sorted(rows)
+
+    orc_dir = str(tmp_path / "orc")
+    write_orc(df, orc_dir, mode="overwrite")
+    got_orc = sorted(map(tuple, read_orc(spark, orc_dir).collect()))
+    assert got_orc == sorted(rows)

@@ -53,3 +53,42 @@ def stream_parquet(spark: SparkSession, path: str, schema: T.StructType,
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(path)
     )
+
+
+def read_csv(spark: SparkSession, path: str,
+             schema: T.StructType, *, header: bool = True,
+             sep: str = ",") -> DataFrame:
+    """CSV with an EXPLICIT schema (inference disabled by the same policy
+    as JSONL: an inference pass is a full extra scan at 100 TB, and a
+    drifting inferred schema breaks the fail-fast config-diff contract).
+    mode=FAILFAST so malformed rows stop the job instead of becoming
+    silent nulls."""
+    configure(spark)
+    return (spark.read.schema(schema)
+            .option("header", str(header).lower())
+            .option("sep", sep)
+            .option("mode", "FAILFAST")
+            .csv(path))
+
+
+def write_csv(df: DataFrame, path: str, *, mode: str = "append",
+              header: bool = True, sep: str = ",") -> None:
+    (df.write.mode(mode)
+     .option("header", str(header).lower())
+     .option("sep", sep)
+     .csv(path))
+
+
+def read_orc(spark: SparkSession, path: str,
+             schema: T.StructType | None = None) -> DataFrame:
+    """ORC — the other columnar interchange format; schema optional
+    because ORC carries its own (no inference scan needed)."""
+    configure(spark)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "append") -> None:
+    df.write.mode(mode).orc(path)
