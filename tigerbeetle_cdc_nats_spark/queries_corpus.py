@@ -1089,3 +1089,161 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("doc_id").alias("keeper_doc"))
         .where(F.col("n_occurrences") > 1)
     )
+
+
+# --- normalization-aware exact dedup (C4-style) ----------------------------
+
+#: Winnowing geometry: k-word grams, window of w consecutive gram hashes.
+#: Guarantee (Schleimer et al., SIGMOD'03): any shared run of at least
+#: w + k - 1 tokens between two documents shares at least one fingerprint.
+WINNOW_K = 3
+WINNOW_W = 4
+
+_SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+def normalize_text(col) -> F.Column:
+    """C4-style canonical form: lowercase, strip non-[a-z0-9 ], collapse
+    runs of spaces, trim. Mirrors ``_SQL_NORM`` exactly (DuckDB needs the
+    explicit 'g' flag; Spark's regexp_replace is global by default)."""
+    return F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(col), "[^a-z0-9 ]", ""), " +", " "))
+
+
+def winnow_fingerprints(docs: DataFrame, *, k: int = WINNOW_K,
+                        w: int = WINNOW_W) -> DataFrame:
+    """Distinct winnowed fingerprints per document: (doc_id, wm) rows where
+    ``wm`` is the min word-k-gram hash of some window of ``w`` consecutive
+    grams. See q_winnowing_fingerprint for the scale shape."""
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]))
+    g = (
+        docs.where(F.size(toks) >= k)
+        .select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"),
+                dd.hash60(F.col("gram")).alias("h"))
+    )
+    by_doc = Window.partitionBy("doc_id")
+    wmin = (Window.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(Window.currentRow, w - 1))
+    return (
+        g.withColumn("n_grams", F.max("pos").over(by_doc))
+        .withColumn("wm", F.min("h").over(wmin))
+        .where(F.col("pos") <= F.col("n_grams") - (w - 1))
+        .select("doc_id", "wm").distinct()
+    )
+
+
+@register(
+    "normalized_dedup",
+    f"""WITH n AS (
+  SELECT doc_id,
+         length(text) - length({_SQL_NORM}) AS n_chars_removed,
+         CAST(('0x' || substr(md5({_SQL_NORM}), 1, 15)) AS BIGINT) AS norm_h
+  FROM documents
+)
+SELECT doc_id, norm_h, n_chars_removed,
+       COUNT(*) OVER (PARTITION BY norm_h) AS group_size,
+       MIN(doc_id) OVER (PARTITION BY norm_h) AS keeper_doc
+FROM n""",
+    doc="normalization-aware exact dedup (the C4/RefinedWeb 'fuzzy exact' "
+        "stage): lowercase, strip non-alphanumerics, collapse whitespace, "
+        "then hash-group — per-doc normalized hash, bytes the normalizer "
+        "removed, and the duplicate-group size/keeper under normalization "
+        "(group_size = 1 on a dup-free corpus; a doc is a drop when "
+        "doc_id <> keeper_doc)",
+)
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dedup verdict under text *normalization* rather than
+    byte equality.
+
+    Scale shape: identical to exact_dedup — the normalization chain
+    (lower -> regexp_replace x2 -> trim -> md5) is a pure per-row Column
+    map inside whole-stage codegen, and the single shuffle partitions on
+    the 60-bit normalized hash (high-cardinality, even) for the group-size
+    window; shuffle rows are (hash, doc_id, int) — bytes, not documents —
+    so the pass stays scan-dominated at 100 TB exactly like exact dedup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    by_hash = Window.partitionBy("norm_h")
+    return (
+        docs.select(
+            "doc_id",
+            (F.length("text") - F.length(norm)).cast("bigint")
+            .alias("n_chars_removed"),
+            dd.hash60(norm).alias("norm_h"))
+        .select(
+            "doc_id", "norm_h", "n_chars_removed",
+            F.count("*").over(by_hash).alias("group_size"),
+            F.min("doc_id").over(by_hash).alias("keeper_doc"))
+    )
+
+
+@register(
+    "winnowing_fingerprint",
+    f"""WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+  WHERE len(str_split(text, ' ')) >= {WINNOW_K}
+),
+p AS (
+  SELECT doc_id, toks, len(toks) - {WINNOW_K - 1} AS n_grams,
+         unnest(range(1, len(toks) - {WINNOW_K - 2})) AS pos
+  FROM t
+),
+g AS (
+  SELECT doc_id, pos, n_grams,
+         CAST(('0x' || substr(md5({' || '.join(
+             f"toks[CAST(pos + {j} AS INT)]" if j == 0
+             else f"' ' || toks[CAST(pos + {j} AS INT)]"
+             for j in range(WINNOW_K))}), 1, 15)) AS BIGINT) AS h
+  FROM p
+),
+w AS (
+  SELECT doc_id, pos, n_grams,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+           AS wm
+  FROM g
+),
+fp AS (
+  SELECT DISTINCT doc_id, wm FROM w
+  WHERE pos <= n_grams - {WINNOW_W - 1}
+)
+SELECT doc_id,
+       COUNT(*) AS n_fingerprints,
+       MIN(wm) AS fp_min,
+       MAX(wm) AS fp_max,
+       bit_xor(wm) AS fp_xor
+FROM fp GROUP BY doc_id""",
+    doc="robust winnowing (Schleimer et al., MOSS): per-position word-3-gram "
+        "hashes, min over each window of 4 consecutive hashes, distinct "
+        "window-minima as the document fingerprint set — guarantees any "
+        "shared run of >= w+k-1 tokens shares a fingerprint",
+)
+def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed fingerprint summary per document.
+
+    Scale shape: positional gram hashing is a per-row posexplode (1 -> ~L
+    fan-out, no shuffle); the window-min runs inside a single
+    partitionBy(doc_id) sort — one shuffle keyed on doc_id, bounded rows
+    per key (document length), no skew; the final distinct+groupBy rides
+    the SAME doc_id partitioning so AQE collapses it into the existing
+    exchange. Fingerprint sets (not full gram sets) are what a plagiarism/
+    overlap index stores: ~2/(w+1) of the gram volume, which at 100 TB is
+    the difference between indexing 100 TB and indexing ~40 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs)
+    return fp.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"),
+        F.min("wm").alias("fp_min"),
+        F.max("wm").alias("fp_max"),
+        F.expr("bit_xor(wm)").alias("fp_xor"),
+    )
