@@ -1,0 +1,248 @@
+#!/usr/bin/env python
+"""Scale soak: do the quadratic-risk operators actually scale linearly?
+
+Generates deterministic synthetic corpora (documents + embeddings, same
+schema as the driver's testdata) at several multiples of the sf0.1 size,
+runs the dedup / similarity / corpus operators at each size, and prints a
+JSON report with per-op times and the fitted scaling exponent
+``alpha = log(t_big / t_small) / log(n_big / n_small)`` between the largest
+two sizes. alpha ~ 1 is linear; alpha >= ~1.6 flags a quadratic term.
+
+Corpus construction (all Spark-side expressions — no driver loops, so the
+generator itself scales):
+- ~50 hash-derived words per doc from a 40-word vocab (mimics the testdata
+  text statistics that drive shingle/LSH collision rates);
+- every 50th doc is a planted near-dup of its predecessor (one-word edit),
+  keeping the duplicate RATE constant as the corpus grows — replicating the
+  corpus verbatim would instead grow duplicate CLUSTERS with size, which
+  makes candidate volume quadratic by construction and would say nothing
+  about the operators;
+- embeddings: dim-64 hash-derived uniforms, 10 labels, like the testdata.
+
+Usage: python scripts/scale_soak.py [mult ...]   (default: 1 4 16)
+Writes corpora under /tmp/scale/x<mult>/ and reuses them when present.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from tigerbeetle_cdc_nats_spark import registry
+from tigerbeetle_cdc_nats_spark.session import get_spark
+
+BASE_DOCS = 5_000     # sf0.1 documents rows
+BASE_EMB = 2_000      # sf0.1 embeddings rows
+VOCAB = [
+    "key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
+    "hash", "merge", "batch", "spark", "line", "sort", "window", "query",
+    "big", "small", "stream", "group", "column", "join", "filter", "order",
+    "data", "customer", "vector", "the", "a", "cache", "stage", "plan",
+    "shard", "probe", "build", "spill", "codec", "page", "block",
+]
+
+#: Doc/embedding-only registered queries exercised per size, cheapest first.
+DOC_OPS = [
+    "exact_dedup", "normalized_dedup", "doc_fingerprint", "token_count",
+    "winnowing_fingerprint", "chunk_dedup", "simhash_dedup",
+    "decontamination", "minhash_dedup", "ngram_jaccard_dedup",
+    "prefix_jaccard_join", "tfidf_top_terms",
+]
+EMB_OPS = [
+    "knn_bruteforce_cosine", "ann_lsh_cosine", "embedding_near_dup",
+    "ivf_ann_cosine", "semdedup", "kmeans_refine", "label_centroids",
+]
+
+
+def gen_corpus(spark, out_dir: str, mult: int) -> None:
+    n_docs, n_emb = BASE_DOCS * mult, BASE_EMB * mult
+    docs_path = os.path.join(out_dir, "documents.parquet")
+    emb_path = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(docs_path) and os.path.exists(emb_path):
+        return
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    base = (
+        spark.range(n_docs).withColumnRenamed("id", "doc_id")
+        # planted near-dup: every 50th doc re-derives its predecessor's words
+        .withColumn("src_id", F.when(
+            (F.col("doc_id") % 50 == 0) & (F.col("doc_id") > 0),
+            F.col("doc_id") - 1).otherwise(F.col("doc_id")))
+        .withColumn("n_words", F.pmod(F.hash("src_id"), F.lit(21)) + 40)
+    )
+    words = F.transform(
+        F.sequence(F.lit(1), F.col("n_words")),
+        lambda j: F.element_at(
+            vocab, (F.pmod(F.hash(F.col("src_id") * 131 + j), F.lit(40))
+                    + 1).cast("int")))
+    docs = (
+        base.withColumn("words", words)
+        .withColumn("text", F.when(
+            F.col("doc_id") == F.col("src_id"),
+            F.array_join("words", " "))
+            .otherwise(F.concat(F.array_join("words", " "), F.lit(" edit"))))
+        .select(
+            "doc_id", "text",
+            F.lit("en").alias("lang"),
+            F.concat(F.lit("src"),
+                     F.pmod(F.hash("doc_id"), F.lit(20))).alias("source"),
+            F.length("text").cast("long").alias("n_chars"))
+    )
+    docs.repartition(32).write.mode("overwrite").parquet(docs_path)
+    # every 50th vector is a planted near-identical copy of its
+    # predecessor (first component nudged by 0.01 -> cosine ~ 0.9998):
+    # near-dup ops are scored on RECALL of these planted pairs.
+    emb = (
+        spark.range(n_emb).withColumnRenamed("id", "vec_id")
+        .withColumn("src_id", F.when(
+            (F.col("vec_id") % 50 == 0) & (F.col("vec_id") > 0),
+            F.col("vec_id") - 1).otherwise(F.col("vec_id")))
+        .select(
+            "vec_id",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda d: ((F.pmod(F.hash(F.col("src_id") * 67 + d),
+                                   F.lit(2001)) - 1000) / 1000.0
+                           + F.when((d == 1)
+                                    & (F.col("src_id") != F.col("vec_id")),
+                                    F.lit(0.01)).otherwise(F.lit(0.0)))
+                .cast("float"))
+            .alias("embedding"),
+            F.pmod(F.hash("src_id"), F.lit(10)).cast("bigint").alias("label"))
+    )
+    emb.repartition(8).write.mode("overwrite").parquet(emb_path)
+
+
+def planted_recall(pairs, n_emb: int, a_col: str, b_col: str) -> float:
+    """Fraction of planted (i-1, i) near-identical pairs present in the
+    op's output (either id order)."""
+    lo, hi = F.least(F.col(a_col), F.col(b_col)), F.greatest(
+        F.col(a_col), F.col(b_col))
+    found = (pairs.select(lo.alias("lo"), hi.alias("hi"))
+             .where((F.col("hi") % 50 == 0) & (F.col("lo") == F.col("hi") - 1))
+             .distinct().count())
+    planted = (n_emb - 1) // 50
+    return round(found / planted, 4) if planted else 1.0
+
+
+def planted_drop_recall(drops, n_emb: int, drop_col: str) -> float:
+    """For semdedup-shaped output (drop_id rows): fraction of planted
+    near-dup ids marked as drops (keep_id may legitimately be a closer
+    smaller-id partner, so only the drop side is scored)."""
+    found = (drops.where((F.col(drop_col) % 50 == 0) & (F.col(drop_col) > 0))
+             .select(drop_col).distinct().count())
+    planted = (n_emb - 1) // 50
+    return round(found / planted, 4) if planted else 1.0
+
+
+def near_dup_adaptive(spark, sf_dir: str, n_emb: int):
+    """embedding_near_dup with corpus-scaled LSH geometry
+    (`planes_for_corpus`) instead of the registered query's pinned 8
+    planes — the scale path the operators expose for real corpora. The
+    soak runs BOTH so the report shows the fixed geometry degrading
+    super-linearly and the adaptive knob restoring ~linear cost."""
+    from tigerbeetle_cdc_nats_spark.operators import similarity as sim
+    from tigerbeetle_cdc_nats_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = sim.embedding_dim(sf_dir)
+    # target ~64/bucket: at x16 (32k vecs) this is 9 planes / 512 buckets
+    planes = sim.hyperplanes(
+        sim.planes_for_corpus(n_emb, target_bucket=64), dim)
+    b = sim.lsh_buckets(emb, planes, dim=dim).withColumn(
+        "norm", sim.norm_col("embedding", dim)).persist()
+    q = b.select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.col("bucket").alias("q_bucket"), F.col("norm").alias("q_n"))
+    c = b.select(F.col("vec_id").alias("c_id"),
+                 F.col("embedding").alias("c_emb"),
+                 F.col("bucket").alias("c_bucket"), F.col("norm").alias("c_n"))
+    s = sim.cosine_sim_e6_prenorm(F.col("q_emb"), F.col("c_emb"),
+                                  F.col("q_n"), F.col("c_n"), None)
+    return (
+        q.join(c, (F.col("q_bucket") == F.col("c_bucket"))
+               & (F.col("q_id") < F.col("c_id")))
+        .select(F.col("q_id").alias("vec_a"), F.col("c_id").alias("vec_b"),
+                s.alias("sim_e6"))
+        .where(F.col("sim_e6") >= 400000)
+    )
+
+
+def semdedup_scaled_build(spark, sf_dir: str, n_emb: int):
+    """Registered semdedup's ivf_assign front half + the corpus-scaled
+    sub-bucketed pair scan from operators.similarity.semdedup_scaled."""
+    from tigerbeetle_cdc_nats_spark.operators import similarity as sim
+    from tigerbeetle_cdc_nats_spark.queries_similarity import (
+        centroid_vectors, ivf_assign)
+    from tigerbeetle_cdc_nats_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = sim.embedding_dim(sf_dir)
+    assigned = ivf_assign(emb, centroid_vectors(emb), dim=dim)
+    return sim.semdedup_scaled(assigned, n_emb, dim=dim)
+
+
+def main() -> None:
+    mults = [int(a) for a in sys.argv[1:] if not a.startswith("-")] or [1, 4, 16]
+    emb_only = "--emb-only" in sys.argv
+    spark = get_spark(app_name="scale-soak")
+    queries = registry.all_queries()
+    results: dict[str, dict[int, float]] = {}
+    recalls: dict[str, dict[int, float]] = {}
+
+    for mult in mults:
+        out_dir = f"/tmp/scale/x{mult}"
+        os.makedirs(out_dir, exist_ok=True)
+        gen_corpus(spark, out_dir, mult)
+        repeats = int(os.environ.get("SOAK_REPEATS", "2"))
+        n_emb = BASE_EMB * mult
+
+        def timed(name, build, recall_fn=None):
+            # min over repeats: this host shows ~2x wall jitter between
+            # identical runs; the minimum is the least-noisy estimate.
+            best = None
+            for _ in range(max(1, repeats)):
+                t0 = time.perf_counter()
+                build().write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            results.setdefault(name, {})[mult] = round(best, 3)
+            r = ""
+            if recall_fn:
+                rec = recall_fn(build())
+                recalls.setdefault(name, {})[mult] = rec
+                r = f"  recall={rec}"
+            print(f"x{mult:<3} {name:<28} {best:7.2f}s{r}", file=sys.stderr)
+
+        pair_rec = lambda df: planted_recall(df, n_emb, "vec_a", "vec_b")
+        drop_rec = lambda df: planted_drop_recall(df, n_emb, "drop_id")
+        for name in ([] if emb_only else DOC_OPS) + EMB_OPS:
+            rf = {"embedding_near_dup": pair_rec, "semdedup": drop_rec}.get(name)
+            timed(name, lambda: queries[name].fn(spark, out_dir), rf)
+        timed("near_dup_adaptive_geometry",
+              lambda: near_dup_adaptive(spark, out_dir, n_emb), pair_rec)
+        timed("semdedup_scaled",
+              lambda: semdedup_scaled_build(spark, out_dir, n_emb), drop_rec)
+
+    lo, hi = mults[0], mults[-1]
+    report = {}
+    for name, times in results.items():
+        alpha = (math.log(times[hi] / times[lo]) / math.log(hi / lo)
+                 if len(mults) > 1 else None)
+        report[name] = {"times_s": times,
+                        "alpha": round(alpha, 3) if alpha else None}
+        if name in recalls:
+            report[name]["planted_recall"] = recalls[name]
+    print(json.dumps({"base_docs": BASE_DOCS, "mults": mults,
+                      "ops": report}, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -344,12 +344,15 @@ def q_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # distinct shingle-hash array per doc (matches the oracle's
     # list_distinct semantics; gram_hash_rows is the exploded form)
+    # persisted: BOTH pair sides join this per-doc array — without it the
+    # explode+md5+collect subtree runs twice (the round-1 minhash lesson)
     sh = (
         dd.gram_hash_rows(docs)
         .dropDuplicates(["doc_id", "h"])
         .groupBy("doc_id")
         .agg(F.collect_list("h").alias("hs_raw"))
         .select("doc_id", F.array_sort("hs_raw").alias("hs"))
+        .persist()
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))

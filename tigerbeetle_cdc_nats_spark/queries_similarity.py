@@ -588,8 +588,11 @@ def q_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_a").alias("t_a"), F.col("doc_b").alias("t_b"))
     )
 
+    # Persisted like embedding_near_dup: both sides of the bucket self-join
+    # read the bucketed+normed corpus — materialize that pass once instead
+    # of recomputing the scan+hash subtree per side.
     b = sim.lsh_buckets(emb, _planes(sf_dir), dim=_dim(sf_dir)).withColumn(
-        "norm", sim.norm_col("embedding", _dim(sf_dir)))
+        "norm", sim.norm_col("embedding", _dim(sf_dir))).persist()
     q = b.select(F.col("vec_id").alias("q_id"),
                  F.col("embedding").alias("q_emb"),
                  F.col("bucket").alias("q_bucket"), F.col("norm").alias("q_n"))
