@@ -717,3 +717,53 @@ def q_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", "c_id", "coarse_dot", "sim_e6",
                     # row_number is 32-bit; DuckDB's is BIGINT
                     F.col("knn_rank").cast("bigint").alias("knn_rank")))
+
+
+#: Sub-bucket geometry the ORACLE pins: at every driver SF the adaptive
+#: ``planes_for_corpus(n/cells)`` resolves to its 4-plane clamp floor
+#: (per-cell population stays < 1k until ~11k vectors), so the SQL can bake
+#: the 4 plane literals while the Spark side computes the count adaptively.
+_SUB_PLANES = sim.hyperplanes(4, _DIM)
+
+
+@register(
+    "semdedup_scaled",
+    f"""WITH {_IVF_ASSIGN_SQL},
+sub AS (
+  SELECT vec_id, embedding, cell,
+         {sim.sql_bucket(_SUB_PLANES)} AS sub
+  FROM assigned
+),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {sim.sql_cosine_e6('a.embedding', 'b.embedding')} AS sim_e6
+  FROM sub a JOIN sub b
+    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+),
+d AS (SELECT vec_a, vec_b, sim_e6 FROM p WHERE sim_e6 >= 400000)
+SELECT vec_b AS drop_id, MIN(vec_a) AS keep_id,
+       CAST(MAX(sim_e6) AS BIGINT) AS max_sim_e6
+FROM d GROUP BY vec_b""",
+    doc="SemDeDup at corpus scale: IVF cells refined with log(n)-plane LSH "
+        "sub-buckets (composite cell ids) so per-cell pair volume stays "
+        "bounded as the corpus grows — the measured fix for the fixed-cell "
+        "quadratic term (SCALE.md: 14x at 16x corpus, 99.2% recall)",
+)
+def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semdedup with corpus-scaled composite cells.
+
+    The plane count is computed from the actual corpus size at build time
+    (``planes_for_corpus``); at the driver's SFs this lands on the 4-plane
+    clamp floor the oracle bakes in — the adaptive path and the pinned
+    oracle agree exactly until ~11k vectors, where only the Spark side
+    (correctly) widens. Scale shape: identical to semdedup except the
+    equality-join key is (cell, sub_bucket) with ~constant expected
+    population, making total pair volume linear in corpus size.
+    """
+    from pyspark import StorageLevel
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    centv = centroid_vectors(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    assigned = ivf_assign(emb, centv, dim=_dim(sf_dir))
+    return sim.semdedup_scaled(assigned, n, dim=_dim(sf_dir))
