@@ -1186,9 +1186,9 @@ def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "winnowing_fingerprint",
-    f"""WITH t AS (
+#: DuckDB CTE chain producing fp(doc_id, wm) — the winnowed fingerprint
+#: set; shared by winnowing_fingerprint and winnow_candidates.
+_WINNOW_FP_CTE = f"""t AS (
   SELECT doc_id, str_split(text, ' ') AS toks FROM documents
   WHERE len(str_split(text, ' ')) >= {WINNOW_K}
 ),
@@ -1215,7 +1215,12 @@ w AS (
 fp AS (
   SELECT DISTINCT doc_id, wm FROM w
   WHERE pos <= n_grams - {WINNOW_W - 1}
-)
+)"""
+
+
+@register(
+    "winnowing_fingerprint",
+    f"""WITH {_WINNOW_FP_CTE}
 SELECT doc_id,
        COUNT(*) AS n_fingerprints,
        MIN(wm) AS fp_min,
@@ -1246,4 +1251,76 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("wm").alias("fp_min"),
         F.max("wm").alias("fp_max"),
         F.expr("bit_xor(wm)").alias("fp_xor"),
+    )
+
+
+#: Fingerprint-index hygiene: a fingerprint held by more than this many
+#: documents is a corpus-wide commonplace (the inverted-index stopword
+#: analogue) and generates no candidate pairs.
+WINNOW_HOT_CAP = 50
+
+
+@register(
+    "winnow_candidates",
+    f"""WITH {_WINNOW_FP_CTE},
+cnt AS (SELECT wm, COUNT(*) AS n_docs FROM fp GROUP BY wm),
+keep AS (SELECT wm FROM cnt WHERE n_docs BETWEEN 2 AND {WINNOW_HOT_CAP}),
+sz AS (SELECT doc_id, COUNT(*) AS nfp FROM fp GROUP BY doc_id),
+pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM fp a JOIN keep k ON a.wm = k.wm
+  JOIN fp b ON a.wm = b.wm AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_shared,
+       sa.nfp AS nfp_a, sb.nfp AS nfp_b,
+       CAST(FLOOR(n_shared * 1000000.0 / LEAST(sa.nfp, sb.nfp)) AS BIGINT)
+         AS overlap_e6
+FROM pr
+JOIN sz sa ON pr.doc_a = sa.doc_id
+JOIN sz sb ON pr.doc_b = sb.doc_id
+WHERE n_shared >= 2""",
+    doc="winnowing-index candidate pairs (the MOSS/plagiarism-index query): "
+        "docs sharing >= 2 non-commonplace fingerprints, with shared count "
+        "and containment overlap vs the smaller fingerprint set",
+)
+def q_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs from the winnowed fingerprint index.
+
+    Scale shape: the index is the fingerprint set (~2/(w+1) of gram
+    volume); candidates come from an equality self-join on the 60-bit
+    fingerprint — never all-pairs. The hot-cap filter bounds per-key join
+    fan-out at WINNOW_HOT_CAP docs (pairs per fingerprint <= cap^2/2), the
+    same frequency pruning every inverted index applies, so candidate
+    volume is O(#fingerprints * cap) worst-case and tracks true overlap in
+    practice. The fp set is persisted: four consumers (two join sides,
+    per-fp counts, per-doc sizes) read it, and recomputing the
+    posexplode+window subtree per consumer is the round-1 double-compute
+    mistake.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs).persist()
+    keep = (fp.groupBy("wm").agg(F.count("*").alias("n_docs"))
+            .where((F.col("n_docs") >= 2)
+                   & (F.col("n_docs") <= WINNOW_HOT_CAP))
+            .select("wm"))
+    sz = fp.groupBy("doc_id").agg(F.count("*").alias("nfp"))
+    a = fp.join(keep, "wm").select(
+        "wm", F.col("doc_id").alias("doc_a"))
+    b = fp.select("wm", F.col("doc_id").alias("doc_b"))
+    pr = (
+        a.join(b, (a.wm == b.wm) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("nfp").alias("nfp_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("nfp").alias("nfp_b"))
+    return (
+        pr.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_shared", "nfp_a", "nfp_b",
+            F.floor(F.col("n_shared") * 1000000.0
+                    / F.least("nfp_a", "nfp_b")).cast("bigint")
+            .alias("overlap_e6"))
     )
