@@ -1324,3 +1324,54 @@ def q_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.least("nfp_a", "nfp_b")).cast("bigint")
             .alias("overlap_e6"))
     )
+
+
+@register(
+    "mixture_temperature",
+    """WITH per AS (
+  SELECT source,
+         CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+s AS (
+  SELECT source, n_tokens,
+         CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+           AS st
+  FROM per
+)
+SELECT source, n_tokens,
+       CAST(n_tokens * 1000000 // SUM(n_tokens) OVER () AS BIGINT) AS p_e6,
+       CAST(st * 1000000 // SUM(st) OVER () AS BIGINT) AS w_e6
+FROM s""",
+    doc="temperature-reweighted data mixture (tau = 0.5): per-source raw "
+        "token share p_e6 and sqrt-temperature share w_e6 — the standard "
+        "rebalancing that up-samples small sources for training mixes",
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture weights at temperature tau = 0.5.
+
+    w_i = sqrt(n_i) / sum_j sqrt(n_j), the p_i^tau reweighting every
+    multilingual/multi-source training mix applies. tau = 0.5 is chosen
+    deliberately: IEEE-754 requires sqrt to be correctly rounded (unlike
+    pow/exp/ln, which differ by ULPs across libm implementations), and the
+    shares are formed with integer floor-divisions, so the result is
+    bit-identical cross-engine. Integer bounds: n_tokens * 1e6 needs
+    n_tokens < 9.2e12 per source — at larger budgets, scale the e6 factor
+    down (weights need 6 digits, not the token count).
+
+    Scale shape: one groupBy(source) with map-side partial aggregation
+    collapses the corpus to #sources rows; the whole-table window runs on
+    those few rows in a single task. Nothing corpus-sized crosses the
+    second exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"))
+    s = per.withColumn(
+        "st", F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000)
+        .cast("bigint"))
+    return s.select(
+        "source", "n_tokens",
+        F.expr("n_tokens * 1000000 div sum(n_tokens) over ()").alias("p_e6"),
+        F.expr("st * 1000000 div sum(st) over ()").alias("w_e6"),
+    )
