@@ -59,13 +59,23 @@ EMB_OPS = [
     "knn_bruteforce_cosine", "ann_lsh_cosine", "embedding_near_dup",
     "ivf_ann_cosine", "semdedup", "kmeans_refine", "label_centroids",
 ]
+#: events-table window/aggregation family (time-series scale risks:
+#: per-user window sorts, global percentile sorts, self-join rollups).
+EVENT_OPS = [
+    "sessionization", "rate_window_counts", "sliding_window_counts",
+    "event_transition_matrix", "running_balance", "multires_rollup",
+    "value_percentiles", "duplicate_count", "event_sequence_rank",
+    "rate_anomaly", "equidepth_histogram", "time_weighted_value",
+]
+BASE_EVENTS = 100_000  # sf0.1 events rows
 
 
 def gen_corpus(spark, out_dir: str, mult: int) -> None:
     n_docs, n_emb = BASE_DOCS * mult, BASE_EMB * mult
     docs_path = os.path.join(out_dir, "documents.parquet")
     emb_path = os.path.join(out_dir, "embeddings.parquet")
-    if os.path.exists(docs_path) and os.path.exists(emb_path):
+    ev_path = os.path.join(out_dir, "events.parquet")
+    if all(os.path.exists(p) for p in (docs_path, emb_path, ev_path)):
         return
     vocab = F.array(*[F.lit(w) for w in VOCAB])
     base = (
@@ -117,6 +127,36 @@ def gen_corpus(spark, out_dir: str, mult: int) -> None:
             F.pmod(F.hash("src_id"), F.lit(10)).cast("bigint").alias("label"))
     )
     emb.repartition(8).write.mode("overwrite").parquet(emb_path)
+    # events: ~10 ev/s stream, 2k users per 100k events (constant rate per
+    # user), one deliberately HOT user owning ~1% of all events so window
+    # partitionBy skew is exercised, 5 event types, ts as TIMESTAMP(MICROS)
+    # (the current testdata physical type).
+    n_events = BASE_EVENTS * mult
+    n_users = max(n_events // 50, 1)
+    ev = (
+        spark.range(n_events).withColumnRenamed("id", "event_id")
+        .select(
+            "event_id",
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000)
+                + F.col("event_id") * 100_000
+                + F.pmod(F.hash(F.col("event_id")), F.lit(90_000)))
+            .alias("ts"),
+            F.when(F.pmod(F.hash(F.col("event_id") + 7), 100) == 0, 0)
+            .otherwise(F.pmod(F.hash(F.col("event_id") + 13),
+                              F.lit(n_users))).cast("long").alias("user_id"),
+            F.element_at(
+                F.array(F.lit("click"), F.lit("view"), F.lit("purchase"),
+                        F.lit("signup"), F.lit("error")),
+                (F.pmod(F.hash(F.col("event_id") + 3), 5) + 1).cast("int"))
+            .alias("event_type"),
+            (F.pmod(F.hash(F.col("event_id") + 31), 10_000) / 100.0)
+            .alias("value"),
+            F.concat(F.lit('{"k": '),
+                     F.pmod(F.hash(F.col("event_id") + 17), 100),
+                     F.lit('}')).alias("props"))
+    )
+    ev.repartition(32).write.mode("overwrite").parquet(ev_path)
 
 
 def planted_recall(pairs, n_emb: int, a_col: str, b_col: str) -> float:
@@ -222,7 +262,7 @@ def main() -> None:
 
         pair_rec = lambda df: planted_recall(df, n_emb, "vec_a", "vec_b")
         drop_rec = lambda df: planted_drop_recall(df, n_emb, "drop_id")
-        for name in ([] if emb_only else DOC_OPS) + EMB_OPS:
+        for name in ([] if emb_only else DOC_OPS + EVENT_OPS) + EMB_OPS:
             rf = {"embedding_near_dup": pair_rec, "semdedup": drop_rec}.get(name)
             timed(name, lambda: queries[name].fn(spark, out_dir), rf)
         timed("near_dup_adaptive_geometry",

@@ -630,16 +630,24 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (cents, ts) order makes bucket assignment — and thus
     the min/max boundaries — engine-identical, unlike ntile over a
     nondeterministic order.
+
+    Scale shape: the global rank is computed with the distributed
+    row-number pattern (operators.windows.global_row_number — coarse cents
+    range bucket, per-bucket counts, tiny offset window, per-bucket sort),
+    and the total count joins in as a broadcast scalar, so NO window here
+    sees the full table in one partition. Range-bucket width is a knob:
+    any width is correct; pick ~domain/1000 so bucket sorts stay
+    memory-sized at the target scale.
     """
-    from pyspark.sql import Window as W
+    from tigerbeetle_cdc_nats_spark.operators import windows as win
 
     ev = events_table(spark, sf_dir)
     c = ev.select(agg.cents().alias("cents"), "ts")
-    r = c.select(
-        "cents",
-        F.row_number().over(W.orderBy("cents", "ts")).alias("rn"),
-        F.count("*").over(W.partitionBy()).alias("n"))
-    b = r.select(
+    numbered = win.global_row_number(
+        c, ["cents", "ts"],
+        F.floor(F.col("cents") / 10_000).cast("long"), out_col="rn")
+    tot = c.agg(F.count("*").alias("n"))
+    b = numbered.crossJoin(F.broadcast(tot)).select(
         "cents",
         F.expr(f"((rn - 1) * {EQUIDEPTH_B}) div n").cast("bigint")
         .alias("bucket"))
