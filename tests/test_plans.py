@@ -559,3 +559,62 @@ def test_no_query_degrades_to_cartesian(spark, sf_dir):
         if "CartesianProduct" in plan:
             bad.append((name, "CartesianProduct"))
     assert not bad, bad
+
+
+#: Queries allowed exactly one unpartitioned Window, each over a GROUPED /
+#: bounded input (bucket-count prefix sums, per-source weights, vocabulary
+#: ranks, weekly lags) — never over raw fact rows. Anything not listed must
+#: have zero: an unpartitioned window over row-level data is a single-task
+#: sort of the whole table (the global row_number mistake
+#: operators/windows.global_row_number exists to prevent).
+UNPARTITIONED_WINDOW_ALLOWANCE = {
+    "chunk_assignment": 1,        # prefix-sum over ts-bucket counts
+    "chunk_max_checkpoint": 1,    # same bucket-count table
+    "equidepth_histogram": 1,     # same pattern over cents-bucket counts
+    "join_key_skew_audit": 1,     # rank over per-key counts
+    "mixture_temperature": 1,     # share over per-source totals
+    "pareto_abc": 1,              # cumulative share over per-part revenue
+    "quality_tertiles": 1,        # cumsum over distinct score values
+    "source_mixing_weights": 1,   # share over per-source totals
+    "token_ids": 1,               # frequency rank over the vocabulary
+    "weekly_growth": 1,           # lag over weekly rollup rows
+}
+
+
+def _unpartitioned_windows(plan: str) -> int:
+    """Count Window nodes with no partition spec: in the formatted plan a
+    Window's Arguments are [functions], [partition], [order]; a missing
+    partition group leaves 2 groups with sort order in the last (or 1
+    group for a frame-only window)."""
+    import re
+
+    lines = plan.splitlines()
+    n = 0
+    for i, line in enumerate(lines):
+        if re.match(r"^\(\d+\) Window$", line.strip()):
+            for j in range(i + 1, min(i + 4, len(lines))):
+                s = lines[j].strip()
+                if s.startswith("Arguments:"):
+                    groups = s.split("], [")
+                    last = groups[-1]
+                    if len(groups) == 1 or (
+                            len(groups) == 2
+                            and (" ASC" in last or " DESC" in last)):
+                        n += 1
+                    break
+    return n
+
+
+def test_no_unpartitioned_window_over_row_data(spark, sf_dir):
+    """Global sweep: no registered query may add an unpartitioned Window
+    beyond its allow-listed grouped-input uses."""
+    bad = []
+    for name in sorted(QUERIES):
+        try:
+            count = _unpartitioned_windows(plan_of(spark, sf_dir, name))
+        except Exception as e:  # pragma: no cover - surface as failure
+            bad.append((name, f"plan build failed: {e}"))
+            continue
+        if count > UNPARTITIONED_WINDOW_ALLOWANCE.get(name, 0):
+            bad.append((name, f"{count} unpartitioned window(s)"))
+    assert not bad, bad
