@@ -1,0 +1,28 @@
+"""Multi-probe LSH ANN properties: probing a superset of buckets can only
+improve on single-bucket ANN — more (or equal) results per query, and a
+best-hit at least as similar."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tigerbeetle_cdc_nats_spark.registry import all_queries
+
+
+def _per_query(df):
+    return {
+        r.q_id: (r.n, r.best) for r in
+        df.groupBy("q_id").agg(F.count("*").alias("n"),
+                               F.max("sim_e6").alias("best")).collect()
+    }
+
+
+def test_multiprobe_dominates_single_bucket(spark, sf_dir):
+    q = all_queries()
+    single = _per_query(q["ann_lsh_cosine"].fn(spark, sf_dir))
+    multi = _per_query(q["ann_multiprobe_cosine"].fn(spark, sf_dir))
+    assert set(single) <= set(multi)
+    for q_id, (n, best) in single.items():
+        mn, mbest = multi[q_id]
+        assert mn >= n
+        assert mbest >= best

@@ -767,3 +767,75 @@ def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     centv = centroid_vectors(emb).persist(StorageLevel.MEMORY_AND_DISK)
     assigned = ivf_assign(emb, centv, dim=_dim(sf_dir))
     return sim.semdedup_scaled(assigned, n, dim=_dim(sf_dir))
+
+
+#: Multi-probe masks: the query's own bucket plus every 1-bit flip of its
+#: sign vector (the nearest Hamming neighbors — the buckets a true near
+#: neighbor most likely fell into when it straddled one hyperplane).
+_PROBE_MASKS = tuple([0] + [1 << j for j in range(len(PLANES))])
+_PROBE_LIST_SQL = "[" + ", ".join(
+    f"xor(q_bucket, {m}::BIGINT)" for m in _PROBE_MASKS) + "]"
+
+
+@register(
+    "ann_multiprobe_cosine",
+    f"""WITH b AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
+q0 AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+       FROM b WHERE vec_id IN {QUERY_IDS}),
+q AS (SELECT q_id, q_emb, unnest({_PROBE_LIST_SQL}) AS probe FROM q0),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket AS c_bucket FROM b),
+s AS (SELECT q_id, c_id, {_COS} AS sim_e6
+      FROM q JOIN c ON probe = c_bucket AND q_id != c_id),
+r AS (SELECT q_id, c_id, sim_e6,
+        ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY sim_e6 DESC, c_id) AS knn_rank
+      FROM s)
+SELECT q_id, c_id, sim_e6, knn_rank FROM r WHERE knn_rank <= 5""",
+    doc="multi-probe LSH ANN: each query probes its own bucket plus all "
+        "1-bit-flip neighbor buckets (the buckets a true neighbor lands "
+        "in when it straddles one hyperplane) — the standard recall knob "
+        "between single-bucket ANN and brute force at (planes+1)x probe "
+        "cost",
+)
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-5: single-bucket ANN's recall fix.
+
+    Scale shape: identical to ann_lsh_cosine except the (tiny) query side
+    fans out to planes+1 probe rows BEFORE the equality join — candidate
+    volume is (planes+1) x bucket population per query, still never
+    all-pairs, and the fan-out rides the broadcast side so the corpus scan
+    is unchanged. Multi-probe buys back exactly the pairs the soak's
+    recall column shows single-table SRP-LSH losing (a planted
+    near-identical pair straddles >= 1 plane with ~2-3% probability);
+    probing all 1-flip buckets recovers every single-straddle miss.
+    """
+    from pyspark.sql import Window, functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim, planes = _dim(sf_dir), _planes(sf_dir)
+    b = sim.lsh_buckets(emb, planes, dim=dim).withColumn(
+        "norm", sim.norm_col("embedding", dim)).persist()
+    masks = F.array(*[F.lit(m) for m in _PROBE_MASKS])
+    q = (
+        b.where(F.col("vec_id").isin(list(QUERY_IDS)))
+        .select(F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("q_emb"),
+                F.col("norm").alias("q_n"),
+                F.explode(F.transform(
+                    masks, lambda m: F.col("bucket").bitwiseXOR(m)))
+                .alias("probe"))
+    )
+    c = b.select(F.col("vec_id").alias("c_id"),
+                 F.col("embedding").alias("c_emb"),
+                 F.col("bucket").alias("c_bucket"),
+                 F.col("norm").alias("c_n"))
+    s = sim.cosine_sim_e6_prenorm("q_emb", "c_emb",
+                                  F.col("q_n"), F.col("c_n"), None)
+    w = Window.partitionBy("q_id").orderBy(F.col("sim_e6").desc(), "c_id")
+    return (
+        c.join(F.broadcast(q), (F.col("probe") == F.col("c_bucket"))
+               & (F.col("q_id") != F.col("c_id")))
+        .select("q_id", "c_id", s.alias("sim_e6"))
+        .withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("knn_rank") <= 5)
+    )
