@@ -214,6 +214,47 @@ def near_dup_adaptive(spark, sf_dir: str, n_emb: int):
     )
 
 
+def near_dup_multitable(spark, sf_dir: str, n_emb: int):
+    """Adaptive-geometry near-dup with TWO independent LSH tables (distinct
+    hyperplane sets), candidate pairs unioned — the banding recall knob:
+    a true pair is missed only if it straddles a plane in BOTH tables
+    (miss^2), at 2x index cost. Soak-only variant; recall column should
+    sit at ~1.0 where the single-table run shows ~0.97-0.99."""
+    from tigerbeetle_cdc_nats_spark.operators import similarity as sim
+    from tigerbeetle_cdc_nats_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = sim.embedding_dim(sf_dir)
+    n_planes = sim.planes_for_corpus(n_emb, target_bucket=64)
+    both = sim.hyperplanes(2 * n_planes, dim)
+    tables = [both[:n_planes], both[n_planes:]]
+    b = emb.select(
+        "vec_id", "embedding",
+        F.array(*[sim.bucket_col(t, "embedding", dim) for t in tables])
+        .alias("buckets"),
+        sim.norm_col("embedding", dim).alias("norm"))
+    bt = b.select(
+        "vec_id", "embedding", "norm",
+        F.posexplode("buckets").alias("tbl", "bucket")).persist()
+    q = bt.select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_emb"), F.col("tbl").alias("q_t"),
+                  F.col("bucket").alias("q_bucket"), F.col("norm").alias("q_n"))
+    c = bt.select(F.col("vec_id").alias("c_id"),
+                  F.col("embedding").alias("c_emb"), F.col("tbl").alias("c_t"),
+                  F.col("bucket").alias("c_bucket"), F.col("norm").alias("c_n"))
+    s = sim.cosine_sim_e6_prenorm(F.col("q_emb"), F.col("c_emb"),
+                                  F.col("q_n"), F.col("c_n"), None)
+    return (
+        q.join(c, (F.col("q_t") == F.col("c_t"))
+               & (F.col("q_bucket") == F.col("c_bucket"))
+               & (F.col("q_id") < F.col("c_id")))
+        .select(F.col("q_id").alias("vec_a"), F.col("c_id").alias("vec_b"),
+                s.alias("sim_e6"))
+        .where(F.col("sim_e6") >= 400000)
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
 def semdedup_scaled_build(spark, sf_dir: str, n_emb: int):
     """Registered semdedup's ivf_assign front half + the corpus-scaled
     sub-bucketed pair scan from operators.similarity.semdedup_scaled."""
@@ -267,6 +308,8 @@ def main() -> None:
             timed(name, lambda: queries[name].fn(spark, out_dir), rf)
         timed("near_dup_adaptive_geometry",
               lambda: near_dup_adaptive(spark, out_dir, n_emb), pair_rec)
+        timed("near_dup_multitable",
+              lambda: near_dup_multitable(spark, out_dir, n_emb), pair_rec)
         timed("semdedup_scaled",
               lambda: semdedup_scaled_build(spark, out_dir, n_emb), drop_rec)
 
