@@ -839,3 +839,80 @@ def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("knn_rank") <= 5)
     )
+
+
+#: Two independent 4-plane tables for the multi-table near-dup oracle —
+#: front and back halves of one deterministic 8-plane draw. 4 planes per
+#: table is the adaptive ``planes_for_corpus`` clamp floor at every driver
+#: SF (same pinning rationale as semdedup_scaled).
+_MT_TABLES = (sim.hyperplanes(8, _DIM)[:4], sim.hyperplanes(8, _DIM)[4:])
+_MT_B1 = sim.sql_bucket(_MT_TABLES[0])
+_MT_B2 = sim.sql_bucket(_MT_TABLES[1])
+
+
+@register(
+    "embedding_near_dup_multitable",
+    f"""WITH b AS (
+  SELECT vec_id, embedding, {_MT_B1} AS b1, {_MT_B2} AS b2 FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, b1 AS qb1, b2 AS qb2 FROM b),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb, b1 AS cb1, b2 AS cb2 FROM b),
+pairs AS (
+  SELECT q_id, c_id, q_emb, c_emb
+  FROM q JOIN c ON qb1 = cb1 AND q_id < c_id
+  UNION
+  SELECT q_id, c_id, q_emb, c_emb
+  FROM q JOIN c ON qb2 = cb2 AND q_id < c_id
+)
+SELECT q_id AS vec_a, c_id AS vec_b, {_COS} AS sim_e6
+FROM pairs WHERE {_COS} >= 400000""",
+    doc="multi-table LSH near-dup: candidate pairs unioned from TWO "
+        "independent hyperplane tables — a true pair is missed only when "
+        "it straddles a plane in both tables (miss^2; SCALE.md measures "
+        "recall 1.0 vs 0.97-0.99 single-table) at 2x index cost",
+)
+def q_embedding_near_dup_multitable(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Near-dup pairs with the banding recall knob applied.
+
+    Scale shape: each table is the same bucket-equality self-join as
+    embedding_near_dup (never all-pairs); the union dedupes on the pair
+    key, which shuffles only CANDIDATE pairs (O(corpus) under calibrated
+    geometry). The bucketed+normed corpus is persisted once and feeds all
+    four join sides.
+    """
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _dim(sf_dir)
+    tables = (_MT_TABLES if dim == _DIM else
+              (sim.hyperplanes(8, dim)[:4], sim.hyperplanes(8, dim)[4:]))
+    b = emb.select(
+        "vec_id", "embedding",
+        sim.bucket_col(tables[0], "embedding", dim).alias("b1"),
+        sim.bucket_col(tables[1], "embedding", dim).alias("b2"),
+        sim.norm_col("embedding", dim).alias("norm")).persist()
+
+    def side(prefix):
+        return b.select(F.col("vec_id").alias(f"{prefix}_id"),
+                        F.col("embedding").alias(f"{prefix}_emb"),
+                        F.col("b1").alias(f"{prefix}b1"),
+                        F.col("b2").alias(f"{prefix}b2"),
+                        F.col("norm").alias(f"{prefix}_n"))
+
+    q, c = side("q"), side("c")
+    lt = F.col("q_id") < F.col("c_id")
+    cols = ["q_id", "c_id", "q_emb", "c_emb", "q_n", "c_n"]
+    pairs = (
+        q.join(c, (F.col("qb1") == F.col("cb1")) & lt).select(*cols)
+        .unionByName(
+            q.join(c, (F.col("qb2") == F.col("cb2")) & lt).select(*cols))
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    s = sim.cosine_sim_e6_prenorm("q_emb", "c_emb",
+                                  F.col("q_n"), F.col("c_n"), None)
+    return (
+        pairs.select(F.col("q_id").alias("vec_a"),
+                     F.col("c_id").alias("vec_b"), s.alias("sim_e6"))
+        .where(F.col("sim_e6") >= 400000)
+    )
