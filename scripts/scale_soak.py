@@ -53,11 +53,12 @@ DOC_OPS = [
     "exact_dedup", "normalized_dedup", "doc_fingerprint", "token_count",
     "winnowing_fingerprint", "chunk_dedup", "simhash_dedup",
     "decontamination", "minhash_dedup", "ngram_jaccard_dedup",
-    "prefix_jaccard_join", "tfidf_top_terms",
+    "prefix_jaccard_join", "tfidf_top_terms", "winnow_candidates",
 ]
 EMB_OPS = [
     "knn_bruteforce_cosine", "ann_lsh_cosine", "embedding_near_dup",
     "ivf_ann_cosine", "semdedup", "kmeans_refine", "label_centroids",
+    "ann_multiprobe_cosine", "embedding_near_dup_multitable",
 ]
 #: events-table window/aggregation family (time-series scale risks:
 #: per-user window sorts, global percentile sorts, self-join rollups).
