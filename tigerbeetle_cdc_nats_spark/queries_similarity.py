@@ -841,11 +841,14 @@ def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Two independent 4-plane tables for the multi-table near-dup oracle —
-#: front and back halves of one deterministic 8-plane draw. 4 planes per
-#: table is the adaptive ``planes_for_corpus`` clamp floor at every driver
-#: SF (same pinning rationale as semdedup_scaled).
-_MT_TABLES = (sim.hyperplanes(8, _DIM)[:4], sim.hyperplanes(8, _DIM)[4:])
+#: Two independent 8-plane tables for the multi-table near-dup oracle —
+#: front and back halves of one deterministic 16-plane draw. Each table
+#: keeps the SAME bucket count as the single-table query (2^8) so the
+#: per-table candidate volume is unchanged and the union is exactly 2x
+#: index cost; at real corpus sizes each table's plane count scales via
+#: ``planes_for_corpus`` (the soak's near_dup_multitable measures that
+#: path: recall 1.0, alpha ~1.2).
+_MT_TABLES = (sim.hyperplanes(16, _DIM)[:8], sim.hyperplanes(16, _DIM)[8:])
 _MT_B1 = sim.sql_bucket(_MT_TABLES[0])
 _MT_B2 = sim.sql_bucket(_MT_TABLES[1])
 
@@ -886,7 +889,7 @@ def q_embedding_near_dup_multitable(spark: SparkSession,
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _dim(sf_dir)
     tables = (_MT_TABLES if dim == _DIM else
-              (sim.hyperplanes(8, dim)[:4], sim.hyperplanes(8, dim)[4:]))
+              (sim.hyperplanes(16, dim)[:8], sim.hyperplanes(16, dim)[8:]))
     b = emb.select(
         "vec_id", "embedding",
         sim.bucket_col(tables[0], "embedding", dim).alias("b1"),
