@@ -35,29 +35,40 @@ def main() -> None:
 
     queries = registry.all_queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     # Warm the JVM + file listing once so per-query numbers measure the plan.
-    next(iter(queries.values())).fn(spark, sf_dir).count()
+    try:
+        next(iter(queries.values())).fn(spark, sf_dir).count()
+    except Exception:
+        pass  # warmup only; the per-query loop records the real error
 
     total = 0.0
     for name, q in sorted(queries.items()):
         # min over repeats: the shared host shows ±2x wall-clock jitter
         # between identical runs; the minimum is the least-noisy estimate.
         best = None
-        for _ in range(max(1, repeats)):
-            t0 = time.perf_counter()
-            materialize(q.fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+        try:
+            for _ in range(max(1, repeats)):
+                t0 = time.perf_counter()
+                materialize(q.fn(spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as exc:  # one bad query must not zero the record
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         timings[name] = round(best, 4)
         total += best
 
-    print(json.dumps({
+    out = {
         "metric": "total wall seconds for all registered queries (noop-materialized)",
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -48,7 +48,8 @@ def events_table(spark: SparkSession, sf_dir: str,
 
 # Importing the query modules populates REGISTRY.
 def _load_all() -> None:
-    for mod in ("queries_cdc", "queries_changelog", "queries_relational",
+    for mod in ("queries_cdc", "queries_changelog", "queries_ivm",
+                "queries_relational",
                 "queries_dedup",
                 "queries_text", "queries_similarity", "queries_multimodal",
                 "queries_scalar", "queries_pipeline", "queries_sketch_range",
