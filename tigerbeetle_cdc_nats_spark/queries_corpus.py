@@ -1375,3 +1375,35 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_tokens * 1000000 div sum(n_tokens) over ()").alias("p_e6"),
         F.expr("st * 1000000 div sum(st) over ()").alias("w_e6"),
     )
+
+
+@register(
+    "bottomk_sample",
+    """WITH h AS (
+  SELECT doc_id, source,
+         md5('bk:' || CAST(doc_id AS STRING)) AS hkey
+  FROM documents
+), r AS (
+  SELECT doc_id, source, hkey,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hkey) AS sample_rank
+  FROM h
+)
+SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 10""",
+    doc="exact-k-per-stratum uniform sample via bottom-k-by-hash: rank over "
+        "md5(doc_id) within each source, keep k=10. Deterministic and "
+        "merge-free (unlike rate-based sampling, the stratum size is exact); "
+        "the rank<=k filter lowers to WindowGroupLimit (per-partition "
+        "top-k heaps, no full sort) — complements stratified_sample's "
+        "rate-based mixture.",
+)
+def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "source",
+        F.md5(F.concat(F.lit("bk:"), F.col("doc_id").cast("string"))
+              .cast("binary")).alias("hkey"))
+    w = Window.partitionBy("source").orderBy("hkey")
+    return (h.withColumn("sample_rank",
+                         F.row_number().over(w).cast("bigint"))
+            .where(F.col("sample_rank") <= 10)
+            .select("doc_id", "source", "sample_rank"))

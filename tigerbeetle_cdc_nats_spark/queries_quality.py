@@ -1,0 +1,111 @@
+"""Corpus-hygiene gates: PII scan/redaction and blocklist filtering.
+
+These are the first stages of a real training-data pipeline (scrub PII,
+drop policy-violating documents) expressed as pure codegen'd regexp
+expressions — linear in bytes scanned, zero shuffle before the final
+per-source rollup. The synthetic corpus is digit-free, so the PII queries
+append a deterministic doc_id-derived footer (planted emails / IPv4s /
+phones at fixed residue rates) before scanning; the SAME footer SQL runs
+on both engines, so the detector — not the planting — is what the oracle
+checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tigerbeetle_cdc_nats_spark.operators import pii
+from tigerbeetle_cdc_nats_spark.registry import register
+from tigerbeetle_cdc_nats_spark.session import load_table
+
+#: Footer planting PII into the sanitized corpus (identical SQL in Spark
+#: and DuckDB: ||, CASE, CAST(... AS STRING), % on BIGINT).
+_FOOTER_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' contact u' ||"
+    " CAST(doc_id AS STRING) || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' ||"
+    " CAST(doc_id % 256 AS STRING) || '.' || CAST(doc_id % 250 AS STRING)"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN ' call +49 555 ' ||"
+    " CAST(1000 + doc_id % 9000 AS STRING) ELSE '' END"
+)
+
+_N_COLS = [name for name, _p, _t in pii.PATTERNS]
+
+
+@register(
+    "pii_scan",
+    f"""WITH planted AS (
+  SELECT source, {_FOOTER_SQL} AS text FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN {' + '.join(pii.duck_count(n) for n in _N_COLS)} > 0
+           THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+  {', '.join(f'CAST(SUM({pii.duck_count(n)}) AS BIGINT) AS n_{n}' for n in _N_COLS)}
+FROM planted GROUP BY source""",
+    doc="per-source PII audit over the planted corpus: affected-doc and "
+        "per-class match counts. Codegen'd regexp_count scan + ONE "
+        "map-side-combined rollup (|sources| groups).",
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select("source", F.expr(_FOOTER_SQL).alias("text"))
+    return pii.scan_summary(planted, "text", "source")
+
+
+@register(
+    "pii_redact",
+    f"""WITH planted AS (
+  SELECT doc_id, {_FOOTER_SQL} AS text FROM documents
+)
+SELECT doc_id,
+  {' + '.join(pii.duck_count(n) for n in _N_COLS)} AS n_redactions,
+  md5({pii.duck_redact()}) AS clean_hash
+FROM planted
+WHERE {' + '.join(pii.duck_count(n) for n in _N_COLS)} > 0""",
+    doc="the scrubbing transform itself: every match replaced by its class "
+        "token, output fingerprinted (md5) so the oracle verifies the exact "
+        "redacted bytes. Pure per-row map — zero shuffle.",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select("doc_id", F.expr(_FOOTER_SQL).alias("text"))
+    n_total = sum(F.col(f"n_{n}") for n in _N_COLS)
+    out = planted.select(
+        "doc_id", *pii.pii_counts("text"),
+        F.md5(pii.redact("text").cast("binary")).alias("clean_hash"))
+    return (out.withColumn("n_redactions", n_total)
+            .where(F.col("n_redactions") > 0)
+            .select("doc_id", "n_redactions", "clean_hash"))
+
+
+#: Policy blocklist. Deliberately includes vocabulary that actually occurs
+#: in the corpus so the gate is non-degenerate.
+BLOCKLIST = ("error", "slow", "big")
+_BL_RE = r"\b(" + "|".join(BLOCKLIST) + r")\b"
+
+
+@register(
+    "blocklist_filter",
+    f"""SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN len(regexp_extract_all(text, '{_BL_RE}')) > 0
+           THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+  CAST(SUM(len(regexp_extract_all(text, '{_BL_RE}'))) AS BIGINT)
+    AS total_hits,
+  CAST(MAX(len(regexp_extract_all(text, '{_BL_RE}'))) AS BIGINT)
+    AS max_hits_per_doc
+FROM documents GROUP BY source""",
+    doc="term-blocklist gate: per-source flagged-document rate and hit "
+        "counts via one word-boundary alternation regex — the policy "
+        "filter stage of the corpus pipeline.",
+)
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hits = F.regexp_count(F.col("text"), F.lit(_BL_RE)).cast("bigint")
+    return (docs.select("source", hits.alias("_h"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum((F.col("_h") > 0).cast("bigint")).alias("flagged_docs"),
+                 F.sum("_h").alias("total_hits"),
+                 F.max("_h").alias("max_hits_per_doc")))

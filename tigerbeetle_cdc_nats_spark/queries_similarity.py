@@ -919,3 +919,116 @@ def q_embedding_near_dup_multitable(spark: SparkSession,
                      F.col("c_id").alias("vec_b"), s.alias("sim_e6"))
         .where(F.col("sim_e6") >= 400000)
     )
+
+
+@register(
+    "hard_negative_mining",
+    f"""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+           FROM embeddings WHERE vec_id IN {QUERY_IDS}),
+c AS (SELECT vec_id AS c_id, label AS c_label, embedding AS c_emb
+      FROM embeddings),
+s AS (SELECT q_id, CAST(q_label AS BIGINT) AS q_label,
+             c_id, CAST(c_label AS BIGINT) AS c_label, {_COS} AS sim_e6
+      FROM q JOIN c ON q_label <> c_label),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY sim_e6 DESC, c_id) AS neg_rank
+      FROM s)
+SELECT q_id, q_label, c_id, c_label, sim_e6, neg_rank
+FROM r WHERE neg_rank <= 5""",
+    doc="contrastive-training hard negatives: per query, the 5 most "
+        "cosine-similar vectors with a DIFFERENT label — the mining pass "
+        "that makes contrastive/embedding fine-tuning data. Broadcast "
+        "query side; the corpus scan is the whole cost (north-star "
+        "similarity family).",
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window, functions as F
+
+    dim = _dim(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id").isin(list(QUERY_IDS))).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").cast("bigint").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        sim.norm_col("embedding", dim).alias("q_n"))
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").cast("bigint").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+        sim.norm_col("embedding", dim).alias("c_n"))
+    s = sim.cosine_sim_e6_prenorm("q_emb", "c_emb",
+                                  F.col("q_n"), F.col("c_n"), dim)
+    scored = (c.join(F.broadcast(q), F.col("q_label") != F.col("c_label"))
+              .select("q_id", "q_label", "c_id", "c_label",
+                      s.alias("sim_e6")))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim_e6").desc(),
+                                           F.col("c_id"))
+    return (scored.withColumn("neg_rank",
+                              F.row_number().over(w).cast("bigint"))
+            .where(F.col("neg_rank") <= 5))
+
+
+@register(
+    "ann_recall_audit",
+    f"""WITH qx AS (SELECT vec_id AS q_id, embedding AS q_emb
+            FROM embeddings WHERE vec_id IN {QUERY_IDS}),
+cx AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+ex AS (SELECT q_id, c_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY {_COS} DESC, c_id) AS rnk
+       FROM qx q JOIN cx c ON q_id != c_id),
+exact5 AS (SELECT q_id, c_id FROM ex WHERE rnk <= 5),
+b AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
+qb AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+       FROM b WHERE vec_id IN {QUERY_IDS}),
+cb AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket AS c_bucket FROM b),
+ax AS (SELECT q_id, c_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY {_COS} DESC, c_id) AS rnk
+       FROM qb q JOIN cb c ON q_bucket = c_bucket AND q_id != c_id),
+ann5 AS (SELECT q_id, c_id FROM ax WHERE rnk <= 5)
+SELECT e.q_id AS q_id,
+       COUNT(*) AS n_exact,
+       CAST(COALESCE(MAX(a_cnt.n_ann), 0) AS BIGINT) AS n_ann,
+       CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) * 200000
+         AS BIGINT) AS recall_e6
+FROM exact5 e
+LEFT JOIN ann5 a ON e.q_id = a.q_id AND e.c_id = a.c_id
+LEFT JOIN (SELECT q_id, COUNT(*) AS n_ann FROM ann5 GROUP BY q_id) a_cnt
+  ON e.q_id = a_cnt.q_id
+GROUP BY e.q_id""",
+    doc="index-quality audit: per query, exact top-5 vs LSH-ANN top-5 "
+        "overlap and recall — the measurement loop that justifies ANN "
+        "parameter choices (ground truth over the query sample only, so "
+        "the exact pass is O(|sample| * n), not all-pairs).",
+)
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    dim = _dim(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact5 = sim.knn_bruteforce(emb, QUERY_IDS, k=5, dim=dim).select(
+        "q_id", "c_id")
+    ann5 = sim.ann_lsh(emb, QUERY_IDS, _planes(sf_dir), k=5, dim=dim).select(
+        "q_id", "c_id")
+    ann_cnt = ann5.groupBy("q_id").agg(F.count("*").alias("n_ann"))
+    hit = F.sum(F.when(F.col("a_cid").isNotNull(), 1).otherwise(0))
+    return (
+        exact5.alias("e")
+        .join(ann5.alias("a"),
+              (F.col("e.q_id") == F.col("a.q_id"))
+              & (F.col("e.c_id") == F.col("a.c_id")), "left")
+        .select(F.col("e.q_id").alias("q_id"), F.col("e.c_id").alias("c_id"),
+                F.col("a.c_id").alias("a_cid"))
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_exact"),
+             hit.cast("bigint").alias("n_hit"))
+        .join(ann_cnt, "q_id", "left")
+        .select("q_id", "n_exact",
+                F.coalesce(F.col("n_ann"), F.lit(0)).cast("bigint")
+                .alias("n_ann"),
+                "n_hit",
+                (F.col("n_hit") * 200000).cast("bigint").alias("recall_e6"))
+    )

@@ -51,7 +51,8 @@ def _load_all() -> None:
     for mod in ("queries_cdc", "queries_changelog", "queries_ivm",
                 "queries_relational",
                 "queries_dedup",
-                "queries_text", "queries_similarity", "queries_multimodal",
+                "queries_text", "queries_quality",
+                "queries_similarity", "queries_multimodal",
                 "queries_scalar", "queries_pipeline", "queries_sketch_range",
                 "queries_corpus"):
         __import__(f"tigerbeetle_cdc_nats_spark.{mod}")
