@@ -326,3 +326,107 @@ def semdedup_scaled(assigned: DataFrame, corpus_size: int, *,
         .agg(F.min("vec_a").alias("keep_id"),
              F.max("sim_e6").cast("bigint").alias("max_sim_e6"))
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — codebook build, encoding, ADC scoring.
+#
+# The memory-scaling half of a production vector index (IVF-PQ): each vector
+# is stored as m sub-space code bytes instead of dim floats (here 8 codes vs
+# 64 floats = 32x). Everything is INTEGER-exact: components are e3-quantized
+# before any distance math, so encode and ADC scores are bit-identical
+# across engines and the whole path is oracle-checkable — the reason this
+# PQ uses deterministic hash-sampled codewords rather than float k-means
+# (operators note: kmeans_refine already covers Lloyd training; composing
+# the two is a deployment choice, not a correctness one).
+# --------------------------------------------------------------------------
+
+#: Component quantization scale (FLOOR(v * 1e3)) applied before PQ math.
+PQ_SCALE = 1000
+#: Sub-spaces (m) and codewords per sub-space (k*).
+PQ_SUBS = 8
+PQ_K = 16
+
+
+def quantized_vec(vec_col: str = "embedding") -> Column:
+    """e3-quantized integer copy of the vector (array<bigint>)."""
+    return F.expr(
+        f"transform({vec_col}, v -> CAST(FLOOR(CAST(v AS DOUBLE) * "
+        f"{PQ_SCALE}) AS BIGINT))")
+
+
+def pq_codebook(embeddings: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """ONE-row codebook: the PQ_K corpus vectors with the smallest
+    md5('pq:'||id) (a deterministic uniform sample), ordered as
+    j = 1..PQ_K, packed as array<struct<j, cw>>.
+
+    orderBy().limit(K) lowers to TakeOrdered (per-partition top-K heaps +
+    driver merge — no global sort); the rank j comes from sort_array over
+    the collected K rows + an indexed transform, so no window (not even a
+    K-row one) appears in the plan. The 1-row result is persisted — both
+    the encode and the ADC stage broadcast it.
+    """
+    h = embeddings.select(
+        quantized_vec(vec_col).alias("cw"),
+        F.md5(F.concat(F.lit("pq:"), F.col(id_col).cast("string"))
+              .cast("binary")).alias("hkey"))
+    seeds = h.orderBy("hkey").limit(PQ_K)
+    packed = seeds.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("hkey", "cw"))).alias("arr"))
+    return packed.select(F.expr(
+        "transform(arr, (x, i) -> "
+        "struct(CAST(i + 1 AS BIGINT) AS j, x.cw AS cw))").alias("cb")
+    ).persist()
+
+
+def _code_expr(s: int, subdim: int) -> str:
+    """argmin_j L2²(qv_sub_s, cw_j_sub_s), ties to the smallest j."""
+    o = s * subdim
+    d = " + ".join(
+        f"(qv[{o + i}] - x.cw[{o + i}]) * (qv[{o + i}] - x.cw[{o + i}])"
+        for i in range(subdim))
+    return (f"array_sort(transform(cb, x -> struct({d} AS d, x.j AS j)))"
+            f"[0].j")
+
+
+def pq_encode(embeddings: DataFrame, codebook: DataFrame, dim: int,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<bigint>[PQ_SUBS]): each vector reduced to its
+    per-sub-space nearest codeword. Broadcast 1-row codebook cross join —
+    zero shuffle, the corpus scan is the whole cost."""
+    subdim = dim // PQ_SUBS
+    enc = (embeddings.select(F.col(id_col),
+                             quantized_vec(vec_col).alias("qv"))
+           .crossJoin(F.broadcast(codebook)))
+    codes = F.array(*[F.expr(_code_expr(s, subdim))
+                      for s in range(PQ_SUBS)])
+    return enc.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_adc_scores(codes: DataFrame, codebook: DataFrame,
+                  queries: DataFrame, dim: int, k: int = 10,
+                  id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance top-k: exact query vector against reconstructed
+    codewords — score = Σ_s dot(q_sub_s, cw_codes[s]_sub_s), all BIGINT.
+
+    queries: (q_id, qq array<bigint>) — e3-quantized query vectors.
+    Broadcast codebook + broadcast queries; the rank<=k filter lowers to
+    WindowGroupLimit (per-partition heaps before the |queries|-key
+    shuffle)."""
+    subdim = dim // PQ_SUBS
+    term = " + ".join(
+        f"qq[{s * subdim + i}] * "
+        f"cb[CAST(codes[{s}] - 1 AS INT)].cw[{s * subdim + i}]"
+        for s in range(PQ_SUBS) for i in range(subdim))
+    scored = (codes.crossJoin(F.broadcast(codebook))
+              .crossJoin(F.broadcast(queries))
+              .where(F.col("q_id") != F.col(id_col))
+              .select("q_id", F.col(id_col).alias("c_id"),
+                      F.expr(term).cast("bigint").alias("adc_score")))
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_score").desc(),
+                                           F.col("c_id"))
+    return (scored.withColumn("pq_rank",
+                              F.row_number().over(w).cast("bigint"))
+            .where(F.col("pq_rank") <= k))

@@ -1032,3 +1032,65 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_hit",
                 (F.col("n_hit") * 200000).cast("bigint").alias("recall_e6"))
     )
+
+
+_PQ_QV = ("list_transform(embedding, v -> "
+          "CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT))")
+
+
+@register(
+    "pq_ann_adc",
+    f"""WITH qv AS (SELECT vec_id, {_PQ_QV} AS qv FROM embeddings),
+h AS (SELECT vec_id, qv, md5('pq:' || CAST(vec_id AS STRING)) AS hkey
+      FROM qv),
+seeds AS (
+  SELECT cw, ROW_NUMBER() OVER (ORDER BY hkey) AS j
+  FROM (SELECT qv AS cw, hkey FROM h ORDER BY hkey LIMIT 16) t),
+subs AS (SELECT range AS s FROM range(0, 8)),
+enc_long AS (
+  SELECT v.vec_id, su.s, c.j,
+         list_sum(list_transform(range(1, 9),
+           i -> (v.qv[CAST(8 * su.s + i AS INT)]
+                 - c.cw[CAST(8 * su.s + i AS INT)])
+              * (v.qv[CAST(8 * su.s + i AS INT)]
+                 - c.cw[CAST(8 * su.s + i AS INT)]))) AS d
+  FROM qv v, subs su, seeds c),
+codes AS (
+  -- tie-break folded into one key: d*100+j (d <= 3.2e7, j <= 16)
+  SELECT vec_id, s, arg_min(j, CAST(d AS BIGINT) * 100 + j) AS code
+  FROM enc_long GROUP BY vec_id, s),
+qset AS (SELECT vec_id AS q_id, qv AS qq FROM qv
+         WHERE vec_id IN {QUERY_IDS}),
+contrib AS (
+  SELECT q.q_id, cd.vec_id AS c_id,
+         list_sum(list_transform(range(1, 9),
+           i -> q.qq[CAST(8 * cd.s + i AS INT)]
+              * sd.cw[CAST(8 * cd.s + i AS INT)])) AS part
+  FROM codes cd JOIN seeds sd ON sd.j = cd.code, qset q
+  WHERE q.q_id != cd.vec_id),
+scores AS (SELECT q_id, c_id, CAST(SUM(part) AS BIGINT) AS adc_score
+           FROM contrib GROUP BY q_id, c_id),
+r AS (SELECT q_id, c_id, adc_score,
+        ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY adc_score DESC, c_id) AS pq_rank
+      FROM scores)
+SELECT q_id, c_id, adc_score, pq_rank FROM r WHERE pq_rank <= 10""",
+    doc="product-quantization ANN with asymmetric-distance scoring: "
+        "8 sub-spaces x 16 hash-sampled codewords, vectors stored as 8 "
+        "code bytes (32x memory cut), queries scored exact-vs-codeword. "
+        "Integer-exact end to end (e3-quantized components), so encode AND "
+        "ADC ranking are oracle-checked. Encode is a broadcast 1-row "
+        "codebook cross join — zero shuffle (operators/similarity.py PQ "
+        "section).",
+)
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    dim = _dim(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = sim.pq_codebook(emb)
+    codes = sim.pq_encode(emb, cb, dim)
+    qs = emb.where(F.col("vec_id").isin(list(QUERY_IDS))).select(
+        F.col("vec_id").alias("q_id"),
+        sim.quantized_vec("embedding").alias("qq"))
+    return sim.pq_adc_scores(codes, cb, qs, dim, k=10)
