@@ -430,3 +430,61 @@ def pq_adc_scores(codes: DataFrame, codebook: DataFrame,
     return (scored.withColumn("pq_rank",
                               F.row_number().over(w).cast("bigint"))
             .where(F.col("pq_rank") <= k))
+
+
+def mmr_rerank(diag_pairs: DataFrame, k: int = 5,
+               lambda_x2: int = 2) -> DataFrame:
+    """Maximal-marginal-relevance selection over a per-query candidate set.
+
+    Input is the "diagonal-carrying" pair matrix: rows
+    (q_id, i_id, j_id, s_e6) for every ordered candidate pair i != j, plus
+    self rows (q_id, c, c, rel_e6) carrying query-candidate relevance on
+    the diagonal. The iterative argmax runs per query group in
+    applyInPandas over INTEGERS ONLY (score = 2*rel − max sim to the
+    selected set; ties to the smallest id), so the selection is
+    bit-identical to the oracle's unrolled SQL steps — no float ULP hazard.
+
+    Scale shape: candidate sets are top-K per query (bounded, ~20), so the
+    grouped state is O(K²) integers per query regardless of corpus size;
+    the expensive part is candidate generation, which is the ANN/top-k
+    machinery, not this operator.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("q_id", T.LongType()),
+        T.StructField("c_id", T.LongType()),
+        T.StructField("mmr_rank", T.LongType()),
+        T.StructField("rel_e6", T.LongType()),
+    ])
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = int(pdf["q_id"].iloc[0])
+        rel: dict[int, int] = {}
+        sim: dict[tuple[int, int], int] = {}
+        for i_id, j_id, s in zip(pdf["i_id"], pdf["j_id"], pdf["s_e6"]):
+            i_id, j_id, s = int(i_id), int(j_id), int(s)
+            if i_id == j_id:
+                rel[i_id] = s
+            else:
+                sim[(i_id, j_id)] = s
+        sel: list[int] = []
+        out = []
+        while len(sel) < k and len(sel) < len(rel):
+            best = None
+            for c, r in rel.items():
+                if c in sel:
+                    continue
+                pen = max((sim.get((s_, c), 0) for s_ in sel), default=0)
+                score = lambda_x2 * r - (pen if sel else 0)
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, r)
+            sel.append(best[1])
+            out.append((q, best[1], len(sel), best[2]))
+        return pd.DataFrame(out, columns=["q_id", "c_id",
+                                          "mmr_rank", "rel_e6"])
+
+    return diag_pairs.groupBy("q_id").applyInPandas(pick, schema=schema)

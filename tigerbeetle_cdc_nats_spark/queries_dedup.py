@@ -706,3 +706,54 @@ def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("novelty"),
                 F.coalesce("n_candidates", F.lit(0)).cast("bigint")
                 .alias("n_candidates")))
+
+
+@register(
+    "minhash_containment",
+    f"""WITH {_MINHASH_CTES},
+sets AS (SELECT doc_id, sh, len(sh) AS n_sh FROM d2),
+c AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_inter,
+         CAST(sa.n_sh AS BIGINT) AS n_a,
+         CAST(sb.n_sh AS BIGINT) AS n_b
+  FROM pairs p
+  JOIN sets sa ON sa.doc_id = p.doc_a
+  JOIN sets sb ON sb.doc_id = p.doc_b)
+SELECT doc_a, doc_b, n_inter, n_a, n_b,
+       CAST(n_inter * 1000000 // n_a AS BIGINT) AS cont_a_e6,
+       CAST(n_inter * 1000000 // n_b AS BIGINT) AS cont_b_e6
+FROM c
+WHERE n_inter * 1000000 // n_a >= 500000
+   OR n_inter * 1000000 // n_b >= 500000""",
+    doc="asymmetric shingle CONTAINMENT |A∩B|/|A| over the LSH candidate "
+        "pairs: catches doc-in-doc duplication (quotes, partial copies, "
+        "boilerplate wrapping) that symmetric Jaccard under-scores — a "
+        "short doc fully embedded in a long one has tiny Jaccard but "
+        "containment 1.0. Exact set intersection only on candidates; "
+        "integer-e6 floor division on both engines.",
+)
+def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
+    pairs = dd.minhash_candidate_pairs(sigs).select("doc_a", "doc_b")
+    sets = (dd.gram_hash_rows(docs).groupBy("doc_id")
+            .agg(F.collect_set("h").alias("shset"))
+            .select("doc_id", "shset",
+                    F.size("shset").cast("bigint").alias("n_sh")))
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("shset").alias("sh_a"),
+                     F.col("n_sh").alias("n_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("shset").alias("sh_b"),
+                     F.col("n_sh").alias("n_b"))
+    c = (pairs.join(sa, "doc_a").join(sb, "doc_b")
+         .select("doc_a", "doc_b",
+                 F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+                 .alias("n_inter"), "n_a", "n_b"))
+    cont_a = F.expr("CAST(n_inter * 1000000 DIV n_a AS BIGINT)")
+    cont_b = F.expr("CAST(n_inter * 1000000 DIV n_b AS BIGINT)")
+    return (c.select("doc_a", "doc_b", "n_inter", "n_a", "n_b",
+                     cont_a.alias("cont_a_e6"), cont_b.alias("cont_b_e6"))
+            .where((F.col("cont_a_e6") >= 500000)
+                   | (F.col("cont_b_e6") >= 500000)))

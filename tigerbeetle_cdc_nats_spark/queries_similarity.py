@@ -1094,3 +1094,96 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"),
         sim.quantized_vec("embedding").alias("qq"))
     return sim.pq_adc_scores(codes, cb, qs, dim, k=10)
+
+
+_MMR_K = 5
+_MMR_CAND = 20
+_PS_COS = sim.sql_cosine_e6("ia.embedding", "ib.embedding")
+
+
+def _mmr_oracle() -> str:
+    """Unrolled MMR selection: step 1 picks max relevance; steps 2..k pick
+    argmax(2*rel − max-sim-to-selected). All integer comparisons, so the
+    unrolled SQL is bit-identical to the grouped-Arrow loop."""
+    ctes = [f"""qx AS (SELECT vec_id AS q_id, embedding AS q_emb
+       FROM embeddings WHERE vec_id IN {QUERY_IDS}),
+cx AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+sc AS (SELECT q_id, c_id, {_COS} AS rel
+       FROM qx q JOIN cx c ON q_id != c_id),
+cand AS (SELECT q_id, c_id, rel FROM (
+  SELECT q_id, c_id, rel,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY rel DESC, c_id) AS rn
+  FROM sc) WHERE rn <= {_MMR_CAND}),
+ps AS (SELECT a.q_id, a.c_id AS i_id, b.c_id AS j_id, {_PS_COS} AS s_e6
+       FROM cand a
+       JOIN cand b ON a.q_id = b.q_id AND a.c_id != b.c_id
+       JOIN embeddings ia ON ia.vec_id = a.c_id
+       JOIN embeddings ib ON ib.vec_id = b.c_id),
+sel1 AS (SELECT q_id, c_id, CAST(1 AS BIGINT) AS mmr_rank, rel FROM (
+  SELECT q_id, c_id, rel,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY rel DESC, c_id) AS rn
+  FROM cand) WHERE rn = 1),
+selu1 AS (SELECT * FROM sel1)"""]
+    for i in range(2, _MMR_K + 1):
+        p = i - 1
+        ctes.append(f"""sel{i} AS (
+  SELECT q_id, c_id, CAST({i} AS BIGINT) AS mmr_rank, rel FROM (
+    SELECT c.q_id, c.c_id, c.rel,
+           ROW_NUMBER() OVER (PARTITION BY c.q_id
+                              ORDER BY 2 * c.rel - mp.pen DESC,
+                                       c.c_id) AS rn
+    FROM cand c
+    JOIN (SELECT ps.q_id, ps.j_id, MAX(ps.s_e6) AS pen
+          FROM ps JOIN selu{p} s
+            ON ps.q_id = s.q_id AND ps.i_id = s.c_id
+          GROUP BY ps.q_id, ps.j_id) mp
+      ON mp.q_id = c.q_id AND mp.j_id = c.c_id
+    WHERE NOT EXISTS (SELECT 1 FROM selu{p} s2
+                      WHERE s2.q_id = c.q_id AND s2.c_id = c.c_id)
+  ) WHERE rn = 1),
+selu{i} AS (SELECT * FROM selu{p} UNION ALL SELECT * FROM sel{i})""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT q_id, c_id, mmr_rank, rel AS rel_e6"
+              f" FROM selu{_MMR_K}")
+
+
+@register(
+    "mmr_rerank",
+    _mmr_oracle(),
+    doc="maximal-marginal-relevance diversification: top-20 exact "
+        "candidates per query, then 5 greedy picks maximizing "
+        "2*relevance − max-similarity-to-selected (λ=0.5, integer e6 "
+        "scores). The iterative argmax runs per query group in "
+        "applyInPandas over bounded O(K²) integer state; the oracle "
+        "unrolls the same 5 steps in SQL — bit-identical because every "
+        "comparison is integer. The expensive stage is candidate "
+        "generation (the ANN machinery), not the rerank.",
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    dim = _dim(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = (sim.knn_bruteforce(emb, QUERY_IDS, k=_MMR_CAND, dim=dim)
+            .select("q_id", "c_id", F.col("sim_e6").alias("rel"))
+            .persist())
+    diag = cand.select("q_id", F.col("c_id").alias("i_id"),
+                       F.col("c_id").alias("j_id"),
+                       F.col("rel").alias("s_e6"))
+    ei = emb.select(F.col("vec_id").alias("i_id"),
+                    F.col("embedding").alias("i_emb"),
+                    sim.norm_col("embedding", dim).alias("i_n"))
+    ej = emb.select(F.col("vec_id").alias("j_id"),
+                    F.col("embedding").alias("j_emb"),
+                    sim.norm_col("embedding", dim).alias("j_n"))
+    s = sim.cosine_sim_e6_prenorm("i_emb", "j_emb",
+                                  F.col("i_n"), F.col("j_n"), dim)
+    pairs = (cand.select("q_id", F.col("c_id").alias("i_id"))
+             .join(cand.select("q_id", F.col("c_id").alias("j_id")), "q_id")
+             .where(F.col("i_id") != F.col("j_id"))
+             .join(ei, "i_id").join(ej, "j_id")
+             .select("q_id", "i_id", "j_id", s.alias("s_e6")))
+    out = sim.mmr_rerank(pairs.unionByName(diag), k=_MMR_K)
+    return out.select("q_id", "c_id", "mmr_rank", "rel_e6")
