@@ -1,0 +1,77 @@
+"""Streaming weighted IVM (streaming/ivm.py): deletes drop keys, state
+survives restart, replay cannot double-count, online equals batch."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F, types as T
+
+from tigerbeetle_cdc_nats_spark.operators import ivm
+from tigerbeetle_cdc_nats_spark.streaming.ivm import (
+    ivm_sink,
+    read_state,
+    run_ivm_stream,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("m", T.LongType()),
+    T.StructField("w", T.IntegerType()),
+])
+
+
+def _write(spark, d, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append").parquet(d)
+
+
+def _drain(spark, src, state, chk):
+    q = run_ivm_stream(
+        spark.readStream.schema(SCHEMA).parquet(src), state, chk)
+    q.awaitTermination(120)
+
+
+def _snap(spark, state):
+    return {r["k"]: (r["n"], r["m"])
+            for r in read_state(spark, state).collect()}
+
+
+def test_stream_merges_deletes_and_survives_restart(spark, tmp_path):
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    chk = str(tmp_path / "chk")
+    os.makedirs(src)
+
+    _write(spark, src, [(1, 10, 1), (1, 20, 1), (2, 5, 1)])
+    _drain(spark, src, state, chk)
+    assert _snap(spark, state) == {1: (2, 30), 2: (1, 5)}
+
+    # Restart (new query, same checkpoint): key 2 fully retracted,
+    # key 3 appears, key 1 gets a correction.
+    _write(spark, src, [(2, 5, -1), (3, 7, 1), (1, 10, -1)])
+    _drain(spark, src, state, chk)
+    got = _snap(spark, state)
+    assert got == {1: (1, 20), 3: (1, 7)}
+
+    # Online == batch: naive recompute over the full delta log.
+    full = spark.read.parquet(src)
+    naive = {r["k"]: (r["n"], r["m"]) for r in
+             ivm.weighted_fact_partials(full, "k", "m")
+             .where(F.col("n") != 0).collect()}
+    assert got == naive
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    state = str(tmp_path / "state")
+    sink = ivm_sink(state)
+    b0 = spark.createDataFrame([(1, 10, 1), (2, 4, 1)], SCHEMA)
+    sink(b0, 0)
+    before = _snap(spark, state)
+    sink(b0, 0)  # crash-replay of the same micro-batch
+    assert _snap(spark, state) == before == {1: (1, 10), 2: (1, 4)}
+
+    b1 = spark.createDataFrame([(1, 10, -1)], SCHEMA)
+    sink(b1, 1)
+    sink(b1, 1)
+    assert _snap(spark, state) == {2: (1, 4)}

@@ -1,0 +1,90 @@
+"""Streaming incremental view maintenance with retraction weights.
+
+The batch algebra lives in ``operators/ivm.py``; this module runs it
+continuously over a stream of weighted delta rows (w=+1 inserts, w=−1
+deletes/corrections) — the consumer-side maintenance loop for a view that
+must absorb corrections, downstream of the reference's at-least-once event
+stream (runner.go:442-462).
+
+Why foreachBatch instead of a plain streaming aggregation: a SUM-based
+aggregation cannot *drop* zero-support keys from its state, and replaying
+a micro-batch after a crash would double-count the weights (SUM is not
+idempotent, unlike the max-of-struct view in streaming/materialize.py).
+The foreachBatch form is the production shape (what a MERGE INTO sink
+does):
+
+- each micro-batch's delta partials merge with the stored key partials
+  (``merge_partials`` — re-aggregate the union, drop support-0 keys);
+- the merged state is written to a NEW versioned directory
+  ``state_dir/v{batch_id}`` and the version pointer advances only then;
+- **replay idempotence** comes from the batch id: a replayed batch finds
+  its version directory already present and skips the merge — the
+  classic transactional-sink dedup contract of foreachBatch.
+
+State size is |live keys| rows — the floor for any delete-aware view.
+At scale the versioned-directory swap is what table formats (Delta,
+Iceberg) implement natively; plain parquet + version pointer keeps the
+same atomicity on any filesystem with atomic rename.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tigerbeetle_cdc_nats_spark.operators import ivm
+
+_SCHEMA = "k long, n long, m long"
+
+
+def _latest_version(state_dir: str) -> int | None:
+    if not os.path.isdir(state_dir):
+        return None
+    vs = [int(d[1:]) for d in os.listdir(state_dir)
+          if d.startswith("v") and d[1:].isdigit()
+          and os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))]
+    return max(vs) if vs else None
+
+
+def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current merged partials (empty DataFrame before the first batch)."""
+    v = _latest_version(state_dir)
+    if v is None:
+        return spark.createDataFrame([], _SCHEMA)
+    return spark.read.parquet(os.path.join(state_dir, f"v{v}"))
+
+
+def ivm_sink(state_dir: str, key: str = "k", measure_expr: str = "m",
+             weight_col: str = "w"):
+    """foreachBatch function maintaining weighted key partials in
+    ``state_dir``. Input rows: (key, measure, weight)."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        out = os.path.join(state_dir, f"v{batch_id}")
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            return  # replayed batch: already merged — idempotent skip
+        delta = ivm.weighted_fact_partials(batch, key, measure_expr,
+                                           weight_col=weight_col)
+        if key != "k":
+            delta = delta.withColumnRenamed(key, "k")
+        merged = ivm.merge_partials(read_state(spark, state_dir),
+                                    delta, "k")
+        merged.write.mode("overwrite").parquet(out)
+
+    return process
+
+
+def run_ivm_stream(deltas: DataFrame, state_dir: str, checkpoint: str,
+                   key: str = "k", measure_expr: str = "m",
+                   weight_col: str = "w"):
+    """Wire a weighted-delta stream into the IVM sink (availableNow —
+    drains what exists, then stops; call repeatedly for a long-lived
+    pipeline or swap the trigger for processingTime)."""
+    return (deltas.writeStream
+            .foreachBatch(ivm_sink(state_dir, key, measure_expr,
+                                   weight_col))
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
