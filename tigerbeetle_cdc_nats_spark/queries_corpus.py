@@ -1407,3 +1407,82 @@ def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.row_number().over(w).cast("bigint"))
             .where(F.col("sample_rank") <= 10)
             .select("doc_id", "source", "sample_rank"))
+
+
+#: Positional merge rule (exact for tok_a != tok_b, which the top-pair
+#: selection enforces): a position is skipped iff its predecessor matched;
+#: with a != b a matching predecessor can never itself have been skipped,
+#: so the one-pass positional CASE equals greedy left-to-right BPE.
+_BPE_SPARK_MERGE = (
+    "filter(transform(sequence(1, size(toks)), i -> "
+    "CASE WHEN i < size(toks) AND element_at(toks, i) = ta "
+    "AND element_at(toks, i + 1) = tb THEN concat(ta, '_', tb) "
+    "WHEN i > 1 AND element_at(toks, i - 1) = ta "
+    "AND element_at(toks, i) = tb THEN NULL "
+    "ELSE element_at(toks, i) END), x -> x IS NOT NULL)"
+)
+_BPE_DUCK_MERGE = (
+    "list_filter(list_transform(range(1, len(toks) + 1), i -> "
+    "CASE WHEN i < len(toks) AND toks[CAST(i AS INT)] = ta "
+    "AND toks[CAST(i + 1 AS INT)] = tb THEN ta || '_' || tb "
+    "WHEN i > 1 AND toks[CAST(i - 1 AS INT)] = ta "
+    "AND toks[CAST(i AS INT)] = tb THEN NULL "
+    "ELSE toks[CAST(i AS INT)] END), x -> x IS NOT NULL)"
+)
+
+
+@register(
+    "bpe_apply_merge",
+    """WITH t AS (SELECT str_split(text, ' ') AS toks FROM documents),
+ix AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t
+       WHERE len(toks) >= 2),
+p AS (SELECT toks[CAST(i AS INT)] AS tok_a,
+             toks[CAST(i + 1 AS INT)] AS tok_b FROM ix),
+top1 AS (SELECT tok_a AS ta, tok_b AS tb FROM (
+  SELECT tok_a, tok_b, COUNT(*) AS c FROM p
+  WHERE tok_a != tok_b GROUP BY tok_a, tok_b
+  ORDER BY c DESC, tok_a, tok_b LIMIT 1)),
+m AS (SELECT """ + _BPE_DUCK_MERGE + """ AS mt FROM t, top1),
+mix AS (SELECT mt, unnest(range(1, len(mt))) AS i FROM m
+        WHERE len(mt) >= 2),
+mp AS (SELECT mt[CAST(i AS INT)] AS tok_a,
+              mt[CAST(i + 1 AS INT)] AS tok_b FROM mix)
+SELECT tok_a, tok_b, COUNT(*) AS n_occurrences
+FROM mp GROUP BY tok_a, tok_b
+ORDER BY n_occurrences DESC, tok_a, tok_b LIMIT 20""",
+    doc="one full BPE training iteration: pick the most frequent adjacent "
+        "pair (ties lexicographic, self-pairs excluded so the one-pass "
+        "positional merge is exactly greedy), rewrite every document's "
+        "token stream with the merged symbol, and recount — the new "
+        "merged token now participates in the next iteration's pair "
+        "statistics. Two corpus passes, each one shuffle with map-side "
+        "combine; the merge rewrite is a zero-shuffle per-row map.",
+)
+def q_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    t = docs.select(toks.alias("toks"))
+    pairs = (t.where(F.size("toks") >= 2)
+             .select(F.slice("toks", 1, F.size("toks") - 1).alias("a1"),
+                     F.slice("toks", 2, F.size("toks") - 1).alias("a2"))
+             .select(F.explode(F.arrays_zip("a1", "a2")).alias("pr"))
+             .select(F.col("pr.a1").alias("tok_a"),
+                     F.col("pr.a2").alias("tok_b")))
+    top1 = (pairs.where(F.col("tok_a") != F.col("tok_b"))
+            .groupBy("tok_a", "tok_b").agg(F.count("*").alias("c"))
+            .orderBy(F.col("c").desc(), "tok_a", "tok_b").limit(1)
+            .select(F.col("tok_a").alias("ta"),
+                    F.col("tok_b").alias("tb")))
+    merged = (t.crossJoin(F.broadcast(top1))
+              .select(F.expr(_BPE_SPARK_MERGE).alias("mt")))
+    mpairs = (merged.where(F.size("mt") >= 2)
+              .select(F.slice("mt", 1, F.size("mt") - 1).alias("a1"),
+                      F.slice("mt", 2, F.size("mt") - 1).alias("a2"))
+              .select(F.explode(F.arrays_zip("a1", "a2")).alias("pr"))
+              .select(F.col("pr.a1").alias("tok_a"),
+                      F.col("pr.a2").alias("tok_b")))
+    return (mpairs.groupBy("tok_a", "tok_b")
+            .agg(F.count("*").alias("n_occurrences"))
+            .orderBy(F.col("n_occurrences").desc(), "tok_a", "tok_b")
+            .limit(20))

@@ -272,3 +272,55 @@ def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_hit_terms"),
         F.sum("s_e6").cast("bigint").alias("bm25_e6"),
     )
+
+
+@register(
+    "token_lift_pairs",
+    """WITH t AS (SELECT str_split(text, ' ') AS toks FROM documents),
+ix AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t
+       WHERE len(toks) >= 2),
+p AS (SELECT toks[CAST(i AS INT)] AS tok_a,
+             toks[CAST(i + 1 AS INT)] AS tok_b FROM ix),
+n AS (SELECT COUNT(*) AS n_pairs FROM p),
+ab AS (SELECT tok_a, tok_b, COUNT(*) AS n_ab FROM p
+       GROUP BY tok_a, tok_b),
+a1 AS (SELECT tok_a, COUNT(*) AS n_a FROM p GROUP BY tok_a),
+b2 AS (SELECT tok_b, COUNT(*) AS n_b FROM p GROUP BY tok_b),
+l AS (SELECT ab.tok_a, ab.tok_b, ab.n_ab, a1.n_a, b2.n_b,
+        CAST(1000000 * ab.n_ab * n.n_pairs // (a1.n_a * b2.n_b) AS BIGINT)
+          AS lift_e6
+      FROM ab JOIN a1 ON ab.tok_a = a1.tok_a
+              JOIN b2 ON ab.tok_b = b2.tok_b, n
+      WHERE ab.n_ab >= 5)
+SELECT tok_a, tok_b, n_ab, n_a, n_b, lift_e6 FROM l
+ORDER BY lift_e6 DESC, tok_a, tok_b LIMIT 50""",
+    doc="directed token-association lift (the integer-exact monotone "
+        "equivalent of PMI — log is a cross-engine libm hazard, the ratio "
+        "is not): P(ab)/P(a·)P(·b) over adjacent pair slots, min support "
+        "5, top 50. Three map-side-combined aggregations over one pair "
+        "scan; the marginals are vocabulary-sized, so their joins "
+        "broadcast at any corpus size.",
+)
+def q_token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    t = docs.where(F.size(toks) >= 2).select(
+        F.slice(toks, 1, F.size(toks) - 1).alias("a1"),
+        F.slice(toks, 2, F.size(toks) - 1).alias("a2"))
+    p = (t.select(F.explode(F.arrays_zip("a1", "a2")).alias("pr"))
+         .select(F.col("pr.a1").alias("tok_a"),
+                 F.col("pr.a2").alias("tok_b"))
+         .persist())
+    ab = p.groupBy("tok_a", "tok_b").agg(F.count("*").alias("n_ab"))
+    a1 = p.groupBy("tok_a").agg(F.count("*").alias("n_a"))
+    b2 = p.groupBy("tok_b").agg(F.count("*").alias("n_b"))
+    n = p.groupBy().agg(F.count("*").alias("n_pairs"))
+    out = (ab.where(F.col("n_ab") >= 5)
+           .join(F.broadcast(a1), "tok_a")
+           .join(F.broadcast(b2), "tok_b")
+           .crossJoin(F.broadcast(n))
+           .select("tok_a", "tok_b", "n_ab", "n_a", "n_b",
+                   F.expr("CAST(1000000 * n_ab * n_pairs"
+                          " DIV (n_a * n_b) AS BIGINT)").alias("lift_e6")))
+    return (out.orderBy(F.col("lift_e6").desc(), "tok_a", "tok_b")
+            .limit(50))
