@@ -54,11 +54,19 @@ DOC_OPS = [
     "winnowing_fingerprint", "chunk_dedup", "simhash_dedup",
     "decontamination", "minhash_dedup", "ngram_jaccard_dedup",
     "prefix_jaccard_join", "tfidf_top_terms", "winnow_candidates",
+    # round 4: containment over LSH candidates, regex hygiene scans,
+    # the BPE iteration and association stats (pair-explode family),
+    # per-stratum bottom-k sampling.
+    "minhash_containment", "pii_scan", "blocklist_filter",
+    "bpe_apply_merge", "token_lift_pairs", "bottomk_sample",
 ]
 EMB_OPS = [
     "knn_bruteforce_cosine", "ann_lsh_cosine", "embedding_near_dup",
     "ivf_ann_cosine", "semdedup", "kmeans_refine", "label_centroids",
     "ann_multiprobe_cosine", "embedding_near_dup_multitable",
+    # round 4: PQ encode+ADC (zero-shuffle map + broadcast LUT scan),
+    # bounded-candidate MMR, different-label top-k mining.
+    "pq_ann_adc", "mmr_rerank", "hard_negative_mining",
 ]
 #: events-table window/aggregation family (time-series scale risks:
 #: per-user window sorts, global percentile sorts, self-join rollups).

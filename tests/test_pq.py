@@ -80,3 +80,13 @@ def test_adc_recall_vs_exact(spark, emb):
     hits = (adc.select("q_id", "c_id")
             .join(exact.select("q_id", "c_id"), ["q_id", "c_id"]).count())
     assert hits >= 15, f"ADC/exact top-10 overlap too low: {hits}/50"
+
+
+def test_arrow_encode_matches_expression_encode(spark, emb):
+    dim = sim.embedding_dim(SF_DIR)
+    cb = sim.pq_codebook(emb)
+    fast = {r["vec_id"]: list(r["codes"])
+            for r in sim.pq_encode(emb, cb, dim).collect()}
+    ref = {r["vec_id"]: list(r["codes"])
+           for r in sim.pq_encode_expr(emb, cb, dim).collect()}
+    assert fast == ref

@@ -390,12 +390,22 @@ def _code_expr(s: int, subdim: int) -> str:
             f"[0].j")
 
 
-def pq_encode(embeddings: DataFrame, codebook: DataFrame, dim: int,
-              id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
-    """(id, codes array<bigint>[PQ_SUBS]): each vector reduced to its
-    per-sub-space nearest codeword. Broadcast 1-row codebook cross join —
-    zero shuffle, the corpus scan is the whole cost."""
+def _codebook_np(codebook: DataFrame):
+    """The PQ_K x dim codeword matrix as int64 numpy — a bounded (K-row)
+    driver-side artifact, the same class as a broadcast centroid table."""
+    import numpy as np
+
+    cb = codebook.collect()[0]["cb"]
+    return np.array([list(e["cw"]) for e in cb], dtype=np.int64)
+
+
+def pq_encode_expr(embeddings: DataFrame, codebook: DataFrame, dim: int,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Pure-Column encode (broadcast 1-row codebook cross join + argmin
+    expressions). Kept as the no-Python reference path; the higher-order
+    transforms are CodegenFallback, so :func:`pq_encode` (vectorized
+    Arrow) is ~10x faster at identical — integer-exact — results."""
     subdim = dim // PQ_SUBS
     enc = (embeddings.select(F.col(id_col),
                              quantized_vec(vec_col).alias("qv"))
@@ -405,26 +415,99 @@ def pq_encode(embeddings: DataFrame, codebook: DataFrame, dim: int,
     return enc.select(F.col(id_col), codes.alias("codes"))
 
 
+def pq_encode(embeddings: DataFrame, codebook: DataFrame, dim: int,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<bigint>[PQ_SUBS]): each vector reduced to its
+    per-sub-space nearest codeword.
+
+    Vectorized Arrow pass (mapInPandas): per batch, one
+    (n, K, SUBS) int64 squared-distance tensor and an argmin — all
+    integer, so results are bit-identical to :func:`pq_encode_expr` and
+    the SQL oracle (numpy argmin takes the FIRST minimum = smallest j,
+    matching the tie rule). Zero shuffle; the codebook rides along as a
+    K-row task constant."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cw = _codebook_np(codebook)            # (K, dim)
+    subdim = dim // PQ_SUBS
+    cr = cw.reshape(PQ_K, PQ_SUBS, subdim)
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("codes", T.ArrayType(T.LongType())),
+    ])
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            vr = v.reshape(len(v), 1, PQ_SUBS, subdim)
+            d = ((vr - cr[None, :, :, :]) ** 2).sum(axis=3)  # (n, K, SUBS)
+            codes = d.argmin(axis=1) + 1                     # (n, SUBS)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "codes": list(codes)})
+
+    quant = embeddings.select(F.col(id_col),
+                              quantized_vec(vec_col).alias("qv"))
+    return quant.mapInPandas(enc, schema=schema)
+
+
 def pq_adc_scores(codes: DataFrame, codebook: DataFrame,
                   queries: DataFrame, dim: int, k: int = 10,
                   id_col: str = "vec_id") -> DataFrame:
     """Asymmetric-distance top-k: exact query vector against reconstructed
     codewords — score = Σ_s dot(q_sub_s, cw_codes[s]_sub_s), all BIGINT.
 
-    queries: (q_id, qq array<bigint>) — e3-quantized query vectors.
-    Broadcast codebook + broadcast queries; the rank<=k filter lowers to
+    queries: (q_id, qq array<bigint>) — e3-quantized query vectors. The
+    per-query LUT (K x SUBS partial dots, the classic ADC table) is
+    precomputed driver-side from the bounded codebook + query set; the
+    scan is then a vectorized Arrow gather per batch — int64 throughout,
+    bit-identical to the SQL oracle. The rank<=k filter lowers to
     WindowGroupLimit (per-partition heaps before the |queries|-key
     shuffle)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cw = _codebook_np(codebook)            # (K, dim)
     subdim = dim // PQ_SUBS
-    term = " + ".join(
-        f"qq[{s * subdim + i}] * "
-        f"cb[CAST(codes[{s}] - 1 AS INT)].cw[{s * subdim + i}]"
-        for s in range(PQ_SUBS) for i in range(subdim))
-    scored = (codes.crossJoin(F.broadcast(codebook))
-              .crossJoin(F.broadcast(queries))
-              .where(F.col("q_id") != F.col(id_col))
-              .select("q_id", F.col(id_col).alias("c_id"),
-                      F.expr(term).cast("bigint").alias("adc_score")))
+    cr = cw.reshape(PQ_K, PQ_SUBS, subdim)
+    qrows = queries.collect()              # bounded query sample
+    q_ids = np.array([r["q_id"] for r in qrows], dtype=np.int64)
+    qm = np.array([list(r["qq"]) for r in qrows], dtype=np.int64)
+    qr = qm.reshape(len(qrows), 1, PQ_SUBS, subdim)
+    lut = (qr * cr[None, :, :, :]).sum(axis=3)   # (Q, K, SUBS)
+
+    schema = T.StructType([
+        T.StructField("q_id", T.LongType()),
+        T.StructField("c_id", T.LongType()),
+        T.StructField("adc_score", T.LongType()),
+    ])
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.stack(pdf["codes"].to_numpy()).astype(np.int64) - 1
+            n = len(c)
+            s_idx = np.arange(PQ_SUBS)
+            # scores[q, i] = sum_s lut[q, c[i, s], s]
+            scores = lut[:, c, s_idx].sum(axis=2)    # (Q, n)
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            out = pd.DataFrame({
+                "q_id": np.repeat(q_ids, n),
+                "c_id": np.tile(ids, len(q_ids)),
+                "adc_score": scores.reshape(-1),
+            })
+            yield out[out["q_id"] != out["c_id"]]
+
+    scored = codes.mapInPandas(scan, schema=schema)
     w = Window.partitionBy("q_id").orderBy(F.col("adc_score").desc(),
                                            F.col("c_id"))
     return (scored.withColumn("pq_rank",

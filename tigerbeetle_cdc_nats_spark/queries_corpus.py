@@ -1486,3 +1486,35 @@ def q_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_occurrences"))
             .orderBy(F.col("n_occurrences").desc(), "tok_a", "tok_b")
             .limit(20))
+
+
+@register(
+    "training_shuffle_order",
+    """WITH h AS (
+  SELECT doc_id, source,
+         md5('shuf:0:' || CAST(doc_id AS STRING)) AS hkey
+  FROM documents
+)
+SELECT doc_id, source,
+       ROW_NUMBER() OVER (ORDER BY hkey) AS shuffle_pos
+FROM h""",
+    doc="epoch-seeded deterministic global training order: every doc gets "
+        "a position in a reproducible pseudo-random permutation (md5 of "
+        "epoch:doc_id). Spark computes the GLOBAL numbering with the "
+        "bucketed prefix-sum pattern (256 range buckets on the hash "
+        "prefix) — per-bucket parallel sorts plus one 256-row offset "
+        "window, never a single-task global sort; the oracle's plain "
+        "ROW_NUMBER proves output equality. The shuffled-data-order step "
+        "every epoch of distributed training needs.",
+)
+def q_training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigerbeetle_cdc_nats_spark.operators.windows import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "source",
+        F.md5(F.concat(F.lit("shuf:0:"), F.col("doc_id").cast("string"))
+              .cast("binary")).alias("hkey"))
+    bucket = F.conv(F.substring("hkey", 1, 2), 16, 10).cast("int")
+    out = global_row_number(h, ["hkey"], bucket, out_col="shuffle_pos")
+    return out.select("doc_id", "source", "shuffle_pos")
