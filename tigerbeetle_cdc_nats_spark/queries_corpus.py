@@ -1518,3 +1518,40 @@ def q_training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.conv(F.substring("hkey", 1, 2), 16, 10).cast("int")
     out = global_row_number(h, ["hkey"], bucket, out_col="shuffle_pos")
     return out.select("doc_id", "source", "shuffle_pos")
+
+
+@register(
+    "quality_rank_normalized",
+    f"""WITH d AS (
+  SELECT doc_id, source,
+         CAST(FLOOR(({tx.sql_quality('text')}) * 1000000.0) AS BIGINT)
+           AS q_e6
+  FROM documents
+), r AS (
+  SELECT doc_id, source, q_e6,
+         RANK() OVER (PARTITION BY source ORDER BY q_e6) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n_src
+  FROM d
+)
+SELECT doc_id, source, q_e6,
+       CAST((rk - 1) * 1000000 // n_src AS BIGINT) AS pct_rank_e6
+FROM r""",
+    doc="per-source rank-normalized quality: each doc's quality percentile "
+        "WITHIN its source ((rank-1)/n, integer e6) — cross-source score "
+        "calibration, so a threshold means the same thing for every "
+        "source regardless of its raw-score distribution. One window "
+        "partitioned by source (parallel across sources; within-source "
+        "sort is the floor for exact ranks).",
+)
+def q_quality_rank_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q_e6 = F.floor(tx.quality_score("text")["quality"] * 1000000.0) \
+        .cast("bigint")
+    d = docs.select("doc_id", "source", q_e6.alias("q_e6"))
+    w = Window.partitionBy("source").orderBy("q_e6")
+    wc = Window.partitionBy("source")
+    return (d.withColumn("rk", F.rank().over(w).cast("bigint"))
+            .withColumn("n_src", F.count("*").over(wc))
+            .select("doc_id", "source", "q_e6",
+                    F.expr("CAST((rk - 1) * 1000000 DIV n_src AS BIGINT)")
+                    .alias("pct_rank_e6")))

@@ -757,3 +757,35 @@ def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                      cont_a.alias("cont_a_e6"), cont_b.alias("cont_b_e6"))
             .where((F.col("cont_a_e6") >= 500000)
                    | (F.col("cont_b_e6") >= 500000)))
+
+
+@register(
+    "crosslingual_near_dup",
+    f"""WITH {_MINHASH_CTES}
+SELECT w.doc_a, w.doc_b,
+       da.lang AS lang_a, db.lang AS lang_b,
+       CAST(FLOOR(({_EST_J}) * 1000000) AS BIGINT) AS est_jaccard_e6
+FROM wsig w
+JOIN documents da ON da.doc_id = w.doc_a
+JOIN documents db ON db.doc_id = w.doc_b
+WHERE da.lang != db.lang AND {_EST_J} >= 0.5""",
+    doc="near-dup pairs whose DECLARED languages differ — the "
+        "template/boilerplate and mislabeled-translation audit every "
+        "multilingual corpus needs before per-language dedup would "
+        "silently keep both copies. LSH candidates + two broadcast-able "
+        "lang lookups; never all-pairs.",
+)
+def q_crosslingual_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
+    pairs = (dd.minhash_candidate_pairs(sigs)
+             .where(F.col("est_jaccard") >= 0.5))
+    la = docs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("lang").alias("lang_a"))
+    lb = docs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("lang").alias("lang_b"))
+    return (pairs.join(la, "doc_a").join(lb, "doc_b")
+            .where(F.col("lang_a") != F.col("lang_b"))
+            .select("doc_a", "doc_b", "lang_a", "lang_b",
+                    F.floor(F.col("est_jaccard") * 1000000)
+                    .cast("bigint").alias("est_jaccard_e6")))

@@ -1187,3 +1187,70 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("q_id", "i_id", "j_id", s.alias("s_e6")))
     out = sim.mmr_rerank(pairs.unionByName(diag), k=_MMR_K)
     return out.select("q_id", "c_id", "mmr_rank", "rel_e6")
+
+
+@register(
+    "centroid_drift_audit",
+    """WITH x AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(('0x' || substr(md5('cd:' || CAST(vec_id AS STRING)), 1, 15))
+              AS BIGINT) % 2 AS half,
+         list_transform(embedding,
+           v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qc
+  FROM embeddings),
+u AS (SELECT label, half, unnest(qc) AS v,
+             generate_subscripts(qc, 1) AS i FROM x),
+c AS (SELECT label, half, i,
+             CAST(SUM(v) // COUNT(*) AS BIGINT) AS c_e6
+      FROM u GROUP BY label, half, i),
+n AS (SELECT label, half, COUNT(*) AS cnt FROM x GROUP BY label, half),
+j AS (SELECT a.label, a.i, a.c_e6 AS ca, b.c_e6 AS cb
+      FROM c a JOIN c b ON a.label = b.label AND a.i = b.i
+      WHERE a.half = 0 AND b.half = 1)
+SELECT j.label AS label, na.cnt AS n_a, nb.cnt AS n_b,
+       CAST(SUM(ABS(ca - cb)) AS BIGINT) AS drift_l1_e6,
+       CAST(MAX(ABS(ca - cb)) AS BIGINT) AS max_dim_drift_e6
+FROM j JOIN n na ON na.label = j.label AND na.half = 0
+       JOIN n nb ON nb.label = j.label AND nb.half = 1
+GROUP BY j.label, na.cnt, nb.cnt""",
+    doc="embedding-drift monitor: per-label centroid of corpus half A vs "
+        "half B (deterministic md5 split), L1 and max per-dimension gap. "
+        "Components are e6-quantized BEFORE summation, so centroids are "
+        "exact integer floor-means — no float association-order hazard at "
+        "all (unlike a float mean, this is reproducible on any partition "
+        "layout). Shape: posexplode + one (label, half, dim) aggregation "
+        "— linear, map-side combinable.",
+)
+def q_centroid_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qc = F.expr("transform(embedding, "
+                "v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))")
+    half = F.expr("CAST(conv(substr(md5(CAST(concat('cd:', "
+                  "CAST(vec_id AS STRING)) AS BINARY)), 1, 15), 16, 10) "
+                  "AS BIGINT) % 2")
+    x = emb.select(F.col("label").cast("bigint").alias("label"),
+                   half.alias("half"), qc.alias("qc")).persist()
+    u = x.select("label", "half",
+                 F.posexplode("qc").alias("pos", "v"))
+    c = (u.groupBy("label", "half", F.expr("pos + 1").alias("i"))
+         .agg(F.expr("CAST(SUM(v) DIV COUNT(*) AS BIGINT)").alias("c_e6")))
+    n = x.groupBy("label", "half").agg(F.count("*").alias("cnt"))
+    a = c.where(F.col("half") == 0).select("label", "i",
+                                           F.col("c_e6").alias("ca"))
+    b = c.where(F.col("half") == 1).select("label", "i",
+                                           F.col("c_e6").alias("cb"))
+    j = a.join(b, ["label", "i"])
+    na = n.where(F.col("half") == 0).select("label",
+                                            F.col("cnt").alias("n_a"))
+    nb = n.where(F.col("half") == 1).select("label",
+                                            F.col("cnt").alias("n_b"))
+    return (j.groupBy("label")
+            .agg(F.sum(F.abs(F.col("ca") - F.col("cb"))).cast("bigint")
+                 .alias("drift_l1_e6"),
+                 F.max(F.abs(F.col("ca") - F.col("cb"))).cast("bigint")
+                 .alias("max_dim_drift_e6"))
+            .join(F.broadcast(na), "label").join(F.broadcast(nb), "label")
+            .select("label", "n_a", "n_b",
+                    "drift_l1_e6", "max_dim_drift_e6"))
