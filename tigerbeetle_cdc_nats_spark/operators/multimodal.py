@@ -86,3 +86,44 @@ def media_metadata(docs_with_payload: DataFrame) -> DataFrame:
         F.sha2(F.col("payload"), 256).alias("sha256"),
         F.hex(F.substring(F.col("payload"), 1, 4)).alias("magic_hex"),
     )
+
+
+#: Feature-extraction geometry: n_dims segments of chunk_bytes each.
+FEATURE_DIMS = 8
+FEATURE_CHUNK = 16
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("features", T.ArrayType(T.LongType()), False),
+])
+
+
+def feature_vectors(docs_with_payload: DataFrame,
+                    n_dims: int = FEATURE_DIMS,
+                    chunk: int = FEATURE_CHUNK) -> DataFrame:
+    """Binary -> fixed-width feature vector via ``mapInPandas`` — the
+    embed-the-media stage of a multimodal pipeline. A real model plugs in
+    where the deterministic stub is (md5 of byte segments, mod 1000);
+    everything around it — Arrow batch streaming over BINARY, bounded
+    memory, fixed output width — is the production shape. The stub is
+    byte-deterministic, so the whole path is oracle-checkable (the corpus
+    payloads are ASCII text bytes, making byte and character offsets
+    coincide for the SQL mirror)."""
+    import pandas as pd
+
+    def extract(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                v = []
+                for j in range(n_dims):
+                    seg = b[j * chunk:(j + 1) * chunk]
+                    h = hashlib.md5(seg).hexdigest()[:15]
+                    v.append(int(h, 16) % 1000)
+                feats.append(v)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "features": feats})
+
+    return (docs_with_payload.select("doc_id", "payload")
+            .mapInPandas(extract, schema=FEATURE_SCHEMA))

@@ -571,3 +571,63 @@ def mmr_rerank(diag_pairs: DataFrame, k: int = 5,
                                           "mmr_rank", "rel_e6"])
 
     return diag_pairs.groupBy("q_id").applyInPandas(pick, schema=schema)
+
+
+def pq_adc_scores_cells(codes_cells: DataFrame, codebook: DataFrame,
+                        queries: DataFrame, dim: int, k: int = 5,
+                        id_col: str = "vec_id") -> DataFrame:
+    """Cell-restricted ADC (the IVF-PQ search step): like
+    :func:`pq_adc_scores` but each query scores ONLY candidates in its
+    assigned IVF cell — the probe list of the inverted file.
+
+    codes_cells: (id, codes, cell); queries: (q_id, qq, q_cell) — bounded.
+    At scale the cell column is the partition key of the stored index
+    (sources/ann_index.py), so the scan prunes to the probed cells at the
+    file level before this operator sees a row."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cw = _codebook_np(codebook)
+    subdim = dim // PQ_SUBS
+    cr = cw.reshape(PQ_K, PQ_SUBS, subdim)
+    qrows = queries.collect()
+    qs = [(int(r["q_id"]), np.array(list(r["qq"]), dtype=np.int64),
+           int(r["q_cell"])) for r in qrows]
+    luts = {qid: (qq.reshape(1, PQ_SUBS, subdim) * cr).sum(axis=2)
+            for qid, qq, _cell in qs}              # (K, SUBS) each
+
+    schema = T.StructType([
+        T.StructField("q_id", T.LongType()),
+        T.StructField("c_id", T.LongType()),
+        T.StructField("adc_score", T.LongType()),
+    ])
+    s_idx = np.arange(PQ_SUBS)
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.stack(pdf["codes"].to_numpy()).astype(np.int64) - 1
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            cells = pdf["cell"].to_numpy().astype(np.int64)
+            frames = []
+            for qid, _qq, qcell in qs:
+                mask = (cells == qcell) & (ids != qid)
+                if not mask.any():
+                    continue
+                cm = c[mask]
+                scores = luts[qid][cm, s_idx].sum(axis=1)
+                frames.append(pd.DataFrame({
+                    "q_id": qid, "c_id": ids[mask],
+                    "adc_score": scores}))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = codes_cells.mapInPandas(scan, schema=schema)
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_score").desc(),
+                                           F.col("c_id"))
+    return (scored.withColumn("pq_rank",
+                              F.row_number().over(w).cast("bigint"))
+            .where(F.col("pq_rank") <= k))

@@ -41,3 +41,21 @@ FROM fr""",
 def q_media_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = mm.with_binary_payload(load_table(spark, sf_dir, "documents"))
     return mm.frame_sample(docs, fake=True)
+
+
+@register(
+    "media_feature_vectors",
+    """SELECT doc_id,
+  list_transform(range(0, 8), j ->
+    CAST(('0x' || substr(md5(substr(text, CAST(j * 16 + 1 AS INT), 16)),
+                         1, 15)) AS BIGINT) % 1000) AS features
+FROM documents""",
+    doc="binary -> fixed-width feature vectors (the embed-the-media "
+        "stage): mapInPandas over the opaque payload column, Arrow batch "
+        "streaming, deterministic stub embedder (md5 of byte segments) so "
+        "the full plumbing is oracle-checked — a real model is a drop-in "
+        "for the stub. Zero shuffle; one pass over payload bytes.",
+)
+def q_media_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.feature_vectors(mm.with_binary_payload(docs))
