@@ -45,17 +45,30 @@ def q_media_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_feature_vectors",
-    """SELECT doc_id,
-  list_transform(range(0, 8), j ->
-    CAST(('0x' || substr(md5(substr(text, CAST(j * 16 + 1 AS INT), 16)),
-                         1, 15)) AS BIGINT) % 1000) AS features
-FROM documents""",
+    """WITH f AS (
+  SELECT doc_id,
+         list_transform(range(0, 8), j ->
+           CAST(('0x' || substr(md5(substr(text, CAST(j * 16 + 1 AS INT),
+                                           16)), 1, 15)) AS BIGINT) % 1000)
+           AS features
+  FROM documents)
+SELECT doc_id, generate_subscripts(features, 1) - 1 AS dim_j,
+       unnest(features) AS feature
+FROM f""",
     doc="binary -> fixed-width feature vectors (the embed-the-media "
         "stage): mapInPandas over the opaque payload column, Arrow batch "
         "streaming, deterministic stub embedder (md5 of byte segments) so "
         "the full plumbing is oracle-checked — a real model is a drop-in "
-        "for the stub. Zero shuffle; one pass over payload bytes.",
+        "for the stub. Zero shuffle; one pass over payload bytes. Output "
+        "is the long (doc, dim, value) form per the scalar-column "
+        "registry convention.",
 )
 def q_media_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     docs = load_table(spark, sf_dir, "documents")
-    return mm.feature_vectors(mm.with_binary_payload(docs))
+    feats = mm.feature_vectors(mm.with_binary_payload(docs))
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("dim_j", "feature")
+    ).select("doc_id", F.col("dim_j").cast("bigint").alias("dim_j"),
+             "feature")
