@@ -577,6 +577,7 @@ UNPARTITIONED_WINDOW_ALLOWANCE = {
     "quality_tertiles": 1,        # cumsum over distinct score values
     "source_mixing_weights": 1,   # share over per-source totals
     "token_ids": 1,               # frequency rank over the vocabulary
+    "training_shuffle_order": 1,  # prefix-sum over 256 hash-bucket counts
     "weekly_growth": 1,           # lag over weekly rollup rows
 }
 
