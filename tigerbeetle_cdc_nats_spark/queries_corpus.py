@@ -1555,3 +1555,131 @@ def q_quality_rank_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "q_e6",
                     F.expr("CAST((rk - 1) * 1000000 DIV n_src AS BIGINT)")
                     .alias("pct_rank_e6")))
+
+
+#: RAG retrieval query documents ("questions") and geometry.
+RAG_QUERY_DOCS = (0, 7, 21)
+_RAG_K = 5
+_RAG_CAND = 20
+_SHH_RAG = dd.sql_word_shingle_hashes("text")
+
+
+def _rag_oracle() -> str:
+    """Integer-exact lexical RAG retrieval: shingle-overlap relevance
+    (coverage of the query's shingle set, e6), top-20 candidates via an
+    inverted-index join, then 5 MMR steps with exact Jaccard diversity.
+    Every comparison is integer, so the unrolled SQL is bit-identical to
+    the grouped-Arrow MMR loop."""
+    ctes = [f"""d AS (SELECT doc_id, {_SHH_RAG} AS sh FROM documents),
+d2 AS (SELECT doc_id, sh, len(sh) AS n_sh FROM d WHERE len(sh) > 0),
+qs AS (SELECT doc_id AS q_id, sh AS qsh, n_sh AS qn FROM d2
+       WHERE doc_id IN {RAG_QUERY_DOCS}),
+qx AS (SELECT q_id, unnest(qsh) AS h, qn FROM qs),
+post AS (SELECT doc_id, unnest(sh) AS h FROM d2),
+ov AS (SELECT q.q_id, p.doc_id AS c_id, COUNT(*) AS n_ov, MAX(q.qn) AS qn
+       FROM qx q JOIN post p ON p.h = q.h AND p.doc_id != q.q_id
+       GROUP BY q.q_id, p.doc_id),
+cand AS (SELECT q_id, c_id,
+           CAST(n_ov * 1000000 // qn AS BIGINT) AS rel FROM (
+  SELECT q_id, c_id, n_ov, qn,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY n_ov DESC, c_id) AS rn
+  FROM ov) WHERE rn <= {_RAG_CAND}),
+ps AS (SELECT a.q_id, a.c_id AS i_id, b.c_id AS j_id,
+         CAST(len(list_intersect(sa.sh, sb.sh)) * 1000000 //
+              (sa.n_sh + sb.n_sh
+               - len(list_intersect(sa.sh, sb.sh))) AS BIGINT) AS s_e6
+       FROM cand a
+       JOIN cand b ON a.q_id = b.q_id AND a.c_id != b.c_id
+       JOIN d2 sa ON sa.doc_id = a.c_id
+       JOIN d2 sb ON sb.doc_id = b.c_id),
+sel1 AS (SELECT q_id, c_id, CAST(1 AS BIGINT) AS mmr_rank, rel FROM (
+  SELECT q_id, c_id, rel,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY rel DESC, c_id) AS rn
+  FROM cand) WHERE rn = 1),
+selu1 AS (SELECT * FROM sel1)"""]
+    for i in range(2, _RAG_K + 1):
+        p = i - 1
+        ctes.append(f"""sel{i} AS (
+  SELECT q_id, c_id, CAST({i} AS BIGINT) AS mmr_rank, rel FROM (
+    SELECT c.q_id, c.c_id, c.rel,
+           ROW_NUMBER() OVER (PARTITION BY c.q_id
+                              ORDER BY 2 * c.rel - mp.pen DESC,
+                                       c.c_id) AS rn
+    FROM cand c
+    JOIN (SELECT ps.q_id, ps.j_id, MAX(ps.s_e6) AS pen
+          FROM ps JOIN selu{p} s
+            ON ps.q_id = s.q_id AND ps.i_id = s.c_id
+          GROUP BY ps.q_id, ps.j_id) mp
+      ON mp.q_id = c.q_id AND mp.j_id = c.c_id
+    WHERE NOT EXISTS (SELECT 1 FROM selu{p} s2
+                      WHERE s2.q_id = c.q_id AND s2.c_id = c.c_id)
+  ) WHERE rn = 1),
+selu{i} AS (SELECT * FROM selu{p} UNION ALL SELECT * FROM sel{i})""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT q_id, c_id, mmr_rank, rel AS rel_e6"
+              f" FROM selu{_RAG_K}")
+
+
+@register(
+    "rag_retrieve_diverse",
+    _rag_oracle(),
+    doc="end-to-end lexical RAG retrieval: query docs' shingle sets probe "
+        "an inverted index (posting-list equality join — the tiny query "
+        "side explodes, never the corpus pairwise), relevance = coverage "
+        "of the query's shingles (integer e6), top-20 candidates, then "
+        "5 MMR picks with exact-Jaccard diversity. Fully integer, so the "
+        "composite — retrieval, ranking, AND the iterative "
+        "diversification — is oracle-checked. (BM25 scoring exists "
+        "separately; this retrieval stays integer-exact so the argmax "
+        "chain can't be flipped by a ULP.)",
+)
+def q_rag_retrieve_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigerbeetle_cdc_nats_spark.operators.similarity import mmr_rerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = (dd.gram_hash_rows(docs).groupBy("doc_id")
+            .agg(F.collect_set("h").alias("sh"))
+            .withColumn("n_sh", F.size("sh").cast("bigint"))
+            .persist())
+    qs = sets.where(F.col("doc_id").isin(list(RAG_QUERY_DOCS))).select(
+        F.col("doc_id").alias("q_id"), F.col("sh").alias("qsh"),
+        F.col("n_sh").alias("qn"))
+    qx = qs.select("q_id", "qn", F.explode("qsh").alias("qh"))
+    post = sets.select("doc_id", F.explode("sh").alias("h"))
+    ov = (post.join(F.broadcast(qx),
+                    (F.col("h") == F.col("qh"))
+                    & (F.col("doc_id") != F.col("q_id")))
+          .groupBy("q_id", "doc_id")
+          .agg(F.count("*").alias("n_ov"), F.max("qn").alias("qn"))
+          .select("q_id", F.col("doc_id").alias("c_id"), "n_ov", "qn"))
+    w = Window.partitionBy("q_id").orderBy(F.col("n_ov").desc(), "c_id")
+    cand = (ov.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _RAG_CAND)
+            .select("q_id", "c_id",
+                    F.expr("CAST(n_ov * 1000000 DIV qn AS BIGINT)")
+                    .alias("rel"))
+            .persist())
+    sa = sets.select(F.col("doc_id").alias("i_id"),
+                     F.col("sh").alias("sh_i"),
+                     F.col("n_sh").alias("n_i"))
+    sb = sets.select(F.col("doc_id").alias("j_id"),
+                     F.col("sh").alias("sh_j"),
+                     F.col("n_sh").alias("n_j"))
+    pairs = (cand.select("q_id", F.col("c_id").alias("i_id"))
+             .join(cand.select("q_id", F.col("c_id").alias("j_id")), "q_id")
+             .where(F.col("i_id") != F.col("j_id"))
+             .join(sa, "i_id").join(sb, "j_id")
+             .withColumn("n_int",
+                         F.size(F.array_intersect("sh_i", "sh_j"))
+                         .cast("bigint"))
+             .select("q_id", "i_id", "j_id",
+                     F.expr("CAST(n_int * 1000000 DIV "
+                            "(n_i + n_j - n_int) AS BIGINT)")
+                     .alias("s_e6")))
+    diag = cand.select("q_id", F.col("c_id").alias("i_id"),
+                       F.col("c_id").alias("j_id"),
+                       F.col("rel").alias("s_e6"))
+    out = mmr_rerank(pairs.unionByName(diag), k=_RAG_K)
+    return out.select("q_id", "c_id", "mmr_rank", "rel_e6")
