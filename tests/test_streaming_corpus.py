@@ -92,3 +92,26 @@ def test_batch_mode_fallback_dedups(spark):
     out = sc.ingest_pipeline(df)
     fps = [r["fp"] for r in out.collect()]
     assert len(fps) == 2 and len(set(fps)) == 2
+
+
+def test_pii_gate_scrubs_before_fingerprinting(spark):
+    import tigerbeetle_cdc_nats_spark.streaming.corpus as sc2
+    from tigerbeetle_cdc_nats_spark.operators import pii, text as tx
+
+    rows = [
+        (1, "good words here plus mail a.b@c.org and more text padding"),
+        (2, "good words here plus mail x.y@z.net and more text padding"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+        .withColumn("ingest_time", F.to_timestamp(F.lit("2024-01-01")))
+    out = sc2.ingest_pipeline(df).collect()
+    # Different emails, identical after redaction -> ONE survivor, and the
+    # survivor's text contains the class token, not the address.
+    assert len(out) == 1
+    assert "[EMAIL]" in out[0]["text"] and "@" not in out[0]["text"]
+    assert out[0]["n_redactions"] == 1
+    # Fingerprint was computed on the REDACTED text.
+    expected_fp = spark.createDataFrame(
+        [(out[0]["text"],)], "text string").select(
+        tx.doc_fingerprint("text").alias("fp")).collect()[0]["fp"]
+    assert out[0]["fp"] == expected_fp

@@ -71,12 +71,32 @@ def quality_gate(docs: DataFrame, *, min_quality: float = DEFAULT_MIN_QUALITY,
         & (F.col("quality") >= min_quality))
 
 
+def pii_gate(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stateless PII scrub at ingest: redact matches in place and carry
+    the per-doc redaction count (operators/pii) — pure regexp Column
+    expressions, so it pipelines with the scan on a stream exactly as in
+    batch, no state at any scale."""
+    from tigerbeetle_cdc_nats_spark.operators import pii
+
+    counts = pii.pii_counts(text_col)
+    n_red = None
+    for c in counts:
+        n_red = c if n_red is None else n_red + c
+    return (docs
+            .withColumn("n_redactions", n_red.cast("bigint"))
+            .withColumn(text_col, pii.redact(text_col)))
+
+
 def ingest_pipeline(docs: DataFrame, *, watermark: str = "10 minutes",
                     min_quality: float = DEFAULT_MIN_QUALITY,
                     min_tokens: int = DEFAULT_MIN_TOKENS,
                     event_time_col: str = "ingest_time") -> DataFrame:
-    """feature -> dedup -> gate, composed as ONE streaming plan."""
-    feat = with_ingest_features(docs, event_time_col)
+    """pii-scrub -> feature -> dedup -> gate, composed as ONE streaming
+    plan. The scrub runs FIRST so the fingerprint, dedup key, and quality
+    features all see the redacted text — the same order a batch pipeline
+    must use, or redaction would change content hashes after dedup."""
+    scrubbed = pii_gate(docs)
+    feat = with_ingest_features(scrubbed, event_time_col)
     deduped = dedup_doc_stream(feat, watermark=watermark,
                                event_time_col=event_time_col)
     return quality_gate(deduped, min_quality=min_quality,
