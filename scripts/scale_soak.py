@@ -78,6 +78,12 @@ EVENT_OPS = [
 ]
 BASE_EVENTS = 100_000  # sf0.1 events rows
 
+#: Pinned-geometry ops whose x64 blowup is already measured and recorded
+#: in SCALE.md (semdedup: >600 s, killed; embedding_near_dup: 347 s).
+#: Re-timing them every round would stall the soak for an hour to learn
+#: nothing new — the scaled variants below them are the 64x story.
+SKIP_AT_64 = {"semdedup", "embedding_near_dup"}
+
 
 def gen_corpus(spark, out_dir: str, mult: int) -> None:
     n_docs, n_emb = BASE_DOCS * mult, BASE_EMB * mult
@@ -313,6 +319,10 @@ def main() -> None:
         pair_rec = lambda df: planted_recall(df, n_emb, "vec_a", "vec_b")
         drop_rec = lambda df: planted_drop_recall(df, n_emb, "drop_id")
         for name in ([] if emb_only else DOC_OPS + EVENT_OPS) + EMB_OPS:
+            if mult >= 64 and name in SKIP_AT_64:
+                print(f"x{mult:<3} {name:<28} skipped (known fixed-"
+                      f"geometry blowup, see SCALE.md)", file=sys.stderr)
+                continue
             rf = {"embedding_near_dup": pair_rec, "semdedup": drop_rec}.get(name)
             timed(name, lambda: queries[name].fn(spark, out_dir), rf)
         timed("near_dup_adaptive_geometry",
