@@ -655,3 +655,69 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_rows"),
                  F.min("cents").cast("bigint").alias("lo_cents"),
                  F.max("cents").cast("bigint").alias("hi_cents")))
+
+
+_SCD2_CTES = f"""ev AS ({_EV}),
+ch AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM ev
+),
+chg AS (
+  SELECT user_id, event_type AS state, ts AS valid_from
+  FROM ch WHERE prev_type IS NULL OR prev_type <> event_type
+),
+scd AS (
+  SELECT user_id, state, valid_from,
+         LEAD(valid_from) OVER (PARTITION BY user_id
+                                ORDER BY valid_from) AS valid_to
+  FROM chg
+)"""
+
+
+@register(
+    "scd2_point_in_time_join",
+    f"""WITH {_SCD2_CTES},
+p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts,
+       s.state AS prev_state, s.valid_from AS state_entered_at
+FROM p JOIN scd s
+  ON s.user_id = p.user_id
+ AND s.valid_from <= p.ts - 1
+ AND (s.valid_to IS NULL OR s.valid_to > p.ts - 1)""",
+    doc="point-in-time-correct dimension lookup: each purchase event "
+        "joined to the SCD2 state interval that was valid the instant "
+        "BEFORE it (ts-1) — 'what state was the account in when it "
+        "purchased'. The warehouse temporal-join every history table "
+        "exists for. Scale shape: equi-join on user_id (high "
+        "cardinality) with the interval containment as a residual — "
+        "per-user interval lists are change-compressed and small, so "
+        "no interval-join machinery is needed when a key column "
+        "co-partitions both sides.",
+)
+def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = ev.select("user_id", "event_type", "ts",
+                   F.lag("event_type").over(w).alias("prev_type"))
+    chg = (ch.where(F.col("prev_type").isNull()
+                    | (F.col("prev_type") != F.col("event_type")))
+           .select("user_id", F.col("event_type").alias("state"),
+                   F.col("ts").alias("valid_from")))
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    scd = chg.select("user_id", "state", "valid_from",
+                     F.lead("valid_from").over(w2).alias("valid_to"))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select("event_id", "user_id", "ts"))
+    at = F.col("p.ts") - 1
+    return (p.alias("p").join(
+        scd.alias("s"),
+        (F.col("s.user_id") == F.col("p.user_id"))
+        & (F.col("s.valid_from") <= at)
+        & (F.col("s.valid_to").isNull() | (F.col("s.valid_to") > at)))
+        .select(F.col("p.event_id").alias("event_id"),
+                F.col("p.user_id").alias("user_id"),
+                F.col("p.ts").alias("ts"),
+                F.col("s.state").alias("prev_state"),
+                F.col("s.valid_from").alias("state_entered_at")))

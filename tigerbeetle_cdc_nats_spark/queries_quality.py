@@ -109,3 +109,92 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum((F.col("_h") > 0).cast("bigint")).alias("flagged_docs"),
                  F.sum("_h").alias("total_hits"),
                  F.max("_h").alias("max_hits_per_doc")))
+
+
+#: Capstone gate thresholds (chosen from the corpus quantiles so every
+#: gate both passes and fails documents: quality ~5th pct, blocklist ~p85).
+_CURATE_MIN_Q_E6 = 540000
+_CURATE_MAX_BL_HITS = 6
+
+#: Curation input: the PII-planted text, with every 97th doc replaced by a
+#: shared boilerplate page so the normalized-hash dedup gate is exercised
+#: (the synthetic corpus itself is dup-free).
+_CURATE_TEXT_SQL = (
+    "CASE WHEN doc_id % 97 = 0 "
+    "THEN 'Shared boilerplate; navigation footer page!' "
+    "ELSE " + _FOOTER_SQL + " END"
+)
+
+
+@register(
+    "curated_corpus_pipeline",
+    f"""WITH planted AS (
+  SELECT doc_id, source, {_CURATE_TEXT_SQL} AS text FROM documents
+),
+red AS (
+  SELECT doc_id, source,
+         CAST({' + '.join(pii.duck_count(n) for n in _N_COLS)} AS BIGINT)
+           AS n_redactions,
+         {pii.duck_redact()} AS text
+  FROM planted
+),
+scored AS (
+  SELECT doc_id, source, n_redactions,
+         CAST(('0x' || substr(md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))), 1, 15)) AS BIGINT)
+           AS norm_h,
+         CAST(FLOOR(((len(list_distinct(str_split(text, ' '))) / len(str_split(text, ' '))) * 0.5 + (1 - len(list_filter(str_split(text, ' '), t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'that'))) / len(str_split(text, ' '))) * 0.3 + LEAST(((length(text) - (len(str_split(text, ' ')) - 1)) / len(str_split(text, ' '))) / 10.0, 1.0) * 0.2) * 1000000.0) AS BIGINT)
+           AS q_e6,
+         len(regexp_extract_all(text, '{_BL_RE}')) AS bl_hits
+  FROM red
+)
+SELECT doc_id, source, n_redactions,
+       CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY norm_h) AS BIGINT)
+         AS is_dup,
+       CAST(q_e6 >= {_CURATE_MIN_Q_E6} AS BIGINT) AS pass_quality,
+       CAST(bl_hits <= {_CURATE_MAX_BL_HITS} AS BIGINT) AS pass_blocklist,
+       CAST(doc_id = MIN(doc_id) OVER (PARTITION BY norm_h)
+            AND q_e6 >= {_CURATE_MIN_Q_E6}
+            AND bl_hits <= {_CURATE_MAX_BL_HITS} AS BIGINT) AS kept
+FROM scored""",
+    doc="capstone composite: plant -> redact PII -> normalize -> hash "
+        "dedup -> quality gate -> blocklist gate, fused into ONE Catalyst "
+        "plan (one scan, one shuffle on the normalized hash). Per-doc "
+        "verdict columns let downstream stages filter on kept=1 or audit "
+        "each gate independently — the curation pass a 100 TB corpus "
+        "runs end to end.",
+)
+def q_curated_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigerbeetle_cdc_nats_spark.operators import dedup as dd
+    from tigerbeetle_cdc_nats_spark.operators import text as tx
+    from tigerbeetle_cdc_nats_spark.queries_corpus import normalize_text
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select("doc_id", "source",
+                          F.expr(_CURATE_TEXT_SQL).alias("text"))
+    n_red = None
+    for c in pii.pii_counts("text"):
+        n_red = c if n_red is None else n_red + c
+    red = planted.select(
+        "doc_id", "source", n_red.cast("bigint").alias("n_redactions"),
+        pii.redact("text").alias("text"))
+    q_e6 = (F.floor(tx.quality_score("text")["quality"] * 1000000.0)
+            .cast("bigint"))
+    bl = F.regexp_count(F.col("text"), F.lit(_BL_RE)).cast("bigint")
+    scored = red.select(
+        "doc_id", "source", "n_redactions",
+        dd.hash60(normalize_text(F.col("text"))).alias("norm_h"),
+        q_e6.alias("q_e6"), bl.alias("bl_hits"))
+    by_hash = Window.partitionBy("norm_h")
+    out = scored.select(
+        "doc_id", "source", "n_redactions",
+        (F.col("doc_id") != F.min("doc_id").over(by_hash))
+        .cast("bigint").alias("is_dup"),
+        (F.col("q_e6") >= _CURATE_MIN_Q_E6).cast("bigint")
+        .alias("pass_quality"),
+        (F.col("bl_hits") <= _CURATE_MAX_BL_HITS).cast("bigint")
+        .alias("pass_blocklist"))
+    return out.withColumn(
+        "kept",
+        ((F.col("is_dup") == 0) & (F.col("pass_quality") == 1)
+         & (F.col("pass_blocklist") == 1)).cast("bigint"))
