@@ -125,5 +125,8 @@ def feature_vectors(docs_with_payload: DataFrame,
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "features": feats})
 
-    return (docs_with_payload.select("doc_id", "payload")
-            .mapInPandas(extract, schema=FEATURE_SCHEMA))
+    from tigerbeetle_cdc_nats_spark.session import ensure_parallelism
+
+    return (ensure_parallelism(
+        docs_with_payload.select("doc_id", "payload"))
+        .mapInPandas(extract, schema=FEATURE_SCHEMA))

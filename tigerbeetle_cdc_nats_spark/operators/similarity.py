@@ -452,8 +452,10 @@ def pq_encode(embeddings: DataFrame, codebook: DataFrame, dim: int,
             yield pd.DataFrame({id_col: pdf[id_col],
                                 "codes": list(codes)})
 
-    quant = embeddings.select(F.col(id_col),
-                              quantized_vec(vec_col).alias("qv"))
+    from tigerbeetle_cdc_nats_spark.session import ensure_parallelism
+
+    quant = ensure_parallelism(embeddings.select(
+        F.col(id_col), quantized_vec(vec_col).alias("qv")))
     return quant.mapInPandas(enc, schema=schema)
 
 
