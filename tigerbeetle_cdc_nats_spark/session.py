@@ -179,6 +179,8 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     the query per call. Falls back to that probe only when the files can't
     be stat-ed locally.
     """
+    if df.isStreaming:  # no file listing on a stream; micro-batches split
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     try:
