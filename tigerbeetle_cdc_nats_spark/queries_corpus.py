@@ -1683,3 +1683,49 @@ def q_rag_retrieve_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("rel").alias("s_e6"))
     out = mmr_rerank(pairs.unionByName(diag), k=_RAG_K)
     return out.select("q_id", "c_id", "mmr_rank", "rel_e6")
+
+
+@register(
+    "multi_epoch_shuffle",
+    """WITH e AS (SELECT range AS epoch FROM range(0, 3)),
+h AS (
+  SELECT e.epoch, d.doc_id,
+         md5('shuf:' || CAST(e.epoch AS STRING) || ':'
+             || CAST(d.doc_id AS STRING)) AS hkey
+  FROM documents d, e
+)
+SELECT epoch, doc_id,
+       ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY hkey) AS shuffle_pos
+FROM h""",
+    doc="the full training schedule: an independent deterministic "
+        "permutation per epoch (hash seeded by epoch:doc_id), so any "
+        "worker can compute any epoch's order without coordination or "
+        "stored shuffle files. Spark numbers each epoch with the bucketed "
+        "prefix-sum pattern (per-epoch 256-bucket range partition — the "
+        "only unpartitioned window is over epochs x 256 count rows); the "
+        "oracle's plain per-epoch ROW_NUMBER proves equality.",
+)
+def q_multi_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tigerbeetle_cdc_nats_spark.operators.windows import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(3).select(F.col("id").cast("bigint").alias("epoch"))
+    h = docs.crossJoin(F.broadcast(epochs)).select(
+        "epoch", "doc_id",
+        F.md5(F.concat(F.lit("shuf:"), F.col("epoch").cast("string"),
+                       F.lit(":"), F.col("doc_id").cast("string"))
+              .cast("binary")).alias("hkey"))
+    # Per-epoch numbering: fold the epoch into the range bucket so one
+    # global_row_number call numbers all epochs (bucket ordering is
+    # (epoch, hash-prefix), and the ordering key is (epoch, hkey) — the
+    # bucket stays monotone in the order key within each epoch).
+    out = []
+    for ep in range(3):
+        part = h.where(F.col("epoch") == ep)
+        bucket = F.conv(F.substring("hkey", 1, 2), 16, 10).cast("int")
+        out.append(global_row_number(part, ["hkey"], bucket,
+                                     out_col="shuffle_pos"))
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.select("epoch", "doc_id", "shuffle_pos")
