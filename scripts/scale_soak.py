@@ -59,6 +59,10 @@ DOC_OPS = [
     # per-stratum bottom-k sampling.
     "minhash_containment", "pii_scan", "blocklist_filter",
     "bpe_apply_merge", "token_lift_pairs", "bottomk_sample",
+    "training_shuffle_order", "quality_rank_normalized",
+    "crosslingual_near_dup", "rag_retrieve_diverse",
+    "curated_corpus_pipeline", "multi_epoch_shuffle",
+    "media_feature_vectors",
 ]
 EMB_OPS = [
     "knn_bruteforce_cosine", "ann_lsh_cosine", "embedding_near_dup",
@@ -66,7 +70,8 @@ EMB_OPS = [
     "ann_multiprobe_cosine", "embedding_near_dup_multitable",
     # round 4: PQ encode+ADC (zero-shuffle map + broadcast LUT scan),
     # bounded-candidate MMR, different-label top-k mining.
-    "pq_ann_adc", "mmr_rerank", "hard_negative_mining",
+    "pq_ann_adc", "mmr_rerank", "hard_negative_mining", "ivfpq_ann",
+    "ann_recall_audit", "centroid_drift_audit",
 ]
 #: events-table window/aggregation family (time-series scale risks:
 #: per-user window sorts, global percentile sorts, self-join rollups).
