@@ -75,3 +75,27 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     sink(b1, 1)
     sink(b1, 1)
     assert _snap(spark, state) == {2: (1, 4)}
+
+
+def test_state_time_travel(spark, tmp_path):
+    import pytest
+
+    from tigerbeetle_cdc_nats_spark.streaming.ivm import list_versions
+
+    state = str(tmp_path / "state")
+    sink = ivm_sink(state)
+    sink(spark.createDataFrame([(1, 10, 1)], SCHEMA), 0)
+    sink(spark.createDataFrame([(2, 5, 1)], SCHEMA), 1)
+    sink(spark.createDataFrame([(1, 10, -1)], SCHEMA), 2)
+
+    assert list_versions(state) == [0, 1, 2]
+    v0 = {r["k"]: (r["n"], r["m"])
+          for r in read_state(spark, state, version=0).collect()}
+    v1 = {r["k"]: (r["n"], r["m"])
+          for r in read_state(spark, state, version=1).collect()}
+    latest = _snap(spark, state)
+    assert v0 == {1: (1, 10)}
+    assert v1 == {1: (1, 10), 2: (1, 5)}
+    assert latest == {2: (1, 5)}   # key 1 retracted at v2
+    with pytest.raises(ValueError):
+        read_state(spark, state, version=7)

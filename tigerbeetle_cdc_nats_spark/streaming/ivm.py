@@ -47,12 +47,31 @@ def _latest_version(state_dir: str) -> int | None:
     return max(vs) if vs else None
 
 
-def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Current merged partials (empty DataFrame before the first batch)."""
-    v = _latest_version(state_dir)
-    if v is None:
-        return spark.createDataFrame([], _SCHEMA)
-    return spark.read.parquet(os.path.join(state_dir, f"v{v}"))
+def list_versions(state_dir: str) -> list[int]:
+    """Committed state versions, oldest first (only _SUCCESS-marked)."""
+    if not os.path.isdir(state_dir):
+        return []
+    return sorted(int(d[1:]) for d in os.listdir(state_dir)
+                  if d.startswith("v") and d[1:].isdigit()
+                  and os.path.exists(os.path.join(state_dir, d, "_SUCCESS")))
+
+
+def read_state(spark: SparkSession, state_dir: str,
+               version: int | None = None) -> DataFrame:
+    """Merged partials at a version (default: latest). Because every batch
+    writes a NEW _SUCCESS-marked directory and never rewrites an old one,
+    the version history doubles as snapshot time travel — read the view
+    exactly as it stood after any past batch (the Delta/Iceberg
+    `VERSION AS OF` semantics on plain parquet). Empty before the first
+    batch; asking for an uncommitted version raises."""
+    if version is None:
+        version = _latest_version(state_dir)
+        if version is None:
+            return spark.createDataFrame([], _SCHEMA)
+    elif version not in list_versions(state_dir):
+        raise ValueError(f"no committed state version v{version} "
+                         f"in {state_dir}")
+    return spark.read.parquet(os.path.join(state_dir, f"v{version}"))
 
 
 def ivm_sink(state_dir: str, key: str = "k", measure_expr: str = "m",
