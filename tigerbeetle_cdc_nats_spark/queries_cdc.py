@@ -272,3 +272,40 @@ def q_event_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         d["transfer"]["amount"].cast("long").alias("dec_amount"),
         d["transfer"]["user_data_128"].cast("string").alias("dec_user_data_128"),
     )
+
+
+@register(
+    "props_json_stats",
+    f"""WITH ev AS ({_EV}),
+x AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM ev
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS sum_k,
+       COUNT(DISTINCT k) AS n_distinct_k
+FROM x GROUP BY event_type""",
+    doc="semi-structured payload profiling: the raw event props JSON "
+        "parsed engine-side (get_json_object / json_extract — never a "
+        "Python JSON loop) and profiled per event type, with missing-key "
+        "accounting. The JSON parse is a per-row codegen'd expression "
+        "that pipelines with the scan; one |event_types|-sized rollup.",
+)
+def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    x = ev.select("event_type", k.alias("k"))
+    return (x.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_missing"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"),
+                 F.sum(F.coalesce(F.col("k"), F.lit(0))).cast("bigint")
+                 .alias("sum_k"),
+                 F.countDistinct("k").alias("n_distinct_k")))
