@@ -124,3 +124,49 @@ def q_ivm_delta_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_old, du, dim_old, dim_new = _split_deltas(spark, sf_dir)
     out = ivm.group_delta(u_old, du, dim_old, dim_new, "user_id", "segment")
     return out.select("segment", "d_events", "d_cents")
+
+
+@register(
+    "ivm_topk_view",
+    f"""WITH ev AS ({_EV}),
+f AS ({_FACT_NEW_SQL}),
+d AS ({_DIM_NEW_SQL}),
+u AS (
+  SELECT f.user_id, d.segment, COUNT(*) AS n_events,
+         CAST(SUM({CENTS}) AS BIGINT) AS sum_cents
+  FROM f JOIN d ON f.user_id = d.user_id
+  GROUP BY f.user_id, d.segment
+),
+r AS (
+  SELECT segment, user_id, n_events, sum_cents,
+         ROW_NUMBER() OVER (PARTITION BY segment
+                            ORDER BY sum_cents DESC, user_id) AS topk_rank
+  FROM u
+)
+SELECT segment, user_id, n_events, sum_cents, topk_rank
+FROM r WHERE topk_rank <= 3""",
+    doc="maintained top-k view under deletes: the top-3 accounts by "
+        "maintained balance per segment AFTER the weighted deltas apply. "
+        "Deletion-safe because the rank runs over the maintained "
+        "key-level partials (|keys| rows), not a stored top-k list — a "
+        "retraction that demotes a leader automatically promotes the "
+        "next key, the failure mode naive materialized top-k caches "
+        "cannot handle. Refresh cost: the partial merge (|Δ|) plus a "
+        "|keys|-input WindowGroupLimit rank.",
+)
+def q_ivm_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    u_old, du, _dim_old, dim_new = _split_deltas(spark, sf_dir)
+    u_new = ivm.merge_partials(u_old, du, "user_id")
+    per_user = (u_new.join(dim_new, "user_id")
+                .select("segment", "user_id",
+                        F.col("n").alias("n_events"),
+                        F.col("m").alias("sum_cents")))
+    w = Window.partitionBy("segment").orderBy(
+        F.col("sum_cents").desc(), "user_id")
+    return (per_user.withColumn("topk_rank",
+                                F.row_number().over(w).cast("bigint"))
+            .where(F.col("topk_rank") <= 3)
+            .select("segment", "user_id", "n_events",
+                    "sum_cents", "topk_rank"))
