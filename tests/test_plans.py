@@ -620,3 +620,40 @@ def test_no_unpartitioned_window_over_row_data(spark, sf_dir):
         if count > UNPARTITIONED_WINDOW_ALLOWANCE.get(name, 0):
             bad.append((name, f"{count} unpartitioned window(s)"))
     assert not bad, bad
+
+
+def test_curated_pipeline_is_one_scan_one_exchange(spark, sf_dir):
+    """The capstone composite must stay fused: one documents scan, one
+    shuffle (the normalized-hash window) — gate regressions that split
+    the regex/normalization chain into extra exchanges."""
+    plan = plan_of(spark, sf_dir, "curated_corpus_pipeline")
+    # formatted mode lists each node in the tree AND the details section,
+    # so one physical node surfaces as two text occurrences.
+    assert plan.count("Exchange") <= 2   # exactly one Exchange node
+    assert plan.count("Scan parquet") <= 2  # exactly one documents scan
+
+
+def test_pq_encode_is_shuffle_free(spark, sf_dir):
+    """PQ encode is a pure map: quantize -> broadcast codebook -> argmin.
+    Its plan must contain no Exchange at all (the corpus scan is the
+    whole cost)."""
+    from tigerbeetle_cdc_nats_spark.operators import similarity as sim
+    from tigerbeetle_cdc_nats_spark.plans.inspect import physical_plan
+    from tigerbeetle_cdc_nats_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = sim.pq_codebook(emb)
+    codes = sim.pq_encode(emb, cb, sim.embedding_dim(sf_dir))
+    plan = physical_plan(codes)
+    # ensure_parallelism may inject ONE round-robin repartition for the
+    # single-split local file; no hash/range exchange is allowed.
+    assert "hashpartitioning" not in plan.lower()
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_scd2_point_in_time_join_is_user_keyed(spark, sf_dir):
+    """The temporal join must run as an equi-join on user_id (interval
+    containment as residual) — never a nested-loop/cartesian form."""
+    plan = plan_of(spark, sf_dir, "scd2_point_in_time_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
