@@ -1729,3 +1729,36 @@ def q_multi_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out[1:]:
         res = res.unionByName(df)
     return res.select("epoch", "doc_id", "shuffle_pos")
+
+
+@register(
+    "quality_weighted_sample",
+    f"""WITH d AS (
+  SELECT doc_id, source,
+         CAST(FLOOR(({tx.sql_quality('text')}) * 1000000.0) AS BIGINT)
+           AS q_e6,
+         {dd.sql_hash60("'ws:' || CAST(doc_id AS STRING)")} // 1048576
+           AS h40
+  FROM documents
+)
+SELECT doc_id, source, q_e6
+FROM d
+WHERE h40 * 1000000 < q_e6 * 1099511627776""",
+    doc="quality-weighted sampling: each doc kept with probability equal "
+        "to its quality score — deterministic Bernoulli via a 40-bit doc "
+        "hash compared against the quality threshold in EXACT integer "
+        "arithmetic (h40 * 1e6 < q_e6 * 2^40; both products < 2^63, no "
+        "float RNG, reproducible on any partitioning). The "
+        "upsample-good-data step of mixture construction; zero shuffle.",
+)
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q_e6 = (F.floor(tx.quality_score("text")["quality"] * 1000000.0)
+            .cast("bigint"))
+    h60 = dd.hash60(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+    h40 = F.shiftright(h60, 20).cast("bigint")  # exact: h60 < 2^60, >= 0
+    d = docs.select("doc_id", "source", q_e6.alias("q_e6"),
+                    h40.alias("h40"))
+    return (d.where(F.col("h40") * 1000000
+                    < F.col("q_e6") * F.lit(1099511627776))
+            .select("doc_id", "source", "q_e6"))
