@@ -80,6 +80,10 @@ EVENT_OPS = [
     "event_transition_matrix", "running_balance", "multires_rollup",
     "value_percentiles", "duplicate_count", "event_sequence_rank",
     "rate_anomaly", "equidepth_histogram", "time_weighted_value",
+    # round 4: delete-aware IVM family (joins the generated customer dim),
+    # point-in-time SCD2 join, JSON payload profiling.
+    "ivm_join_view", "ivm_delta_rows", "ivm_topk_view",
+    "scd2_point_in_time_join", "props_json_stats",
 ]
 BASE_EVENTS = 100_000  # sf0.1 events rows
 
@@ -95,7 +99,9 @@ def gen_corpus(spark, out_dir: str, mult: int) -> None:
     docs_path = os.path.join(out_dir, "documents.parquet")
     emb_path = os.path.join(out_dir, "embeddings.parquet")
     ev_path = os.path.join(out_dir, "events.parquet")
-    if all(os.path.exists(p) for p in (docs_path, emb_path, ev_path)):
+    cust_path = os.path.join(out_dir, "customer.parquet")
+    if all(os.path.exists(p)
+           for p in (docs_path, emb_path, ev_path, cust_path)):
         return
     vocab = F.array(*[F.lit(w) for w in VOCAB])
     base = (
@@ -177,6 +183,23 @@ def gen_corpus(spark, out_dir: str, mult: int) -> None:
                      F.lit('}')).alias("props"))
     )
     ev.repartition(32).write.mode("overwrite").parquet(ev_path)
+    # customer dim covering the user_id space (the IVM family joins it):
+    # same shape as the TPC-H testdata (c_custkey superset of user ids,
+    # 5 market segments).
+    segs = F.array(F.lit("AUTOMOBILE"), F.lit("BUILDING"),
+                   F.lit("FURNITURE"), F.lit("HOUSEHOLD"),
+                   F.lit("MACHINERY"))
+    cust = (spark.range(n_users * 10)
+            .select(F.col("id").alias("c_custkey"),
+                    F.concat(F.lit("Customer#"), F.col("id"))
+                    .alias("c_name"),
+                    F.pmod(F.hash("id"), 25).cast("int").alias("c_nationkey"),
+                    (F.pmod(F.hash(F.col("id") + 5), 100000) / 100.0)
+                    .alias("c_acctbal"),
+                    F.element_at(
+                        segs, (F.pmod(F.hash(F.col("id") + 9), 5) + 1)
+                        .cast("int")).alias("c_mktsegment")))
+    cust.repartition(8).write.mode("overwrite").parquet(cust_path)
 
 
 def planted_recall(pairs, n_emb: int, a_col: str, b_col: str) -> float:
