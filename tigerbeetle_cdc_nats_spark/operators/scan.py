@@ -74,9 +74,13 @@ def cdc_incremental_scan(events: DataFrame, cursor: int = 0, ts_max: int = 0,
     order, capped at ``limit`` (runner.go:142-164).
 
     ``cursor`` is the last processed timestamp; the scan starts at cursor+1
-    (runner.go:726-736). Timestamps are unique by contract
-    (integration_test.go:227-229), so the result is deterministic.
+    (runner.go:726-736), with the same end-of-domain guard: a cursor at
+    u64 max cannot advance and raises rather than wrapping. Timestamps
+    are unique by contract (integration_test.go:227-229), so the result
+    is deterministic.
     """
+    if cursor >= 2**64 - 1:
+        raise ValueError(f"cannot continue from timestamp {cursor}")
     return (
         timestamp_range_filter(events, cursor + 1, ts_max, ts_col)
         .orderBy(ts_col)
