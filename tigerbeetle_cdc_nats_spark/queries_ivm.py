@@ -170,3 +170,41 @@ def q_ivm_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("topk_rank") <= 3)
             .select("segment", "user_id", "n_events",
                     "sum_cents", "topk_rank"))
+
+
+@register(
+    "segment_migration_matrix",
+    f"""WITH ev AS ({_EV}),
+f AS ({_FACT_NEW_SQL}),
+o AS ({_DIM_OLD_SQL}),
+n AS ({_DIM_NEW_SQL}),
+u AS (SELECT f.user_id, COUNT(*) AS n_events,
+             CAST(SUM({CENTS}) AS BIGINT) AS sum_cents
+      FROM f GROUP BY f.user_id)
+SELECT o.segment AS segment_old, n.segment AS segment_new,
+       COUNT(*) AS n_users,
+       CAST(SUM(COALESCE(u.n_events, 0)) AS BIGINT) AS n_events,
+       CAST(SUM(COALESCE(u.sum_cents, 0)) AS BIGINT) AS sum_cents
+FROM o JOIN n ON o.user_id = n.user_id
+LEFT JOIN u ON u.user_id = o.user_id
+GROUP BY o.segment, n.segment""",
+    doc="dimension-churn observability: the (old segment x new segment) "
+        "migration matrix with per-cell user counts and maintained fact "
+        "totals — the audit that explains WHY a maintained view's groups "
+        "moved after a dim change (diagonal = stayed; off-diagonal = the "
+        "re-mapped mass ivm_delta_rows charged between groups). Join "
+        "input is |keys| rows on every side.",
+)
+def q_segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u_old, du, dim_old, dim_new = _split_deltas(spark, sf_dir)
+    u_new = ivm.merge_partials(u_old, du, "user_id")
+    o = dim_old.withColumnRenamed("segment", "segment_old")
+    n = dim_new.withColumnRenamed("segment", "segment_new")
+    return (o.join(n, "user_id")
+            .join(u_new, "user_id", "left")
+            .groupBy("segment_old", "segment_new")
+            .agg(F.count("*").alias("n_users"),
+                 F.sum(F.coalesce(F.col("n"), F.lit(0))).cast("bigint")
+                 .alias("n_events"),
+                 F.sum(F.coalesce(F.col("m"), F.lit(0))).cast("bigint")
+                 .alias("sum_cents")))
