@@ -62,7 +62,7 @@ DOC_OPS = [
     "training_shuffle_order", "quality_rank_normalized",
     "crosslingual_near_dup", "rag_retrieve_diverse",
     "curated_corpus_pipeline", "multi_epoch_shuffle",
-    "media_feature_vectors",
+    "media_feature_vectors", "quality_weighted_sample", "blocklist_kwic",
 ]
 EMB_OPS = [
     "knn_bruteforce_cosine", "ann_lsh_cosine", "embedding_near_dup",
@@ -83,6 +83,7 @@ EVENT_OPS = [
     # round 4: delete-aware IVM family (joins the generated customer dim),
     # point-in-time SCD2 join, JSON payload profiling.
     "ivm_join_view", "ivm_delta_rows", "ivm_topk_view",
+    "segment_migration_matrix",
     "scd2_point_in_time_join", "props_json_stats",
 ]
 BASE_EVENTS = 100_000  # sf0.1 events rows
