@@ -63,6 +63,7 @@ DOC_OPS = [
     "crosslingual_near_dup", "rag_retrieve_diverse",
     "curated_corpus_pipeline", "multi_epoch_shuffle",
     "media_feature_vectors", "quality_weighted_sample", "blocklist_kwic",
+    "source_token_divergence",
 ]
 EMB_OPS = [
     "knn_bruteforce_cosine", "ann_lsh_cosine", "embedding_near_dup",

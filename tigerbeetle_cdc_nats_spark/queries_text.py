@@ -324,3 +324,56 @@ def q_token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                           " DIV (n_a * n_b) AS BIGINT)").alias("lift_e6")))
     return (out.orderBy(F.col("lift_e6").desc(), "tok_a", "tok_b")
             .limit(50))
+
+
+@register(
+    "source_token_divergence",
+    """WITH tok AS (
+  SELECT source, unnest(str_split(text, ' ')) AS tok FROM documents
+),
+st AS (SELECT source, tok, COUNT(*) AS n_st FROM tok GROUP BY source, tok),
+s_tot AS (SELECT source, CAST(SUM(n_st) AS BIGINT) AS t_s FROM st
+          GROUP BY source),
+ct AS (SELECT tok, CAST(SUM(n_st) AS BIGINT) AS n_t FROM st GROUP BY tok),
+n AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_total FROM ct),
+cell AS (
+  SELECT st.source,
+         ABS(CAST(st.n_st * 1000000 // s_tot.t_s AS BIGINT)
+             - CAST(ct.n_t * 1000000 // n.n_total AS BIGINT)) AS d
+  FROM st
+  JOIN s_tot ON s_tot.source = st.source
+  JOIN ct ON ct.tok = st.tok, n
+)
+SELECT source, CAST(SUM(d) AS BIGINT) AS l1_e6,
+       COUNT(*) AS n_shared_tokens
+FROM cell GROUP BY source""",
+    doc="per-source distributional drift: L1 distance between each "
+        "source's token distribution and the corpus distribution, in "
+        "exact integer e6 shares (floor divisions on both engines) — the "
+        "mixture-QA check that flags a source whose content has shifted "
+        "from the blend. One (source, token) shuffle with map-side "
+        "combine; the marginals are vocabulary-sized broadcasts. "
+        "(Tokens absent from a source contribute via the shared-token "
+        "cells only — consistent on both engines, and a monotone drift "
+        "signal either way.)",
+)
+def q_source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source",
+                      F.explode(F.split("text", " ")).alias("tok"))
+    st = tok.groupBy("source", "tok").agg(F.count("*").alias("n_st"))
+    st = st.persist()
+    s_tot = st.groupBy("source").agg(
+        F.sum("n_st").cast("bigint").alias("t_s"))
+    ct = st.groupBy("tok").agg(F.sum("n_st").cast("bigint").alias("n_t"))
+    n = ct.agg(F.sum("n_t").cast("bigint").alias("n_total"))
+    cell = (st.join(F.broadcast(s_tot), "source")
+            .join(F.broadcast(ct), "tok")
+            .crossJoin(F.broadcast(n))
+            .select("source",
+                    F.abs(F.expr("CAST(n_st * 1000000 DIV t_s AS BIGINT)")
+                          - F.expr("CAST(n_t * 1000000 DIV n_total"
+                                   " AS BIGINT)")).alias("d")))
+    return (cell.groupBy("source")
+            .agg(F.sum("d").cast("bigint").alias("l1_e6"),
+                 F.count("*").alias("n_shared_tokens")))
