@@ -30,8 +30,8 @@ def write_ann_index(embeddings: DataFrame, path: str,
                     vec_col: str = "embedding", dim: int | None = None,
                     mode: str = "overwrite") -> None:
     """Bucket-partitioned index: one partition directory per LSH bucket."""
-    (embeddings
-     .withColumn("bucket", sim.bucket_col(planes, vec_col, dim))
+    (sim.signature_cols(embeddings, [planes], vec_col, dim,
+                        bucket_names=["bucket"])
      .write.mode(mode).partitionBy("bucket").parquet(path))
 
 
