@@ -83,3 +83,54 @@ def test_delta_path_matches_full_recompute(spark):
              for r in ivm.rollup_to_groups(naive_parts, dim_new,
                                            "k", "g").collect()}
     assert incremental == naive
+
+
+def test_group_delta_asymmetric_dim_keys(spark):
+    """Keys present in only ONE dim snapshot still balance the delta:
+    V_old + ΔV == V_new (round-4 advisory: inner joins dropped them)."""
+    # k1 stays in group a; k3 is NEW in dim_new (arrives with facts);
+    # k2 is DELETED from dim_new while keeping fact support.
+    old = _fact(spark, [(1, 10, 1), (2, 5, 1)])
+    du_rows = _fact(spark, [(3, 100, 1), (2, 1, 1)])
+    dim_old = _dim(spark, [(1, "a"), (2, "a")])
+    dim_new = _dim(spark, [(1, "a"), (3, "b")])
+
+    u_old = ivm.weighted_fact_partials(old, "k", "v")
+    du = ivm.weighted_fact_partials(du_rows, "k", "v")
+    got = {r["g"]: (r["d_events"], r["d_cents"])
+           for r in ivm.group_delta(u_old, du, dim_old, dim_new,
+                                    "k", "g").collect()}
+
+    # V_old = {a: (2, 15)}  (k1 10 + k2 5)
+    # V_new = rollup(u_new, dim_new) = {a: (1, 10), b: (1, 100)}
+    # ΔV must be {a: (-1, -5), b: (1, 100)}.
+    assert got == {"a": (-1, -5), "b": (1, 100)}
+
+    # And it matches the naive recompute exactly.
+    u_new = ivm.merge_partials(u_old, du, "k")
+    v_new = {r["g"]: (r["n_events"], r["sum_cents"])
+             for r in ivm.rollup_to_groups(u_new, dim_new,
+                                           "k", "g").collect()}
+    v_old = {r["g"]: (r["n_events"], r["sum_cents"])
+             for r in ivm.rollup_to_groups(u_old, dim_old,
+                                           "k", "g").collect()}
+    applied = dict(v_old)
+    for g, (dn, dm) in got.items():
+        n0, m0 = applied.get(g, (0, 0))
+        applied[g] = (n0 + dn, m0 + dm)
+    applied = {g: v for g, v in applied.items() if v != (0, 0)}
+    assert applied == v_new
+
+
+def test_merge_partials_mismatched_retraction_fails_loudly(spark):
+    """A retraction whose measure differs from the insert it cancels must
+    raise, not silently lose the residual money."""
+    import pytest
+
+    base = ivm.weighted_fact_partials(_fact(spark, [(1, 10, 1)]), "k", "v")
+    bad = ivm.weighted_fact_partials(_fact(spark, [(1, 7, -1)]), "k", "v")
+    with pytest.raises(Exception, match="(?i)mismatched retraction|assert"):
+        ivm.merge_partials(base, bad, "k").collect()
+    # A balanced retraction still merges cleanly.
+    good = ivm.weighted_fact_partials(_fact(spark, [(1, 10, -1)]), "k", "v")
+    assert ivm.merge_partials(base, good, "k").count() == 0

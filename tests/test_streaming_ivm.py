@@ -99,3 +99,52 @@ def test_state_time_travel(spark, tmp_path):
     assert latest == {2: (1, 5)}   # key 1 retracted at v2
     with pytest.raises(ValueError):
         read_state(spark, state, version=7)
+
+
+def test_version_retention_prunes_disk(spark, tmp_path):
+    from tigerbeetle_cdc_nats_spark.streaming.ivm import (
+        list_versions, prune_versions)
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    chk = str(tmp_path / "chk")
+    for i in range(4):
+        _write(spark, src, [(i, 10 * i, 1)])
+        q = run_ivm_stream(
+            spark.readStream.schema(SCHEMA).parquet(src), state, chk,
+            retain_versions=2)
+        q.awaitTermination(120)
+    vs = list_versions(state)
+    assert len(vs) == 2  # retention bounded the version history
+    # the live state still has every key
+    assert len(_snap(spark, state)) == 4
+    pruned = prune_versions(state, 1)
+    assert len(pruned) == 1 and len(list_versions(state)) == 1
+
+
+def test_reset_checkpoint_with_stale_state_fails_fast(spark, tmp_path):
+    """batch ids restart at 0 after a checkpoint reset; with kept state the
+    old v0/_SUCCESS would silently swallow genuinely new data as a
+    'replay' — the sink must refuse instead (round-4 advisory)."""
+    import shutil
+
+    import pytest
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    chk = str(tmp_path / "chk")
+    _write(spark, src, [(1, 10, 1)])
+    _drain(spark, src, state, chk)
+    assert _snap(spark, state) == {1: (1, 10)}
+
+    shutil.rmtree(chk)  # reset the checkpoint, KEEP the state
+    src2 = str(tmp_path / "src2")
+    _write(spark, src2, [(2, 99, 1)])
+    q = run_ivm_stream(
+        spark.readStream.schema(SCHEMA).parquet(src2), state, chk)
+    with pytest.raises(Exception, match="checkpoint was reset"):
+        q.awaitTermination(120)
+        raise RuntimeError(
+            "stream finished without refusing the stale state")
+    # and the stale-state skip did NOT drop data silently
+    assert _snap(spark, state) == {1: (1, 10)}

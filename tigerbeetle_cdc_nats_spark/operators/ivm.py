@@ -48,13 +48,26 @@ def merge_partials(base: DataFrame, delta: DataFrame, key: str) -> DataFrame:
     """Merge two key-level partial states by re-aggregating their union,
     dropping keys whose support hits zero (the multiset is empty again).
 
+    A key may only be dropped when its measure also nets to zero: a
+    malformed correction stream (retraction carrying a different measure
+    than the insert it cancels) would otherwise silently lose money. The
+    filter asserts ``m == 0`` on every dropped key, so an imbalance fails
+    the job loudly instead of vanishing (integer-exact guarantee).
+
     Union + one hash aggregation — identical partitioning to the base
     aggregation, so at scale AQE/bucketing can keep this shuffle-free on
     the stored side.
     """
     merged = base.unionByName(delta).groupBy(key).agg(
         F.sum("n").alias("n"), F.sum("m").alias("m"))
-    return merged.where(F.col("n") != 0)
+    balanced = F.assert_true(
+        (F.col("n") != 0) | (F.col("m") == 0),
+        F.concat(F.lit("merge_partials: key dropped at support 0 with "
+                       "non-zero measure m="), F.col("m").cast("string"),
+                 F.lit(" — mismatched retraction in the delta stream")))
+    # assert_true returns NULL (isNull -> true) and is evaluated FIRST in
+    # the conjunction, so the imbalance check fires even for dropped rows.
+    return merged.where(balanced.isNull() & (F.col("n") != 0))
 
 
 def rollup_to_groups(partials: DataFrame, dim: DataFrame, key: str,
@@ -84,6 +97,15 @@ def group_delta(partials_old: DataFrame, delta_partials: DataFrame,
     Sum over (a)+(b): g receives ΔU − (U+ΔU) = −U and g' receives U+ΔU —
     exactly V'_new − V_old. Keys with g' = g contribute only (a).
 
+    The two dim snapshots need NOT cover the same key set (each must still
+    be functional): the old/new mappings are full-outer-joined, so a key
+    present only in ``dim_new`` (new dimension member arriving with its
+    first facts) is a pure insert of U'(k) into g', and a key deleted from
+    ``dim_new`` is a full removal of its old contribution from g (part (a)
+    credited ΔU to g, part (b) retracts U' = U+ΔU, netting −U). A key in
+    NEITHER snapshot is unmapped on both sides of the view and correctly
+    contributes nothing.
+
     Emitted as (group, d_events, d_cents) with zero-change groups dropped —
     a retraction/insert stream a downstream consumer can apply.
     """
@@ -94,17 +116,22 @@ def group_delta(partials_old: DataFrame, delta_partials: DataFrame,
     part_a = (du.join(dim_old, key)
               .select(F.col(group), F.col("n"), F.col("m")))
 
-    # (b) moved keys: whole new totals re-attributed old→new.
+    # (b) moved keys: whole new totals re-attributed old→new. Full outer
+    # so asymmetric key domains become pure inserts/removals instead of
+    # silently dropping out of the delta (V_old + ΔV must equal V_new).
     moved = (dim_old.withColumnRenamed(group, "_g_old")
-             .join(dim_new.withColumnRenamed(group, "_g_new"), key)
-             .where(F.col("_g_old") != F.col("_g_new")))
+             .join(dim_new.withColumnRenamed(group, "_g_new"), [key],
+                   "full_outer")
+             .where(~F.col("_g_old").eqNullSafe(F.col("_g_new"))))
     moved_u = u_new.join(moved, key)
     part_b = (
-        moved_u.select(F.col("_g_old").alias(group),
-                       (-F.col("n")).alias("n"), (-F.col("m")).alias("m"))
+        moved_u.where(F.col("_g_old").isNotNull())
+        .select(F.col("_g_old").alias(group),
+                (-F.col("n")).alias("n"), (-F.col("m")).alias("m"))
         .unionByName(
-            moved_u.select(F.col("_g_new").alias(group),
-                           F.col("n"), F.col("m")))
+            moved_u.where(F.col("_g_new").isNotNull())
+            .select(F.col("_g_new").alias(group),
+                    F.col("n"), F.col("m")))
     )
 
     out = (part_a.unionByName(part_b)

@@ -287,7 +287,8 @@ ab AS (SELECT tok_a, tok_b, COUNT(*) AS n_ab FROM p
 a1 AS (SELECT tok_a, COUNT(*) AS n_a FROM p GROUP BY tok_a),
 b2 AS (SELECT tok_b, COUNT(*) AS n_b FROM p GROUP BY tok_b),
 l AS (SELECT ab.tok_a, ab.tok_b, ab.n_ab, a1.n_a, b2.n_b,
-        CAST(1000000 * ab.n_ab * n.n_pairs // (a1.n_a * b2.n_b) AS BIGINT)
+        CAST(CAST(1000000 AS HUGEINT) * ab.n_ab * n.n_pairs
+             // (CAST(a1.n_a AS HUGEINT) * b2.n_b) AS BIGINT)
           AS lift_e6
       FROM ab JOIN a1 ON ab.tok_a = a1.tok_a
               JOIN b2 ON ab.tok_b = b2.tok_b, n
@@ -320,8 +321,13 @@ def q_token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            .join(F.broadcast(b2), "tok_b")
            .crossJoin(F.broadcast(n))
            .select("tok_a", "tok_b", "n_ab", "n_a", "n_b",
-                   F.expr("CAST(1000000 * n_ab * n_pairs"
-                          " DIV (n_a * n_b) AS BIGINT)").alias("lift_e6")))
+                   # widened to DECIMAL(38,0) (oracle: HUGEINT): the triple
+                   # product overflows int64 once n_ab * n_pairs passes
+                   # ~9.2e12 — exactly the corpus scale this module
+                   # advertises; both engines floor-divide positives.
+                   F.expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_ab"
+                          " * n_pairs) DIV (CAST(n_a AS DECIMAL(38,0))"
+                          " * n_b) AS BIGINT)").alias("lift_e6")))
     return (out.orderBy(F.col("lift_e6").desc(), "tok_a", "tok_b")
             .limit(50))
 
@@ -338,8 +344,9 @@ ct AS (SELECT tok, CAST(SUM(n_st) AS BIGINT) AS n_t FROM st GROUP BY tok),
 n AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_total FROM ct),
 cell AS (
   SELECT st.source,
-         ABS(CAST(st.n_st * 1000000 // s_tot.t_s AS BIGINT)
-             - CAST(ct.n_t * 1000000 // n.n_total AS BIGINT)) AS d
+         ABS(CAST(CAST(st.n_st AS HUGEINT) * 1000000 // s_tot.t_s AS BIGINT)
+             - CAST(CAST(ct.n_t AS HUGEINT) * 1000000 // n.n_total
+                    AS BIGINT)) AS d
   FROM st
   JOIN s_tot ON s_tot.source = st.source
   JOIN ct ON ct.tok = st.tok, n
@@ -371,8 +378,12 @@ def q_source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(ct), "tok")
             .crossJoin(F.broadcast(n))
             .select("source",
-                    F.abs(F.expr("CAST(n_st * 1000000 DIV t_s AS BIGINT)")
-                          - F.expr("CAST(n_t * 1000000 DIV n_total"
+                    # DECIMAL(38,0) widening (oracle: HUGEINT): count*1e6
+                    # overflows int64 past ~9.2e12 tokens per cell.
+                    F.abs(F.expr("CAST(CAST(n_st AS DECIMAL(38,0))"
+                                 " * 1000000 DIV t_s AS BIGINT)")
+                          - F.expr("CAST(CAST(n_t AS DECIMAL(38,0))"
+                                   " * 1000000 DIV n_total"
                                    " AS BIGINT)")).alias("d")))
     return (cell.groupBy("source")
             .agg(F.sum("d").cast("bigint").alias("l1_e6"),
