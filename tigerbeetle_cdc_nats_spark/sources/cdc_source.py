@@ -1,0 +1,253 @@
+"""First-class incremental CDC streaming source (Spark 4 Python DataSource).
+
+The reference's source loop (runner.go:126-169) polls the change-event API
+with a timestamp cursor: ``GetChangeEvents(TimestampMin=last+1,
+Limit=eventCountMax)``, sleeps when idle, and recovers the cursor from the
+progress record on restart (runner.go:388-410). Earlier rounds reproduced
+those semantics as a batch-analogue wrapper over the parquet events table;
+this module makes the poll loop a *real* Structured Streaming source, so
+progress recovery flows through genuine source offsets in the checkpoint
+log instead of a side-channel cursor table.
+
+Offset model (identical to the reference's cursor arithmetic):
+``{"ts_ns": X}`` means "every event with ts <= X has been emitted". Batch
+planning advances the cursor by at most ``event_count_max`` events — the
+reference's Limit — always cutting at a timestamp BOUNDARY (ties at the
+cut timestamp are included in full), because a ts-cursor cannot represent
+a half-emitted timestamp. The u64-max guard (runner.go:726-736): a cursor
+at int64 max cannot advance and raises instead of wrapping.
+
+Scale shape: ``partitions()`` prunes at the parquet ROW-GROUP level using
+footer min/max stats — a batch over a ts-sorted event store touches only
+the row groups overlapping (start, end], and each row group is one Spark
+task reading Arrow batches. ``latestOffset()`` reads only the ``ts``
+column of row groups past the cursor (stats-pruned) to find the rate-limit
+cut. Against a real TigerBeetle cluster the poll would call the client
+API; the parquet poller is the sandbox stand-in with the same offset
+algebra.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+#: int64 max — the Python-side analogue of the reference's u64-max cursor
+#: guard (runner.go:726-736): a cursor here can never advance again.
+_TS_MAX = (1 << 63) - 1
+
+_DEFAULT_EVENT_COUNT_MAX = 2730  # reference config.go default batch limit
+
+
+def _events_files(path: str) -> list[str]:
+    """The parquet file set behind ``path`` (a file, a ``.parquet``
+    directory-table, or a directory of files)."""
+    if os.path.isfile(path):
+        return [path]
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def _ts_to_ns(arr):
+    """Normalize a parquet ts column (timestamp us/ns or raw int64 ns) to
+    int64 nanoseconds at the file's native precision — the same value
+    session.load_events exposes to batch queries."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = arr.type
+    if pa.types.is_timestamp(t):
+        ns = pc.cast(arr, pa.int64())
+        if t.unit == "us":
+            ns = pc.multiply(ns, 1000)
+        elif t.unit == "ms":
+            ns = pc.multiply(ns, 1_000_000)
+        elif t.unit == "s":
+            ns = pc.multiply(ns, 1_000_000_000)
+        return ns
+    return pc.cast(arr, pa.int64())
+
+
+def _stat_ns(stat_value) -> int:
+    """Row-group min/max statistic -> int64 ns (datetime for timestamp
+    physical types, int for int64)."""
+    import datetime
+
+    if isinstance(stat_value, datetime.datetime):
+        epoch = datetime.datetime(1970, 1, 1)
+        return int((stat_value - epoch) / datetime.timedelta(
+            microseconds=1)) * 1000
+    return int(stat_value)
+
+
+@dataclass
+class _RowGroupPartition(InputPartition):
+    file: str
+    row_group: int
+    lo_ns: int  # exclusive
+    hi_ns: int  # inclusive
+
+
+class CdcEventsStreamReader(DataSourceStreamReader):
+    """Timestamp-cursor stream reader over the events store."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("tb_cdc_events: 'path' option is required "
+                             "(events parquet file or directory)")
+        self._path = path
+        self._start_ts = int(options.get("startts", 0) or 0)
+        self._limit = int(options.get("eventcountmax",
+                                      _DEFAULT_EVENT_COUNT_MAX))
+        if self._limit < 1:
+            raise ValueError("eventCountMax must be >= 1")
+
+    # -- offset management -------------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"ts_ns": self._start_ts}
+
+    def _row_groups(self):
+        import pyarrow.parquet as pq
+
+        for f in _events_files(self._path):
+            pf = pq.ParquetFile(f)
+            ts_idx = pf.schema_arrow.get_field_index("ts")
+            for rg in range(pf.metadata.num_row_groups):
+                col = pf.metadata.row_group(rg).column(ts_idx)
+                st = col.statistics
+                if st is not None and st.has_min_max:
+                    lo, hi = _stat_ns(st.min), _stat_ns(st.max)
+                else:  # no stats: assume the row group may contain anything
+                    lo, hi = 0, _TS_MAX
+                yield f, pf, rg, lo, hi
+
+    def latestOffset(self) -> dict:
+        return self._advance(self._floor)
+
+    @property
+    def _floor(self) -> int:
+        """Highest cursor this reader instance has observed — seeded by
+        every ``partitions``/``commit`` call, so after a restart the first
+        replanned or committed batch re-anchors the cursor and
+        ``latestOffset`` can never rewind behind the checkpoint log."""
+        return getattr(self, "_floor_ns", self._start_ts)
+
+    def _observe(self, ts: int) -> None:
+        if ts > self._floor:
+            self._floor_ns = ts
+
+    def _advance(self, cur: int) -> dict:
+        """Next cursor: at most ``event_count_max`` events past ``cur``,
+        cut at a timestamp boundary (ties included)."""
+        if cur >= _TS_MAX:
+            raise RuntimeError(
+                "CDC cursor reached int64 max and cannot advance "
+                "(reference runner.go:726-736 u64-max guard)")
+        import numpy as np
+
+        candidates = []
+        for _f, pf, rg, _lo, hi in self._row_groups():
+            if hi <= cur:
+                continue  # row group entirely consumed — stats prune
+            ts = _ts_to_ns(pf.read_row_group(rg, columns=["ts"])
+                           .column("ts").combine_chunks())
+            vals = ts.to_numpy(zero_copy_only=False)
+            candidates.append(vals[vals > cur])
+        if not candidates:
+            self._planned_end = cur
+            return {"ts_ns": cur}
+        new = np.concatenate(candidates)
+        if len(new) <= self._limit:
+            end = int(new.max())
+        else:
+            # rate limit: cursor of the limit-th smallest new event;
+            # ties at that timestamp ride along (cursor granularity).
+            end = int(np.partition(new, self._limit - 1)[self._limit - 1])
+        self._observe(end)
+        return {"ts_ns": end}
+
+    # -- batch planning / reading -----------------------------------------
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["ts_ns"]), int(end["ts_ns"])
+        self._observe(max(lo, hi))
+        if hi <= lo:
+            return []
+        parts = [
+            _RowGroupPartition(file=f, row_group=rg, lo_ns=lo, hi_ns=hi)
+            for f, _pf, rg, rg_lo, rg_hi in self._row_groups()
+            if rg_hi > lo and rg_lo <= hi
+        ]
+        return parts  # may be empty: nothing overlaps the range
+
+    def read(self, partition: _RowGroupPartition):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(partition.file)
+        tbl = pf.read_row_group(partition.row_group)
+        ns = _ts_to_ns(tbl.column("ts").combine_chunks())
+        mask = pc.and_(pc.greater(ns, partition.lo_ns),
+                       pc.less_equal(ns, partition.hi_ns))
+        cols = []
+        for name, typ in (("event_id", pa.int64()), ("ts", pa.int64()),
+                          ("user_id", pa.int64()),
+                          ("event_type", pa.string()),
+                          ("value", pa.float64()), ("props", pa.string())):
+            col = (ns if name == "ts"
+                   else tbl.column(name).combine_chunks())
+            cols.append(pc.cast(col.filter(mask), typ))
+        batch_tbl = pa.table(cols, names=["event_id", "ts", "user_id",
+                                          "event_type", "value", "props"])
+        yield from batch_tbl.to_batches()
+
+    def commit(self, end: dict) -> None:
+        # the checkpoint offset log IS the progress record; observing the
+        # committed end re-anchors the cursor floor after a restart
+        self._observe(int(end["ts_ns"]))
+
+    def stop(self) -> None:
+        pass
+
+
+class CdcEventsDataSource(DataSource):
+    """``spark.readStream.format("tb_cdc_events")`` — the CDC poll loop as
+    a native source. Options: ``path`` (events parquet), ``startTs``
+    (initial cursor, exclusive, ns), ``eventCountMax`` (per-batch event
+    limit, reference runner.go:149)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tb_cdc_events"
+
+    def schema(self) -> StructType:
+        from tigerbeetle_cdc_nats_spark.schemas import EVENTS_SCHEMA
+
+        return EVENTS_SCHEMA
+
+    def streamReader(self, schema: StructType) -> CdcEventsStreamReader:
+        return CdcEventsStreamReader(self.options)
+
+
+def read_cdc_stream(spark, events_path: str, *, start_ts: int | None = None,
+                    event_count_max: int = _DEFAULT_EVENT_COUNT_MAX):
+    """Register the source (idempotent) and open the event stream."""
+    spark.dataSource.register(CdcEventsDataSource)
+    reader = (spark.readStream.format("tb_cdc_events")
+              .option("path", events_path)
+              .option("eventCountMax", str(event_count_max)))
+    if start_ts is not None:
+        reader = reader.option("startTs", str(start_ts))
+    return reader.load()
