@@ -179,6 +179,14 @@ def minhash_candidate_pairs(sigs: DataFrame, bands: int = MINHASH_BANDS,
     # partitions twice anyway.
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     banded.count()
+    return pairs_est_from_banded(banded, k=k)
+
+
+def pairs_est_from_banded(banded: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """Candidate pairs + signature-agreement Jaccard estimate from a
+    (doc_id, band, bucket, sig) banded table — shared by the in-session
+    self-join above and the PERSISTED banded index
+    (sources/dedup_index.py), so stored and fresh paths agree exactly."""
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -1300,6 +1300,14 @@ def q_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     fp = winnow_fingerprints(docs).persist()
+    return winnow_candidates_from_fp(fp)
+
+
+def winnow_candidates_from_fp(fp: DataFrame) -> DataFrame:
+    """Candidate pairs from a (doc_id, wm) fingerprint set — shared by the
+    in-session query above and the PERSISTED index path
+    (sources/dedup_index.py), so a stored index and a fresh computation
+    produce byte-identical candidates."""
     keep = (fp.groupBy("wm").agg(F.count("*").alias("n_docs"))
             .where((F.col("n_docs") >= 2)
                    & (F.col("n_docs") <= WINNOW_HOT_CAP))
