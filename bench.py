@@ -32,6 +32,11 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark(app_name="bench")
+    # Codegen gate (round-5): a janino 64 KB blowup silently re-runs the
+    # whole stage interpreted — with fallback off it becomes a recorded
+    # per-query error instead of an invisible ~5x tax. The full registry
+    # is verified green under this conf (scripts/codegen_gate.py).
+    spark.conf.set("spark.sql.codegen.fallback", "false")
 
     queries = registry.all_queries()
     timings: dict[str, float] = {}
@@ -68,6 +73,17 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # The driver's stored artifact keeps only a tail of this line (the
+    # round-4 record lost the total + 113 per-query entries), so ALSO
+    # write the complete JSON to a committed file.
+    try:
+        local = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_LOCAL.json")
+        with open(local, "w", encoding="utf-8") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout line still carries the result
     print(json.dumps(out))
     spark.stop()
 

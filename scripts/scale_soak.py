@@ -317,6 +317,10 @@ def semdedup_scaled_build(spark, sf_dir: str, n_emb: int):
 def main() -> None:
     mults = [int(a) for a in sys.argv[1:] if not a.startswith("-")] or [1, 4, 16]
     emb_only = "--emb-only" in sys.argv
+    only: set[str] | None = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
     spark = get_spark(app_name="scale-soak")
     queries = registry.all_queries()
     results: dict[str, dict[int, float]] = {}
@@ -330,6 +334,8 @@ def main() -> None:
         n_emb = BASE_EMB * mult
 
         def timed(name, build, recall_fn=None):
+            if only is not None and name not in only:
+                return
             # min over repeats: this host shows ~2x wall jitter between
             # identical runs; the minimum is the least-noisy estimate.
             best = None
@@ -361,6 +367,30 @@ def main() -> None:
               lambda: near_dup_multitable(spark, out_dir, n_emb), pair_rec)
         timed("semdedup_scaled",
               lambda: semdedup_scaled_build(spark, out_dir, n_emb), drop_rec)
+
+        # Stored-index cold-query cost (round-5: sources/dedup_index.py):
+        # the index build is OUTSIDE the timed section — the soak measures
+        # what a query pays when the index is a maintained artifact,
+        # vs the in-session variants above that rebuild it per query.
+        if not emb_only and (only is None or {
+                "minhash_from_stored_index",
+                "winnow_from_stored_index"} & only):
+            from tigerbeetle_cdc_nats_spark.session import load_table
+            from tigerbeetle_cdc_nats_spark.sources import dedup_index as di
+
+            docs = load_table(spark, out_dir, "documents")
+            mh_path = os.path.join(out_dir, "mh_index")
+            wn_path = os.path.join(out_dir, "wn_index")
+            if not os.path.exists(mh_path):
+                di.write_minhash_index(docs, mh_path)
+            if not os.path.exists(wn_path):
+                di.write_winnow_index(docs, wn_path)
+            timed("minhash_from_stored_index",
+                  lambda: di.minhash_pairs_from_index(
+                      di.read_minhash_index(spark, mh_path)))
+            timed("winnow_from_stored_index",
+                  lambda: di.winnow_candidates_from_index(
+                      di.read_winnow_index(spark, wn_path)))
 
     lo, hi = mults[0], mults[-1]
     report = {}
