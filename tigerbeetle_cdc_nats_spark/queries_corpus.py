@@ -1813,3 +1813,43 @@ def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.where(F.col("h40") * 1000000
                     < F.col("q_e6") * F.lit(1099511627776))
             .select("doc_id", "source", "q_e6"))
+
+
+@register(
+    "source_frequency_cap",
+    """WITH r AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS src_rank,
+         COUNT(*) OVER (PARTITION BY source) AS src_docs
+  FROM documents
+)
+SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+       CAST(src_docs AS BIGINT) AS src_docs,
+       CAST(src_rank <= 20 AS BIGINT) AS kept
+FROM r""",
+    doc="per-source frequency cap (the single-domain-dominance hygiene "
+        "step): rank each source's docs by a deterministic quality key "
+        "(n_chars desc, id asc) and keep the top 20 — caps any one "
+        "domain's contribution to the training mix",
+)
+def q_source_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap per-source document counts by ranked quality.
+
+    Scale shape: ONE shuffle keyed on source for both window functions
+    (rank + count share the partitioning, so Catalyst plans a single
+    exchange + sort). Source cardinality is domain cardinality (millions)
+    with bounded per-key rows relative to corpus size; a genuinely hot
+    domain is exactly what the cap is for, and AQE's skew handling splits
+    its sort. Output is a verdict per doc, not a filtered corpus, so
+    downstream stages choose enforcement.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(),
+                                             "doc_id")
+    ws = Window.partitionBy("source")
+    return docs.select(
+        "doc_id", "source",
+        F.row_number().over(w).cast("bigint").alias("src_rank"),
+        F.count("*").over(ws).cast("bigint").alias("src_docs"),
+    ).withColumn("kept", (F.col("src_rank") <= 20).cast("bigint"))

@@ -870,3 +870,57 @@ def q_crosslingual_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "lang_a", "lang_b",
                     F.floor(F.col("est_jaccard") * 1000000)
                     .cast("bigint").alias("est_jaccard_e6")))
+
+
+@register(
+    "split_leakage_audit",
+    f"""WITH {_MINHASH_CTES},
+sp AS (SELECT doc_id,
+              {dd.sql_hash60("'split:' || CAST(doc_id AS VARCHAR)")} % 10
+                AS fold
+       FROM documents),
+leak AS (
+  SELECT w.doc_a, w.doc_b, {_EST_J} AS est_jaccard,
+         CAST(sa.fold = 0 AS BIGINT) AS a_is_test,
+         CAST(sb.fold = 0 AS BIGINT) AS b_is_test
+  FROM wsig w
+  JOIN sp sa ON sa.doc_id = w.doc_a
+  JOIN sp sb ON sb.doc_id = w.doc_b
+  WHERE {_EST_J} >= {DUP_CLUSTER_THRESHOLD}
+)
+SELECT doc_a, doc_b,
+       CAST(FLOOR(est_jaccard * 1000000) AS BIGINT) AS est_jaccard_e6,
+       a_is_test, b_is_test
+FROM leak WHERE a_is_test != b_is_test""",
+    doc="train/test split leakage audit: deterministic hash split "
+        "(md5 fold % 10 -> 10% test) + near-dup pairs STRADDLING the "
+        "split — the eval-contamination check run before any benchmark "
+        "claim; candidates from the LSH band index, never all-pairs",
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs that leak across a hash-based train/test split.
+
+    Scale shape: the split column is a per-row hash (zero shuffle); the
+    pair set is the LSH candidate join (equality on (band, bucket), the
+    minhash_dedup scale path); two broadcast-able doc_id->fold lookups
+    attach fold labels. At 100 TB leakage audit cost == dedup cost —
+    which is exactly what a pipeline already pays, so the audit is free
+    to bolt on.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (dd.hash60(F.concat(F.lit("split:"),
+                               F.col("doc_id").cast("string"))) % 10)
+    sp = docs.select("doc_id", fold.alias("fold"))
+    sigs = dd.minhash_signatures(docs)
+    pairs = (dd.minhash_candidate_pairs(sigs)
+             .where(F.col("est_jaccard") >= DUP_CLUSTER_THRESHOLD))
+    sa = sp.select(F.col("doc_id").alias("doc_a"),
+                   (F.col("fold") == 0).cast("bigint").alias("a_is_test"))
+    sb = sp.select(F.col("doc_id").alias("doc_b"),
+                   (F.col("fold") == 0).cast("bigint").alias("b_is_test"))
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .where(F.col("a_is_test") != F.col("b_is_test"))
+            .select("doc_a", "doc_b",
+                    F.floor(F.col("est_jaccard") * 1000000)
+                    .cast("bigint").alias("est_jaccard_e6"),
+                    "a_is_test", "b_is_test"))
