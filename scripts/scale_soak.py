@@ -86,6 +86,9 @@ EVENT_OPS = [
     "ivm_join_view", "ivm_delta_rows", "ivm_topk_view",
     "segment_migration_matrix",
     "scd2_point_in_time_join", "props_json_stats",
+    # round 5: dense-grid gap filling (grid grows with wall time, not
+    # event volume — alpha should be ~0 past the rollup scan).
+    "gap_fill_locf", "gap_fill_interpolate",
 ]
 BASE_EVENTS = 100_000  # sf0.1 events rows
 

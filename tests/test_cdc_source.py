@@ -145,3 +145,38 @@ def test_offset_floor_never_rewinds(spark, tmp_path):
 def test_missing_path_option_raises():
     with pytest.raises(ValueError, match="path"):
         CdcEventsStreamReader({})
+
+
+def test_batch_reader_cursor_range(spark, tmp_path):
+    """spark.read.format('tb_cdc_events') — one-shot (startTs, endTs]
+    scan with the same ts normalization as the streaming reader."""
+    from tigerbeetle_cdc_nats_spark.sources.cdc_source import read_cdc_batch
+
+    src = str(tmp_path / "events")
+    _write_events(spark, src, 0, 100)
+    lo = BASE_NS + 9 * 1_000_000_000   # exclusive
+    hi = BASE_NS + 49 * 1_000_000_000  # inclusive
+    got = read_cdc_batch(spark, src, start_ts=lo, end_ts=hi)
+    rows = got.select("event_id", "ts").collect()
+    assert len(rows) == 40
+    assert {r["event_id"] for r in rows} == set(range(10, 50))
+    # full scan with no bounds
+    assert read_cdc_batch(spark, src).count() == 100
+    # empty range still evaluates (no plan-time error)
+    assert read_cdc_batch(spark, src, start_ts=hi, end_ts=hi).count() == 0
+
+
+def test_batch_reader_agrees_with_load_events(spark, tmp_path):
+    """The native source's normalized ts matches the session loader's
+    cursor arithmetic on the driver-shaped events table."""
+    from tigerbeetle_cdc_nats_spark.session import load_events
+    from tigerbeetle_cdc_nats_spark.sources.cdc_source import read_cdc_batch
+
+    sf = "/root/testdata/sf0.001"
+    ref = load_events(spark, sf).select("event_id", "ts")
+    lo = ref.agg(F.min("ts")).first()[0]
+    got = read_cdc_batch(spark, f"{sf}/events.parquet",
+                         start_ts=lo).select("event_id", "ts")
+    ref_after = ref.where(F.col("ts") > lo)
+    assert got.count() == ref_after.count()
+    assert got.exceptAll(ref_after).count() == 0

@@ -2309,3 +2309,172 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("cum_cents") * 100 <= F.col("total") * 80, "A")
                 .when(F.col("cum_cents") * 100 <= F.col("total") * 95, "B")
                 .otherwise("C").alias("abc_class")))
+
+
+@register(
+    "gap_fill_locf",
+    f"""WITH ev AS ({_EV}),
+h AS (
+  SELECT event_type, ts // 3600000000000 AS hb,
+         COUNT(*) AS n, SUM({_CENTS}) AS c
+  FROM ev GROUP BY 1, 2
+),
+b AS (SELECT MIN(hb) AS lo, MAX(hb) AS hi FROM h),
+types AS (SELECT DISTINCT event_type FROM ev),
+grid AS (SELECT t.event_type, unnest(generate_series(b.lo, b.hi)) AS hb
+         FROM types t, b),
+j AS (SELECT g.event_type, g.hb, h.n, h.c
+      FROM grid g LEFT JOIN h ON h.event_type = g.event_type
+                             AND h.hb = g.hb)
+SELECT event_type, CAST(hb AS BIGINT) AS hour_bucket,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+       CAST(n IS NULL AS BIGINT) AS filled,
+       CAST(COALESCE(last_value(c IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hb
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT)
+         AS locf_cents
+FROM j""",
+    doc="time-series gap filling: the dense hour grid per event type "
+        "(generate_series over the observed range) left-joined onto the "
+        "hourly rollup, missing buckets flagged and filled by "
+        "last-observation-carried-forward — the hypertable "
+        "gapfill/locf() operator, integer-exact cents",
+)
+def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series with LOCF fill per event type.
+
+    Scale shape: the rollup is one map-side-combined groupBy; the grid is
+    |types| x |hours| rows built from a BROADCAST 1-row bounds aggregate
+    (hours grow with wall time, not event volume — a year is ~8.8k
+    buckets); the LOCF window partitions by event_type over the bounded
+    grid, never over raw events. At 100 TB the only full-data pass is
+    the initial rollup scan.
+    """
+    from pyspark.sql import Window
+
+    ev = events_table(spark, sf_dir)
+    h = (ev.groupBy("event_type",
+                    F.expr("ts div 3600000000000").alias("hb"))
+         .agg(F.count("*").alias("n"), F.sum(agg.cents()).alias("c")))
+    b = h.agg(F.min("hb").alias("lo"), F.max("hb").alias("hi"))
+    types = ev.select("event_type").distinct()
+    grid = (types.crossJoin(F.broadcast(b))
+            .select("event_type",
+                    F.explode(F.sequence("lo", "hi")).alias("hb")))
+    j = grid.join(h, ["event_type", "hb"], "left")
+    w = (Window.partitionBy("event_type").orderBy("hb")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return j.select(
+        "event_type",
+        F.col("hb").cast("bigint").alias("hour_bucket"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("n").isNull().cast("bigint").alias("filled"),
+        F.coalesce(F.last("c", ignorenulls=True).over(w), F.lit(0))
+        .cast("bigint").alias("locf_cents"),
+    )
+
+
+def _sql_floordiv(a: str, b: str) -> str:
+    """Integer FLOOR division for possibly-negative numerators, written in
+    the dialect-common subset: Spark's DIV truncates toward zero while
+    DuckDB's // floors, and float division diverges in the last ULP at
+    big-int scale — so floor is built from the positive modulus, which
+    both engines compute identically (sign follows the dividend):
+    floor(a/b) = (a - ((a % b + b) % b)) / b for b > 0 (exact division).
+    """
+    posmod = f"((({a}) % ({b}) + ({b})) % ({b}))"
+    return f"((({a}) - {posmod}) / ({b}))"
+
+
+@register(
+    "gap_fill_interpolate",
+    f"""WITH ev AS ({_EV}),
+h AS (
+  SELECT event_type, ts // 3600000000000 AS hb,
+         COUNT(*) AS n, SUM({_CENTS}) AS c
+  FROM ev GROUP BY 1, 2
+),
+b AS (SELECT MIN(hb) AS lo, MAX(hb) AS hi FROM h),
+types AS (SELECT DISTINCT event_type FROM ev),
+grid AS (SELECT t.event_type, unnest(generate_series(b.lo, b.hi)) AS hb
+         FROM types t, b),
+j AS (SELECT g.event_type, g.hb, h.n, h.c
+      FROM grid g LEFT JOIN h ON h.event_type = g.event_type
+                             AND h.hb = g.hb),
+w AS (
+  SELECT event_type, hb, n, c,
+    last_value(c IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hb
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc,
+    last_value(CASE WHEN c IS NOT NULL THEN hb END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY hb
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS phb,
+    first_value(c IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hb
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc,
+    first_value(CASE WHEN c IS NOT NULL THEN hb END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY hb
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nhb
+  FROM j
+)
+SELECT event_type, CAST(hb AS BIGINT) AS hour_bucket,
+       CAST(c IS NULL AS BIGINT) AS filled,
+       CAST(CASE
+         WHEN c IS NOT NULL THEN c
+         WHEN pc IS NULL THEN nc
+         WHEN nc IS NULL THEN pc
+         ELSE pc + {_sql_floordiv('(nc - pc) * (hb - phb)', 'nhb - phb')}
+       END AS BIGINT) AS interp_cents
+FROM w""",
+    doc="time-series gap filling by LINEAR interpolation between the "
+        "previous and next observed buckets (edges extend the nearest "
+        "observation) — the hypertable interpolate() operator; the slope "
+        "term uses a sign-safe integer floor division so both engines "
+        "agree bit-for-bit even on falling series",
+)
+def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series with linear interpolation per event type.
+
+    Scale shape: identical to gap_fill_locf (one rollup scan, bounded
+    grid, per-type windows) plus a backward window — still over the
+    |types| x |hours| grid, never raw events. Integer-exact: the
+    interpolated value is pc + floor((nc-pc)*(hb-phb) / (nhb-phb)) with
+    floor built from the positive modulus (Spark DIV truncates, DuckDB
+    // floors; both agree on % sign, so the rewrite is engine-neutral).
+    """
+    from pyspark.sql import Window
+
+    ev = events_table(spark, sf_dir)
+    h = (ev.groupBy("event_type",
+                    F.expr("ts div 3600000000000").alias("hb"))
+         .agg(F.count("*").alias("n"), F.sum(agg.cents()).alias("c")))
+    b = h.agg(F.min("hb").alias("lo"), F.max("hb").alias("hi"))
+    types = ev.select("event_type").distinct()
+    grid = (types.crossJoin(F.broadcast(b))
+            .select("event_type",
+                    F.explode(F.sequence("lo", "hi")).alias("hb")))
+    j = grid.join(h, ["event_type", "hb"], "left")
+    back = (Window.partitionBy("event_type").orderBy("hb")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    fwd = (Window.partitionBy("event_type").orderBy("hb")
+           .rowsBetween(1, Window.unboundedFollowing))
+    obs_hb = F.when(F.col("c").isNotNull(), F.col("hb"))
+    w = j.select(
+        "event_type", "hb", "c",
+        F.last("c", ignorenulls=True).over(back).alias("pc"),
+        F.last(obs_hb, ignorenulls=True).over(back).alias("phb"),
+        F.first("c", ignorenulls=True).over(fwd).alias("nc"),
+        F.first(obs_hb, ignorenulls=True).over(fwd).alias("nhb"),
+    )
+    num = (F.col("nc") - F.col("pc")) * (F.col("hb") - F.col("phb"))
+    den = F.col("nhb") - F.col("phb")
+    posmod = ((num % den) + den) % den
+    slope = (num - posmod) / den
+    interp = (F.when(F.col("c").isNotNull(), F.col("c"))
+              .when(F.col("pc").isNull(), F.col("nc"))
+              .when(F.col("nc").isNull(), F.col("pc"))
+              .otherwise(F.col("pc") + slope))
+    return w.select(
+        "event_type",
+        F.col("hb").cast("bigint").alias("hour_bucket"),
+        F.col("c").isNull().cast("bigint").alias("filled"),
+        interp.cast("bigint").alias("interp_cents"),
+    )

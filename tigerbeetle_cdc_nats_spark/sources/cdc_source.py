@@ -34,6 +34,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -222,11 +223,36 @@ class CdcEventsStreamReader(DataSourceStreamReader):
         pass
 
 
+class CdcEventsBatchReader(DataSourceReader):
+    """Batch form of the cursor scan: one shot over (startTs, endTs] with
+    the same row-group stats pruning — the backfill/replay path
+    (reference --timestamp-last override, runner.go:392-398)."""
+
+    def __init__(self, options: dict):
+        self._stream = CdcEventsStreamReader(options)
+        self._lo = int(options.get("startts", 0) or 0)
+        self._hi = int(options.get("endts", _TS_MAX) or _TS_MAX)
+
+    def partitions(self):
+        parts = self._stream.partitions({"ts_ns": self._lo},
+                                        {"ts_ns": self._hi})
+        # batch contract: always at least one split (empty result is a
+        # partition that reads nothing, not a plan-time error)
+        return parts or [_RowGroupPartition(file="", row_group=-1,
+                                            lo_ns=0, hi_ns=0)]
+
+    def read(self, partition: _RowGroupPartition):
+        if partition.row_group < 0:
+            return iter(())
+        return self._stream.read(partition)
+
+
 class CdcEventsDataSource(DataSource):
-    """``spark.readStream.format("tb_cdc_events")`` — the CDC poll loop as
-    a native source. Options: ``path`` (events parquet), ``startTs``
-    (initial cursor, exclusive, ns), ``eventCountMax`` (per-batch event
-    limit, reference runner.go:149)."""
+    """``spark.read[Stream].format("tb_cdc_events")`` — the CDC cursor
+    scan as a native source. Options: ``path`` (events parquet),
+    ``startTs`` (cursor, exclusive, ns), ``eventCountMax`` (per-batch
+    event limit, reference runner.go:149; streaming only), ``endTs``
+    (inclusive upper bound; batch only)."""
 
     @classmethod
     def name(cls) -> str:
@@ -236,6 +262,9 @@ class CdcEventsDataSource(DataSource):
         from tigerbeetle_cdc_nats_spark.schemas import EVENTS_SCHEMA
 
         return EVENTS_SCHEMA
+
+    def reader(self, schema: StructType) -> CdcEventsBatchReader:
+        return CdcEventsBatchReader(self.options)
 
     def streamReader(self, schema: StructType) -> CdcEventsStreamReader:
         return CdcEventsStreamReader(self.options)
@@ -250,4 +279,17 @@ def read_cdc_stream(spark, events_path: str, *, start_ts: int | None = None,
               .option("eventCountMax", str(event_count_max)))
     if start_ts is not None:
         reader = reader.option("startTs", str(start_ts))
+    return reader.load()
+
+
+def read_cdc_batch(spark, events_path: str, *, start_ts: int = 0,
+                   end_ts: int | None = None):
+    """One-shot cursor-range scan (startTs, endTs] through the same
+    source — backfills and replays with row-group pruning."""
+    spark.dataSource.register(CdcEventsDataSource)
+    reader = (spark.read.format("tb_cdc_events")
+              .option("path", events_path)
+              .option("startTs", str(start_ts)))
+    if end_ts is not None:
+        reader = reader.option("endTs", str(end_ts))
     return reader.load()
