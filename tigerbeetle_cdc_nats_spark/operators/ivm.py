@@ -60,14 +60,18 @@ def merge_partials(base: DataFrame, delta: DataFrame, key: str) -> DataFrame:
     """
     merged = base.unionByName(delta).groupBy(key).agg(
         F.sum("n").alias("n"), F.sum("m").alias("m"))
-    balanced = F.assert_true(
-        (F.col("n") != 0) | (F.col("m") == 0),
+    imbalance = F.assert_true(
+        F.col("m") == 0,
         F.concat(F.lit("merge_partials: key dropped at support 0 with "
                        "non-zero measure m="), F.col("m").cast("string"),
                  F.lit(" — mismatched retraction in the delta stream")))
-    # assert_true returns NULL (isNull -> true) and is evaluated FIRST in
-    # the conjunction, so the imbalance check fires even for dropped rows.
-    return merged.where(balanced.isNull() & (F.col("n") != 0))
+    # ONE CaseWhen (branches evaluate lazily and the optimizer cannot
+    # split or reorder a single expression, unlike an AND conjunction):
+    # n != 0 -> keep; n == 0 -> the assert fires on m != 0, else drop
+    # (assert_true yields NULL when it passes -> isNotNull() is false).
+    keep = F.when(F.col("n") != 0, F.lit(True)).otherwise(
+        imbalance.isNotNull())
+    return merged.where(keep)
 
 
 def rollup_to_groups(partials: DataFrame, dim: DataFrame, key: str,
