@@ -148,3 +148,41 @@ def test_reset_checkpoint_with_stale_state_fails_fast(spark, tmp_path):
             "stream finished without refusing the stale state")
     # and the stale-state skip did NOT drop data silently
     assert _snap(spark, state) == {1: (1, 10)}
+
+
+def test_cdc_source_to_ivm_end_to_end(spark, tmp_path):
+    """Round-5 composition: the first-class CDC source feeds the weighted
+    IVM sink — maintained per-user totals through REAL source offsets
+    equal a batch groupBy of the same events."""
+    from pyspark.sql import functions as F
+
+    from tigerbeetle_cdc_nats_spark.sources.cdc_source import (
+        read_cdc_stream,
+    )
+
+    src = str(tmp_path / "events")
+    state = str(tmp_path / "state")
+    chk = str(tmp_path / "chk")
+    base_ns = 1_700_000_000_000_000_000
+    ev = spark.range(0, 200).select(
+        F.col("id").alias("event_id"),
+        (F.lit(base_ns) + F.col("id") * 1_000_000_000).alias("ts"),
+        (F.col("id") % 7).alias("user_id"),
+        F.lit("transfer").alias("event_type"),
+        (F.col("id") % 13).cast("double").alias("value"),
+        F.lit('{"k":1}').alias("props"))
+    ev.coalesce(1).write.parquet(src)
+
+    deltas = read_cdc_stream(spark, src, event_count_max=1000).select(
+        F.col("user_id").alias("k"),
+        F.floor(F.col("value") * 100).cast("long").alias("m"),
+        F.lit(1).alias("w"))
+    q = run_ivm_stream(deltas, state, chk)
+    q.awaitTermination(120)
+
+    expect = {r["k"]: (r["n"], r["m"]) for r in
+              ev.groupBy(F.col("user_id").alias("k"))
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.floor(F.col("value") * 100).cast("long"))
+                   .alias("m")).collect()}
+    assert _snap(spark, state) == expect
