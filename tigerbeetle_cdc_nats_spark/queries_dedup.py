@@ -99,15 +99,16 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_candidate_pairs(sigs)
 
 
-def stored_index_dir(kind: str, sf_dir: str) -> str:
-    """Location of a persisted dedup index for ``sf_dir``, keyed by the
-    corpus fingerprint (path + mtime + size) so a regenerated testdata
+def stored_index_dir(kind: str, sf_dir: str,
+                     table: str = "documents") -> str:
+    """Location of a persisted index for ``sf_dir``, keyed by the source
+    table's fingerprint (path + mtime + size) so a regenerated testdata
     set can never serve a stale index."""
     import hashlib
     import os
     import tempfile
 
-    p = os.path.join(sf_dir, "documents.parquet")
+    p = os.path.join(sf_dir, f"{table}.parquet")
     try:
         st = os.stat(p)
         tag = f"{st.st_mtime_ns}:{st.st_size}"

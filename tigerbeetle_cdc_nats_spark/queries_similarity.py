@@ -84,6 +84,73 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_lsh_indexed",
+    f"""WITH b AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+      FROM b WHERE vec_id IN {QUERY_IDS}),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket AS c_bucket FROM b),
+s AS (SELECT q_id, c_id, {_COS} AS sim_e6
+      FROM q JOIN c ON q_bucket = c_bucket AND q_id != c_id),
+r AS (SELECT q_id, c_id, sim_e6,
+        ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY sim_e6 DESC, c_id) AS knn_rank
+      FROM s)
+SELECT q_id, c_id, sim_e6, knn_rank FROM r WHERE knn_rank <= 5""",
+    doc="ann_lsh_cosine served from the PERSISTED bucket-partitioned "
+        "vector index (sources/ann_index.py, built once per corpus): the "
+        "candidate fetch reads ONLY the query buckets' partition "
+        "directories — file-level pruning instead of a per-query corpus "
+        "bucketing pass, the stored-artifact shape of a production ANN "
+        "serving path",
+)
+def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-LSH top-5 against the stored vector index.
+
+    The index is the corpus written partitioned by its LSH bucket; the
+    probe collects the (bounded, <= |queries|) query buckets driver-side
+    and fetches candidates through an IN filter on the partition column,
+    so the scan prunes to those directories before any row is decoded.
+    Results are identical to ann_lsh_cosine: the stored bucket derivation
+    is the same deterministic hyperplane expression.
+    """
+    import os
+
+    from pyspark.sql import Window, functions as F
+
+    from tigerbeetle_cdc_nats_spark.queries_dedup import stored_index_dir
+    from tigerbeetle_cdc_nats_spark.sources import ann_index as ai
+
+    dim, planes = _dim(sf_dir), _planes(sf_dir)
+    path = stored_index_dir("annlsh", sf_dir, table="embeddings")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ai.write_ann_index(load_table(spark, sf_dir, "embeddings"),
+                           path, planes, dim=dim)
+    idx = ai.read_ann_index(spark, path)
+    q = (idx.where(F.col("vec_id").isin(list(QUERY_IDS)))
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.col("bucket").alias("q_bucket"),
+                 sim.norm_col("embedding", dim).alias("q_n")))
+    buckets = [int(r["q_bucket"]) for r in
+               q.select("q_bucket").distinct().collect()]
+    c = (ai.probe_buckets(idx, buckets)
+         .select(F.col("vec_id").alias("c_id"),
+                 F.col("embedding").alias("c_emb"),
+                 F.col("bucket").alias("c_bucket"),
+                 sim.norm_col("embedding", dim).alias("c_n")))
+    s = sim.cosine_sim_e6_prenorm("q_emb", "c_emb",
+                                  F.col("q_n"), F.col("c_n"), None)
+    w = Window.partitionBy("q_id").orderBy(F.col("sim_e6").desc(), "c_id")
+    return (
+        c.join(F.broadcast(q), (F.col("q_bucket") == F.col("c_bucket"))
+               & (F.col("q_id") != F.col("c_id")))
+        .select("q_id", "c_id", s.alias("sim_e6"))
+        .withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("knn_rank") <= 5)
+    )
+
+
+@register(
     "embedding_near_dup",
     f"""WITH b AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
 q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket FROM b),
