@@ -2478,3 +2478,96 @@ def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").isNull().cast("bigint").alias("filled"),
         interp.cast("bigint").alias("interp_cents"),
     )
+
+
+@register(
+    "rolling_median_value",
+    f"""WITH ev AS ({_EV}),
+c AS (SELECT user_id, ts, {_CENTS} AS cents FROM ev),
+w AS (
+  SELECT user_id, ts, cents,
+         list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY ts, cents
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS win
+  FROM c
+)
+SELECT user_id, ts, cents,
+       CAST(win[CAST((len(win) + 1) // 2 AS INT)] AS BIGINT)
+         AS rolling_median_cents,
+       CAST(len(win) AS BIGINT) AS win_n
+FROM w WHERE user_id < 20""",
+    doc="exact rolling median (lower median, integer cents) over each "
+        "user's last 5 events — the robust-baseline smoother; built from "
+        "a sorted bounded window list because neither engine has an "
+        "exact median window function (avg-of-middle-two would leave "
+        "integers)",
+)
+def q_rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exact rolling median of the last 5 event values.
+
+    Scale shape: one shuffle keyed on user_id; the frame is ROWS-bounded
+    (5), so collect_list state per row is O(5) regardless of history —
+    the sorted-array pick stays integer-exact (lower median), immune to
+    the fractional average a true median would produce. The user_id < 20
+    projection bounds driver-compare output, not the computation.
+    """
+    from pyspark.sql import Window
+
+    ev = events_table(spark, sf_dir)
+    c = ev.select("user_id", "ts", agg.cents().alias("cents"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "cents")
+         .rowsBetween(-4, Window.currentRow))
+    win = F.sort_array(F.collect_list("cents").over(w))
+    return (c.withColumn("win", win)
+            .where(F.col("user_id") < 20)
+            .select(
+                "user_id", "ts", "cents",
+                F.element_at("win", ((F.size("win") + 1) / 2)
+                             .cast("int")).cast("bigint")
+                .alias("rolling_median_cents"),
+                F.size("win").cast("bigint").alias("win_n")))
+
+
+@register(
+    "ewma_value",
+    f"""WITH ev AS ({_EV}),
+c AS (SELECT user_id, ts, {_CENTS} AS cents FROM ev),
+l AS (
+  SELECT user_id, ts, cents,
+    {" + ".join(
+        f"COALESCE(lag(cents, {d}) OVER "
+        f"(PARTITION BY user_id ORDER BY ts, cents), 0) * {2.0 ** -d!r}"
+        for d in range(8))} AS ewma_raw
+  FROM c
+)
+SELECT user_id, ts, cents,
+       CAST(FLOOR(ewma_raw * 100) AS BIGINT) AS ewma_cents_e2
+FROM l WHERE user_id < 20""",
+    doc="exponentially weighted moving value (alpha = 1/2, depth 8) per "
+        "user — the trend smoother; weights are exact powers of two so "
+        "every term and the fixed-order sum are EXACT doubles on both "
+        "engines (no libm pow hazard), quantized e2 for the hash gate",
+)
+def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA over the 8 most recent events with dyadic weights.
+
+    Scale shape: 8 lag() calls share ONE user_id window sort (single
+    shuffle + sort, Catalyst collapses same-spec window functions); the
+    depth-8 truncation bounds state and makes the result a fixed-order
+    sum of exact dyadic doubles — bit-identical cross-engine without any
+    pow()/exp() call.
+    """
+    from pyspark.sql import Window
+
+    ev = events_table(spark, sf_dir)
+    c = ev.select("user_id", "ts", agg.cents().alias("cents"))
+    w = Window.partitionBy("user_id").orderBy("ts", "cents")
+    terms = None
+    for d in range(8):
+        t = (F.coalesce(F.lag("cents", d).over(w), F.lit(0))
+             * F.lit(2.0 ** -d))
+        terms = t if terms is None else terms + t
+    return (c.withColumn("ewma_raw", terms)
+            .where(F.col("user_id") < 20)
+            .select("user_id", "ts", "cents",
+                    F.floor(F.col("ewma_raw") * 100).cast("bigint")
+                    .alias("ewma_cents_e2")))
