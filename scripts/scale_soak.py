@@ -59,6 +59,10 @@ DOC_OPS = [
     # per-stratum bottom-k sampling.
     "minhash_containment", "pii_scan", "blocklist_filter",
     "bpe_apply_merge", "token_lift_pairs", "bottomk_sample",
+    # round 5: stored-index serving + probes, split hygiene.
+    "minhash_dedup_indexed", "minhash_probe_indexed",
+    "winnow_candidates_indexed", "split_leakage_audit",
+    "source_frequency_cap",
     "training_shuffle_order", "quality_rank_normalized",
     "crosslingual_near_dup", "rag_retrieve_diverse",
     "curated_corpus_pipeline", "multi_epoch_shuffle",
@@ -87,8 +91,10 @@ EVENT_OPS = [
     "segment_migration_matrix",
     "scd2_point_in_time_join", "props_json_stats",
     # round 5: dense-grid gap filling (grid grows with wall time, not
-    # event volume — alpha should be ~0 past the rollup scan).
+    # event volume — alpha should be ~0 past the rollup scan), bounded-
+    # frame rolling median / dyadic EWMA (one user_id window sort each).
     "gap_fill_locf", "gap_fill_interpolate",
+    "rolling_median_value", "ewma_value",
 ]
 BASE_EVENTS = 100_000  # sf0.1 events rows
 

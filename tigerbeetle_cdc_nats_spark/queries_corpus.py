@@ -1339,11 +1339,16 @@ def q_winnow_candidates_indexed(spark: SparkSession,
     from tigerbeetle_cdc_nats_spark.queries_dedup import stored_index_dir
     from tigerbeetle_cdc_nats_spark.sources import dedup_index as di
 
+    docs = load_table(spark, sf_dir, "documents")
     path = stored_index_dir("winnow", sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        di.write_winnow_index(load_table(spark, sf_dir, "documents"), path)
-    return di.winnow_candidates_from_index(
-        di.read_winnow_index(spark, path))
+    try:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            di.write_winnow_index(docs, path)
+        return di.winnow_candidates_from_index(
+            di.read_winnow_index(spark, path))
+    except Exception:
+        # read-only scratch fallback: identical result in-session
+        return winnow_candidates_from_fp(winnow_fingerprints(docs))
 
 
 def winnow_candidates_from_fp(fp: DataFrame) -> DataFrame:
