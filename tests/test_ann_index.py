@@ -64,3 +64,26 @@ def test_multi_probe_reads_only_probe_set(spark, index):
                    for r in probe.select("bucket").distinct().collect()}
     assert got_buckets <= set(probes)
     assert _files_read(probe) <= len(probes) * 2  # a few files per bucket
+
+
+def test_incremental_append_equals_rebuild(spark, tmp_path):
+    """Index built on a prefix + appended delta == full rebuild (the
+    vector-side counterpart of the dedup-index append contract)."""
+    from tigerbeetle_cdc_nats_spark.sources.ann_index import (
+        append_ann_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    dim = sim.embedding_dim(SF_DIR)
+    incr = str(tmp_path / "incr")
+    full = str(tmp_path / "full")
+    write_ann_index(emb.where(F.col("vec_id") % 4 != 0), incr, PLANES,
+                    dim=dim)
+    append_ann_index(emb.where(F.col("vec_id") % 4 == 0), incr, PLANES,
+                     dim=dim)
+    write_ann_index(emb, full, PLANES, dim=dim)
+    a = sorted(map(tuple, read_ann_index(spark, incr)
+                   .select("vec_id", "bucket").collect()))
+    b = sorted(map(tuple, read_ann_index(spark, full)
+                   .select("vec_id", "bucket").collect()))
+    assert a == b and len(a) == emb.count()

@@ -35,6 +35,18 @@ def write_ann_index(embeddings: DataFrame, path: str,
      .write.mode(mode).partitionBy("bucket").parquet(path))
 
 
+def append_ann_index(new_vectors: DataFrame, path: str,
+                     planes: list[list[float]], *,
+                     vec_col: str = "embedding",
+                     dim: int | None = None) -> None:
+    """Incremental maintenance: new vectors append into their bucket's
+    partition directory (same deterministic plane set as the original
+    build — the caller owns plane-set versioning); existing partitions
+    are untouched, so a daily embedding batch costs O(|delta|)."""
+    write_ann_index(new_vectors, path, planes, vec_col=vec_col, dim=dim,
+                    mode="append")
+
+
 def read_ann_index(spark: SparkSession, path: str) -> DataFrame:
     from tigerbeetle_cdc_nats_spark.session import configure
 
