@@ -132,3 +132,118 @@ def make_nats_sink(cfg: NatsSinkConfig,
     sink.published = None
     sink.duplicates = None
     return sink
+
+
+# ---------------------------------------------------------------------------
+# First-class streaming writer (Spark 4 Python DataSource sink)
+# ---------------------------------------------------------------------------
+
+def _resolve_publisher_factory(spec: str) -> Callable[[], PublishFn]:
+    """Resolve "package.module:callable" to the factory that builds a
+    PublishFn ON THE EXECUTOR (a JetStream connection is not picklable, so
+    deployments ship a factory path instead of a connection object)."""
+    import importlib
+
+    mod_name, _, attr = spec.partition(":")
+    if not mod_name or not attr:
+        raise ValueError(
+            f"publisherFactory must be 'module.path:callable', got {spec!r}")
+    factory = getattr(importlib.import_module(mod_name), attr)
+    if not callable(factory):
+        raise TypeError(f"publisherFactory {spec!r} is not callable")
+    return factory
+
+
+def fake_publisher_factory() -> PublishFn:
+    """Deterministic sandbox publisher (no broker in this environment):
+    acks every message, flagging repeats of a msg_id WITHIN the partition
+    as duplicates — the JetStream msg-id dedup surface, minus the broker's
+    cross-partition window."""
+    seen: set[str] = set()
+
+    def publish(subject: str, msg_id: str, headers: dict, payload: bytes):
+        dup = msg_id in seen
+        seen.add(msg_id)
+        return {"duplicate": dup}
+
+    return publish
+
+
+class NatsPublishWriter:
+    """DataSourceStreamWriter: the publish sink as a NATIVE streaming sink
+    instead of a foreachBatch body. Each task drains its partition through
+    the bounded in-flight window (drain_partition — the runner.go:510-584
+    pipelining), returns its (published, duplicates) counts as the commit
+    message, and the driver-side commit() appends one metrics record per
+    micro-batch — the reference's per-chunk publish log
+    (runner.go:580-583) as a queryable artifact."""
+
+    def __init__(self, options: dict):
+        spec = options.get("publisherfactory")
+        if not spec:
+            raise ValueError(
+                "tb_cdc_publish: 'publisherFactory' option is required "
+                "('module.path:callable' building the publish function "
+                "on the executor)")
+        self._spec = spec
+        self._cfg = NatsSinkConfig(
+            max_pending=int(options.get("maxpending", 4096)),
+            ack_timeout_s=float(options.get("acktimeout", 30.0)))
+        self._metrics_dir = options.get("metricsdir")
+
+    def write(self, iterator):
+        from pyspark.sql.datasource import WriterCommitMessage
+
+        @dataclass
+        class PubCommit(WriterCommitMessage):
+            published: int = 0
+            duplicates: int = 0
+
+        publish = _resolve_publisher_factory(self._spec)()
+        n, d = drain_partition(iterator, publish, self._cfg)
+        return PubCommit(published=n, duplicates=d)
+
+    def commit(self, messages, batchId: int) -> None:
+        if not self._metrics_dir:
+            return
+        import json
+        import os
+
+        os.makedirs(self._metrics_dir, exist_ok=True)
+        out = os.path.join(self._metrics_dir, f"batch-{batchId}.json")
+        rec = {
+            "batch_id": int(batchId),
+            "published": sum(getattr(m, "published", 0)
+                             for m in messages if m is not None),
+            "duplicates": sum(getattr(m, "duplicates", 0)
+                              for m in messages if m is not None),
+        }
+        tmp = out + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, out)  # atomic: a replayed batch rewrites in place
+
+    def abort(self, messages, batchId: int) -> None:
+        pass  # at-least-once: no acks to roll back; replay re-publishes
+
+
+def make_publish_datasource():
+    """The registrable ``tb_cdc_publish`` DataSource class — options:
+    ``publisherFactory`` (module:callable building the PublishFn on the
+    executor), ``maxPending`` / ``ackTimeout`` (runner.go:46-47 flags),
+    ``metricsDir`` (per-batch publish/duplicate counts). Built lazily so
+    the Spark-free unit tests of drain_partition never import pyspark."""
+    from pyspark.sql.datasource import DataSource, DataSourceStreamWriter
+
+    class _Writer(NatsPublishWriter, DataSourceStreamWriter):
+        pass
+
+    class _Source(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "tb_cdc_publish"
+
+        def streamWriter(self, schema, overwrite):
+            return _Writer(self.options)
+
+    return _Source
