@@ -73,17 +73,29 @@ def test_resume_exact_counts_no_duplicates(spark, tmp_path):
 
 def test_rate_limit_bounds_each_batch(spark, tmp_path):
     src = str(tmp_path / "events")
-    sink = str(tmp_path / "sink")
     chk = str(tmp_path / "chk")
     _write_events(spark, src, 0, 100)
     limit = 30
-    _drain(spark, src, sink, chk, expect_rows=100, limit=limit)
-    # every micro-batch respected the event-count limit (distinct ts here,
-    # so no tie spill): batch ids partition the sink files
-    per_batch = (spark.read.parquet(sink)
-                 .groupBy(F.spark_partition_id()).count())
-    sizes = [r["count"] for r in per_batch.collect()]
+    sizes = []
+
+    def record(df, bid):
+        n = df.count()
+        if n:
+            sizes.append(n)
+
+    q = (read_cdc_stream(spark, src, event_count_max=limit)
+         .writeStream.foreachBatch(record)
+         .option("checkpointLocation", chk)
+         .trigger(processingTime="50 milliseconds").start())
+    deadline = time.time() + 120
+    while time.time() < deadline and sum(sizes) < 100:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
     assert sum(sizes) == 100
+    # distinct timestamps here, so no tie spill: every micro-batch is
+    # capped at the event-count limit and the backlog needs >= 4 batches
+    assert max(sizes) <= limit and len(sizes) >= 4
 
 
 def test_ts_boundary_cut_keeps_ties_together(spark, tmp_path):

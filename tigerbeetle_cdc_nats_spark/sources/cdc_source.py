@@ -158,16 +158,31 @@ class CdcEventsStreamReader(DataSourceStreamReader):
                 "(reference runner.go:726-736 u64-max guard)")
         import numpy as np
 
-        candidates = []
-        for _f, pf, rg, _lo, hi in self._row_groups():
-            if hi <= cur:
-                continue  # row group entirely consumed — stats prune
+        # Row groups in ascending min-ts order with an early exit: once
+        # >= limit new events are in hand AND the next group's min lies
+        # past the provisional cut, later groups cannot lower it — on a
+        # ts-sorted event store (the CDC layout) one poll reads only the
+        # row groups of its own batch, not the whole backlog.
+        pending = sorted(
+            ((lo, hi, pf, rg) for _f, pf, rg, lo, hi in self._row_groups()
+             if hi > cur), key=lambda t: t[0])
+        candidates: list = []
+        n_new = 0
+        for i, (lo, _hi, pf, rg) in enumerate(pending):
+            if n_new >= self._limit:
+                cut = int(np.partition(
+                    np.concatenate(candidates),
+                    self._limit - 1)[self._limit - 1])
+                if lo > cut:
+                    break
             ts = _ts_to_ns(pf.read_row_group(rg, columns=["ts"])
                            .column("ts").combine_chunks())
             vals = ts.to_numpy(zero_copy_only=False)
-            candidates.append(vals[vals > cur])
+            vals = vals[vals > cur]
+            if len(vals):
+                candidates.append(vals)
+                n_new += len(vals)
         if not candidates:
-            self._planned_end = cur
             return {"ts_ns": cur}
         new = np.concatenate(candidates)
         if len(new) <= self._limit:
