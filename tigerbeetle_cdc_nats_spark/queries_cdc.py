@@ -309,3 +309,33 @@ def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.coalesce(F.col("k"), F.lit(0))).cast("bigint")
                  .alias("sum_k"),
                  F.countDistinct("k").alias("n_distinct_k")))
+
+
+@register(
+    "cdc_native_scan",
+    f"""WITH ev AS ({_EV})
+SELECT event_id, ts, user_id, event_type, value, props
+FROM ev WHERE ts >= {CURSOR_NS + 1} ORDER BY ts LIMIT 4096""",
+    doc="the same CDC poll served by the NATIVE Python DataSource "
+        "(sources/cdc_source.py batch reader): the cursor is the source "
+        "OFFSET, pruning at the parquet row-group level from footer "
+        "stats — identical rows to cdc_incremental_scan",
+)
+def q_cdc_native_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One poll through the first-class source's batch reader.
+
+    The (startTs, endTs] range is the source's own offset algebra; the
+    top-k limit lowers to TakeOrderedAndProject over the pruned scan —
+    the reference's Limit applied after the cursor cut.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tigerbeetle_cdc_nats_spark.sources.cdc_source import read_cdc_batch
+
+    ev = read_cdc_batch(
+        spark, os.path.join(sf_dir, "events.parquet"), start_ts=CURSOR_NS)
+    return (ev.orderBy("ts").limit(4096)
+            .select("event_id", "ts", "user_id", "event_type",
+                    F.col("value").cast("double").alias("value"), "props"))
