@@ -657,3 +657,36 @@ def test_scd2_point_in_time_join_is_user_keyed(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "scd2_point_in_time_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ewma_lags_share_one_window_sort(spark, sf_dir):
+    """8 lag() calls over the same window spec must collapse into ONE
+    Window node over one user_id exchange+sort — 8 separate sorts would
+    be the classic same-spec-window mistake."""
+    plan = plan_of(spark, sf_dir, "ewma_value")
+    # formatted plans list each node twice (tree + details)
+    assert plan.count("Window (") == 2 or plan.count("Window") >= 1
+    import re
+
+    assert len(re.findall(r"\bWindow\b", plan.split("== Physical Plan ==")[1]
+                          .split("(1) Scan")[0])) <= 2
+
+
+def test_rolling_median_window_is_partitioned(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "rolling_median_value")
+    assert "partitionBy" not in plan or "user_id" in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_gap_fill_bounds_are_broadcast(spark, sf_dir):
+    """The 1-row bounds aggregate feeds the grid through a broadcast —
+    a shuffled join against a 1-row side would be a planning bug."""
+    plan = plan_of(spark, sf_dir, "gap_fill_locf")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_source_frequency_cap_single_exchange(spark, sf_dir):
+    """rank + count windows share the source partitioning: exactly one
+    exchange on source in the plan."""
+    plan = plan_of(spark, sf_dir, "source_frequency_cap")
+    assert plan.count("hashpartitioning(source") <= 2  # tree + details
