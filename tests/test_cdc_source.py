@@ -192,3 +192,35 @@ def test_batch_reader_agrees_with_load_events(spark, tmp_path):
     ref_after = ref.where(F.col("ts") > lo)
     assert got.count() == ref_after.count()
     assert got.exceptAll(ref_after).count() == 0
+
+
+def test_cursor_cut_exact_across_unordered_row_groups(spark, tmp_path):
+    """The early-exit advance must yield the exact limit-th-smallest cut
+    even when files/row groups arrive with out-of-order ts ranges."""
+    src = str(tmp_path / "events")
+    # three appends with deliberately unordered ts ranges
+    _write_events(spark, src, 0, 40)        # ts 0..39
+    _write_events(spark, src, 100, 140)     # ts 100..139
+    _write_events(spark, src, 40, 100)      # ts 40..99 (late file)
+    reader = CdcEventsStreamReader({"path": src, "eventcountmax": "33"})
+    all_ts = sorted(BASE_NS + i * 1_000_000_000 for i in range(140))
+    cur = {"ts_ns": 0}
+    seen = 0
+    rounds = 0
+    import pyarrow as pa
+
+    while True:
+        nxt = reader._advance(cur["ts_ns"])
+        if nxt["ts_ns"] == cur["ts_ns"]:
+            break
+        remaining = [t for t in all_ts if t > cur["ts_ns"]]
+        expect_cut = remaining[min(33, len(remaining)) - 1]
+        assert nxt["ts_ns"] == expect_cut  # exact limit-th smallest
+        parts = reader.partitions(cur, nxt)
+        n = sum(pa.Table.from_batches(list(reader.read(p))).num_rows
+                for p in parts)
+        assert n == min(33, len(remaining))
+        seen += n
+        cur = nxt
+        rounds += 1
+    assert seen == 140 and rounds == 5  # ceil(140/33) batches, no loss
