@@ -45,3 +45,40 @@ def test_ivf_plan_has_no_unbroadcast_cartesian(spark, sf_dir):
     df = registry.all_queries()["ivf_ann_cosine"].fn(spark, sf_dir)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_assign_arrow_equals_expr(spark):
+    """Map-side Arrow IVF assignment is bit-identical to the pure-Column
+    window-argmax reference (cell AND the reused norm)."""
+    from tigerbeetle_cdc_nats_spark.queries_similarity import (
+        centroid_vectors,
+        ivf_assign,
+        ivf_assign_expr,
+    )
+    from tigerbeetle_cdc_nats_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    centv = centroid_vectors(emb).persist()
+    a = sorted(map(tuple, ivf_assign(emb, centv, dim=64)
+                   .select("vec_id", "cell", "norm").collect()))
+    b = sorted(map(tuple, ivf_assign_expr(emb, centv, dim=64)
+                   .select("vec_id", "cell", "norm").collect()))
+    assert a == b and len(a) == emb.count()
+    centv.unpersist()
+
+
+def test_ivf_assign_plan_has_no_shuffle(spark):
+    """The production assignment is one Arrow map over the scan: no
+    Exchange, no Window in its plan (the round-5 fix — the expr form
+    shuffles k copies of the corpus for row_number)."""
+    from tigerbeetle_cdc_nats_spark.plans.inspect import physical_plan
+    from tigerbeetle_cdc_nats_spark.queries_similarity import (
+        centroid_vectors,
+        ivf_assign,
+    )
+    from tigerbeetle_cdc_nats_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    plan = physical_plan(ivf_assign(emb, centroid_vectors(emb), dim=64))
+    assert "Window" not in plan
+    assert "Exchange hashpartitioning(vec_id" not in plan

@@ -268,15 +268,14 @@ def centroid_vectors(emb: DataFrame) -> DataFrame:
     )
 
 
-def ivf_assign(emb: DataFrame, centv: DataFrame,
-               dim: int = _DIM) -> DataFrame:
-    """IVF coarse quantization: assign each vector to its argmax-cosine
-    centroid. Centroids are tiny (k x dim) and broadcast; scoring is a
-    broadcast nested-loop over k cells per vector — O(N*k), the standard
-    IVF assignment cost. Argmax runs on FLOOR(cos*1e6) BIGINTs with the
-    cell id as tie-break, so the assignment is deterministic cross-engine.
-    Output: (vec_id, embedding, cell, norm) — the vector norm rides along
-    so downstream pair scoring reuses it."""
+def ivf_assign_expr(emb: DataFrame, centv: DataFrame,
+                    dim: int = _DIM) -> DataFrame:
+    """Pure-Column IVF assignment (reference path): broadcast nested-loop
+    over k cells per vector, argmax via a vec_id window. Kept as the
+    no-Python reference — but the row_number() window shuffles N x k
+    scored rows for an argmax that needs no shuffle at all, so
+    :func:`ivf_assign` (map-side Arrow argmax, bit-identical) is the
+    production form; a test pins their equality."""
     from pyspark.sql import Window, functions as F
 
     # norms precomputed per vector (not per vector-x-centroid pair) and per
@@ -295,6 +294,84 @@ def ivf_assign(emb: DataFrame, centv: DataFrame,
         .where(F.col("rn") == 1)
         .select("vec_id", "embedding", "cell", F.col("_en").alias("norm"))
     )
+
+
+def ivf_assign(emb: DataFrame, centv: DataFrame,
+               dim: int = _DIM) -> DataFrame:
+    """IVF coarse quantization, MAP-SIDE: assign each vector to its
+    argmax-cosine centroid in one Arrow pass — zero shuffle.
+
+    The expression form (:func:`ivf_assign_expr`) scores N x k rows and
+    then runs row_number() over vec_id, i.e. it SHUFFLES k copies of the
+    corpus to pick a per-row maximum — at 100 TB that window exchange is
+    the whole cost of the operator. Here the (bounded, broadcastable)
+    centroid table is collected once and each Arrow batch computes
+    FLOOR(cos*1e6) per centroid with dim-sequential accumulation (the
+    exact operation order of the unrolled SQL, so every double and the
+    floored BIGINT agree bit-for-bit) and keeps the argmax with the
+    smallest-cell tie-break. Output: (vec_id, embedding, cell, norm).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from tigerbeetle_cdc_nats_spark.operators.similarity import (
+        _bounded_collect,
+    )
+    from tigerbeetle_cdc_nats_spark.session import ensure_parallelism
+
+    cent_rows = _bounded_collect(centv.select("cell", "c_arr"),
+                                 "ivf_assign centroids")
+    cents = []
+    for r in sorted(cent_rows, key=lambda r: int(r["cell"])):
+        c = np.array(list(r["c_arr"]), dtype=np.float64)
+        acc = 0.0
+        for x in c:          # same left fold as norm_col on the int array
+            acc += x * x
+        cents.append((int(r["cell"]), c, float(np.sqrt(acc))))
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("norm", T.DoubleType()),
+    ])
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n, d = mat.shape
+
+            def seq_dot(coefs):
+                acc = np.zeros(n, dtype=np.float64)
+                for i in range(min(d, len(coefs))):
+                    acc += mat[:, i] * coefs[i]
+                return acc
+
+            en_acc = np.zeros(n, dtype=np.float64)
+            for i in range(d):
+                en_acc += mat[:, i] * mat[:, i]
+            en = np.sqrt(en_acc)
+            best_sim = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+            best_cell = np.zeros(n, dtype=np.int32)
+            for cell, cvec, cn in cents:   # ascending: strict > keeps
+                sim_e6 = np.floor(            # the smallest cell on ties
+                    seq_dot(cvec) / (en * cn) * 1_000_000).astype(np.int64)
+                upd = sim_e6 > best_sim
+                best_sim[upd] = sim_e6[upd]
+                best_cell[upd] = cell
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "embedding": pdf["embedding"],
+                "cell": best_cell,
+                "norm": en,
+            })
+
+    return ensure_parallelism(
+        emb.select("vec_id", "embedding")).mapInPandas(assign, schema)
 
 
 #: DuckDB mirror of centroid_vectors + ivf_assign (shared CTE prefix).
