@@ -486,12 +486,15 @@ def test_token_ids_fit_then_encode(spark, sf_dir):
 
 def test_kmeans_refine_arrow_update_and_broadcast_assign(spark, sf_dir):
     """The Lloyd M-step is a grouped Arrow (applyInPandas) update and the
-    E-step scores against BROADCAST centroids — no shuffle of the corpus
-    against the centroid side."""
+    E-step is the MAP-SIDE Arrow assignment (round-5 ivf_assign): the
+    bounded centroid table rides as a task constant — no crossJoin, no
+    corpus shuffle, no window argmax."""
     df = QUERIES["kmeans_refine"].fn(spark, sf_dir)
     plan = physical_plan(df)
-    assert "FlatMapGroupsInPandas" in plan
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "FlatMapGroupsInPandas" in plan   # M-step
+    assert "MapInPandas" in plan             # E-step assignment
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange hashpartitioning(vec_id" not in plan
     assert plan.count("embeddings.parquet") <= 2
 
 
