@@ -224,3 +224,88 @@ def test_cursor_cut_exact_across_unordered_row_groups(spark, tmp_path):
         cur = nxt
         rounds += 1
     assert seen == 140 and rounds == 5  # ceil(140/33) batches, no loss
+
+
+def test_default_event_count_max_is_reference_4096(spark, tmp_path):
+    """The standalone source default MUST be the reference's
+    --event-count-max default (config.go:40 = 4096): the three constants
+    agree and a default-options reader cuts batches at exactly 4096."""
+    from tigerbeetle_cdc_nats_spark import config as cfg
+    from tigerbeetle_cdc_nats_spark.sources import cdc_source as src_mod
+
+    assert cfg.DEFAULT_EVENT_COUNT_MAX == 4096
+    assert src_mod._DEFAULT_EVENT_COUNT_MAX == cfg.DEFAULT_EVENT_COUNT_MAX
+
+    src = str(tmp_path / "events")
+    _write_events(spark, src, 0, 5000)
+    reader = CdcEventsStreamReader({"path": src})  # no eventCountMax option
+    assert reader._limit == 4096
+    end = reader.latestOffset()
+    # cut at the 4096th-smallest new ts — the reference batch size
+    assert end["ts_ns"] == BASE_NS + 4095 * 1_000_000_000
+
+
+def test_stat_ns_handles_tz_aware_timestamps(spark, tmp_path):
+    """Parquet ts columns written adjusted-to-UTC (Spark's default for
+    TIMESTAMP) surface tz-AWARE datetime statistics; the offset math must
+    not crash on them (naive-minus-aware raises TypeError)."""
+    import datetime
+
+    from tigerbeetle_cdc_nats_spark.sources.cdc_source import _stat_ns
+
+    aware = datetime.datetime(2023, 11, 14, 22, 13, 20,
+                              tzinfo=datetime.timezone.utc)
+    naive = datetime.datetime(2023, 11, 14, 22, 13, 20)
+    assert _stat_ns(aware) == 1_700_000_000_000_000_000
+    assert _stat_ns(naive) == 1_700_000_000_000_000_000
+    assert _stat_ns(1_700_000_000_000_000_000) == 1_700_000_000_000_000_000
+
+    # end-to-end: a store whose ts is a real TIMESTAMP column (stats are
+    # tz-aware datetimes) plans and reads without error
+    src = str(tmp_path / "events_tz")
+    spark.range(0, 50).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(BASE_NS // 1000) + F.col("id") * 1_000_000).alias("ts"),
+        (F.col("id") % 7).alias("user_id"),
+        F.lit("transfer").alias("event_type"),
+        F.col("id").cast("double").alias("value"),
+        F.lit('{"k":1}').alias("props"),
+    ).coalesce(1).write.mode("append").parquet(src)
+    reader = CdcEventsStreamReader({"path": src, "eventcountmax": "20"})
+    end = reader.latestOffset()
+    assert end["ts_ns"] == BASE_NS + 19 * 1_000_000_000
+    parts = reader.partitions({"ts_ns": 0}, end)
+    import pyarrow as pa
+
+    n = sum(pa.Table.from_batches(list(reader.read(p))).num_rows
+            for p in parts)
+    assert n == 20
+
+
+def test_unsorted_backlog_warns_once(spark, tmp_path):
+    """Overlapping row-group ts ranges (unsorted store) break the
+    one-poll-reads-one-batch cost model; the reader must say so instead
+    of silently scanning the whole backlog every poll."""
+    import warnings
+
+    src = str(tmp_path / "events_unsorted")
+    _write_events(spark, src, 0, 40)    # ts 0..39
+    _write_events(spark, src, 20, 60)   # ts 20..59 -> overlaps file 1
+    reader = CdcEventsStreamReader({"path": src, "eventcountmax": "10"})
+    with pytest.warns(RuntimeWarning, match="unsorted"):
+        end = reader.latestOffset()
+    # correctness is unaffected: exact limit-th-smallest cut, all rows flow
+    assert end["ts_ns"] == BASE_NS + 9 * 1_000_000_000
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # warned once, not per poll
+        reader._advance(end["ts_ns"])
+
+    # a sorted store never warns
+    src2 = str(tmp_path / "events_sorted")
+    _write_events(spark, src2, 0, 40)
+    _write_events(spark, src2, 40, 80)
+    reader2 = CdcEventsStreamReader({"path": src2, "eventcountmax": "10"})
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        reader2.latestOffset()

@@ -110,3 +110,22 @@ def test_winnow_probe_prunes_and_counts(spark, docs, wn_index):
     got = {(r["doc_id"], r["other_id"]): r["n_shared"]
            for r in probe.collect()}
     assert got == expect
+
+
+def test_stored_index_dir_is_per_user_and_private():
+    """The persisted-index cache root must be uid-scoped and 0700: a
+    world-shared predictable path would let another local user pre-plant
+    a poisoned index that the _SUCCESS check then trusts."""
+    import os
+    import stat
+
+    from tigerbeetle_cdc_nats_spark.queries_dedup import stored_index_dir
+
+    p = stored_index_dir("minhash", "/root/testdata/sf0.001")
+    root = os.path.dirname(p)
+    assert root.endswith(f"_{os.getuid()}")
+    st = os.stat(root)
+    assert st.st_uid == os.getuid()
+    assert stat.S_IMODE(st.st_mode) & 0o077 == 0  # no group/other access
+    # stable across calls (cache key still fingerprints the source table)
+    assert stored_index_dir("minhash", "/root/testdata/sf0.001") == p

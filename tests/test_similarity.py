@@ -82,3 +82,52 @@ def test_ivf_assign_plan_has_no_shuffle(spark):
     plan = physical_plan(ivf_assign(emb, centroid_vectors(emb), dim=64))
     assert "Window" not in plan
     assert "Exchange hashpartitioning(vec_id" not in plan
+
+
+def test_ivf_assign_degenerate_vectors_agree(spark):
+    """Zero-norm embeddings and zero-norm centroids have undefined cosine;
+    both assignment paths must apply the SAME rule (invalid sims excluded,
+    no-valid-sim rows -> smallest cell) instead of NaN/int64-min garbage
+    in the Arrow path diverging from NULL handling in the expr path."""
+    from pyspark.sql import types as T
+
+    from tigerbeetle_cdc_nats_spark.queries_similarity import (
+        ivf_assign,
+        ivf_assign_expr,
+    )
+
+    emb_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),   # zero-norm vector
+            (3, [0.5, 0.5, 0.0, 0.0]),
+            (4, [-1.0, 0.0, 0.0, 0.0]),
+        ],
+        emb_schema,
+    )
+    centv_schema = T.StructType([
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("c_arr", T.ArrayType(T.LongType())),
+    ])
+    centv = spark.createDataFrame(
+        [
+            (3, [1_000_000, 0, 0, 0]),
+            (7, [0, 1_000_000, 0, 0]),
+            (9, [0, 0, 0, 0]),           # zero-norm centroid
+        ],
+        centv_schema,
+    )
+    a = sorted(map(tuple, ivf_assign(emb, centv, dim=4)
+                   .select("vec_id", "cell", "norm").collect()))
+    b = sorted(map(tuple, ivf_assign_expr(emb, centv, dim=4)
+                   .select("vec_id", "cell", "norm").collect()))
+    assert a == b and len(a) == 5
+    by_id = dict((r[0], r[1]) for r in a)
+    assert by_id[2] == 3    # zero-norm vector -> smallest cell, not garbage
+    assert by_id[0] == 3 and by_id[1] == 7
+    assert all(r[1] != 9 for r in a)  # zero-norm centroid never wins

@@ -103,9 +103,18 @@ def stored_index_dir(kind: str, sf_dir: str,
                      table: str = "documents") -> str:
     """Location of a persisted index for ``sf_dir``, keyed by the source
     table's fingerprint (path + mtime + size) so a regenerated testdata
-    set can never serve a stale index."""
+    set can never serve a stale index.
+
+    The cache root is per-user (uid-suffixed, mode 0700) and its ownership
+    is verified before any caller trusts an existing index: on a shared
+    host a world-writable scratch path would let another user pre-plant a
+    readable-but-wrong index that silently changes candidate results.
+    A failed check raises — every caller falls back to the in-session
+    computation, so poisoning degrades to a recompute, never wrong rows.
+    """
     import hashlib
     import os
+    import stat as stat_mod
     import tempfile
 
     p = os.path.join(sf_dir, f"{table}.parquet")
@@ -116,8 +125,18 @@ def stored_index_dir(kind: str, sf_dir: str,
         tag = "absent"
     h = hashlib.md5(
         f"{os.path.abspath(sf_dir)}:{tag}".encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(),
-                        "spark_graft_dedup_index", f"{kind}_{h}")
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    root = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_dedup_index_{uid}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    rst = os.stat(root)
+    if hasattr(os, "getuid") and rst.st_uid != uid:
+        raise RuntimeError(
+            f"index cache {root} is owned by uid {rst.st_uid}, not "
+            f"{uid}; refusing to trust or write it")
+    if stat_mod.S_IMODE(rst.st_mode) & 0o077:
+        os.chmod(root, 0o700)  # pre-existing dir from an older layout
+    return os.path.join(root, f"{kind}_{h}")
 
 
 @register(

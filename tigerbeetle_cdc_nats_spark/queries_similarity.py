@@ -279,9 +279,16 @@ def ivf_assign_expr(emb: DataFrame, centv: DataFrame,
     from pyspark.sql import Window, functions as F
 
     # norms precomputed per vector (not per vector-x-centroid pair) and per
-    # centroid (k rows, inside the broadcast side)
-    a_sim = sim.cosine_sim_e6_prenorm(
-        "embedding", "c_arr", F.col("_en"), F.col("_cn"), dim)
+    # centroid (k rows, inside the broadcast side). A zero norm on either
+    # side makes cosine undefined — such sims are NULL (excluded from the
+    # argmax; desc ordering puts NULLS LAST), and a vector with NO valid
+    # sim lands in the smallest cell via the ORDER BY cell tie-break —
+    # the same rule the map-side ivf_assign applies, keeping the two
+    # paths bit-identical even for degenerate vectors.
+    a_sim = F.when(
+        (F.col("_en") != 0) & (F.col("_cn") != 0),
+        sim.cosine_sim_e6_prenorm(
+            "embedding", "c_arr", F.col("_en"), F.col("_cn"), dim))
     w = Window.partitionBy("vec_id").orderBy(
         F.col("a_sim").desc(), F.col("cell"))
     return (
@@ -356,11 +363,18 @@ def ivf_assign(emb: DataFrame, centv: DataFrame,
                 en_acc += mat[:, i] * mat[:, i]
             en = np.sqrt(en_acc)
             best_sim = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
-            best_cell = np.zeros(n, dtype=np.int32)
+            # no-valid-sim default = smallest cell (mirrors the expr
+            # form's NULLS-LAST argmax + ORDER BY cell tie-break)
+            best_cell = np.full(n, cents[0][0] if cents else 0,
+                                dtype=np.int32)
             for cell, cvec, cn in cents:   # ascending: strict > keeps
-                sim_e6 = np.floor(            # the smallest cell on ties
-                    seq_dot(cvec) / (en * cn) * 1_000_000).astype(np.int64)
-                upd = sim_e6 > best_sim
+                if cn == 0:                # the smallest cell on ties
+                    continue  # degenerate centroid: cosine undefined
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    simf = np.floor(seq_dot(cvec) / (en * cn) * 1_000_000)
+                valid = np.isfinite(simf)  # en == 0 rows keep the default
+                sim_e6 = np.where(valid, simf, 0).astype(np.int64)
+                upd = valid & (sim_e6 > best_sim)
                 best_sim[upd] = sim_e6[upd]
                 best_cell[upd] = cell
             yield pd.DataFrame({

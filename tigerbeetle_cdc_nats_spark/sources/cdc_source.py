@@ -44,7 +44,13 @@ from pyspark.sql.types import StructType
 #: guard (runner.go:726-736): a cursor here can never advance again.
 _TS_MAX = (1 << 63) - 1
 
-_DEFAULT_EVENT_COUNT_MAX = 2730  # reference config.go default batch limit
+# Reference default batch limit: --event-count-max = 4096 (config.go:40,
+# flag config.go:210). MUST stay equal to config.DEFAULT_EVENT_COUNT_MAX —
+# pinned by tests/test_cdc_source.py so a standalone `tb_cdc_events` read
+# with no eventCountMax option cuts batches exactly like the reference.
+from tigerbeetle_cdc_nats_spark.config import DEFAULT_EVENT_COUNT_MAX
+
+_DEFAULT_EVENT_COUNT_MAX = DEFAULT_EVENT_COUNT_MAX
 
 
 def _events_files(path: str) -> list[str]:
@@ -82,11 +88,14 @@ def _ts_to_ns(arr):
 
 def _stat_ns(stat_value) -> int:
     """Row-group min/max statistic -> int64 ns (datetime for timestamp
-    physical types, int for int64)."""
+    physical types, int for int64). Parquet columns written
+    adjusted-to-UTC (Spark's default ``isAdjustedToUTC=true``) surface as
+    tz-AWARE datetimes; naive-minus-aware subtraction raises, so the epoch
+    must carry the statistic's own tzinfo."""
     import datetime
 
     if isinstance(stat_value, datetime.datetime):
-        epoch = datetime.datetime(1970, 1, 1)
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=stat_value.tzinfo)
         return int((stat_value - epoch) / datetime.timedelta(
             microseconds=1)) * 1000
     return int(stat_value)
@@ -149,6 +158,31 @@ class CdcEventsStreamReader(DataSourceStreamReader):
         if ts > self._floor:
             self._floor_ns = ts
 
+    def _check_sorted(self, pending) -> None:
+        """Enforce the cost model, don't assume it: the early-exit below
+        only bounds a poll to its own batch's row groups when the backlog
+        is ts-sorted ACROSS row groups. Overlapping [min, max] stat ranges
+        mean an unsorted store — every poll then reads the ``ts`` column
+        of the whole backlog past the cursor. Warn once per reader so the
+        O(backlog)-per-poll behavior is visible, not silent."""
+        if getattr(self, "_warned_unsorted", False):
+            return
+        max_hi = None
+        for lo, hi, _pf, _rg in pending:
+            if max_hi is not None and lo < max_hi:
+                self._warned_unsorted = True
+                import warnings
+
+                warnings.warn(
+                    "tb_cdc_events: row-group ts ranges overlap (unsorted "
+                    "event store); each poll will scan the ts column of "
+                    "the ENTIRE backlog past the cursor instead of one "
+                    "batch's row groups. Sort/compact the store by ts to "
+                    "restore O(batch) polls.",
+                    RuntimeWarning, stacklevel=3)
+                return
+            max_hi = hi if max_hi is None else max(max_hi, hi)
+
     def _advance(self, cur: int) -> dict:
         """Next cursor: at most ``event_count_max`` events past ``cur``,
         cut at a timestamp boundary (ties included)."""
@@ -166,6 +200,7 @@ class CdcEventsStreamReader(DataSourceStreamReader):
         pending = sorted(
             ((lo, hi, pf, rg) for _f, pf, rg, lo, hi in self._row_groups()
              if hi > cur), key=lambda t: t[0])
+        self._check_sorted(pending)
         candidates: list = []
         n_new = 0
         for i, (lo, _hi, pf, rg) in enumerate(pending):
