@@ -64,3 +64,85 @@ def pagerank_e6(edges: DataFrame, iterations: int = 2) -> DataFrame:
         .select(F.col("node").alias("doc_id"),
                 F.col("deg").cast("bigint").alias("degree"), "pr_e6")
     )
+
+
+def degree_oriented(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Orient a distinct (doc_a < doc_b) edge list from the lower-(degree,
+    id) endpoint to the higher. Returns (oriented(src, dst, dst_deg), deg).
+
+    This is the standard degree-ordered triangle orientation: every
+    vertex's OUT-degree is bounded by O(sqrt(m)) (more precisely the graph
+    arboricity), so wedge enumeration at a power-law hub — boilerplate
+    pages in a web-corpus near-dup graph — costs C(outdeg, 2) = O(m)
+    instead of the id-ordered form's C(deg, 2) = O(deg^2). dst_deg rides
+    along so the wedge join can order its two endpoints by the SAME
+    (degree, id) total order without re-joining degrees.
+    """
+    deg = edges.groupBy(F.col("doc_a").alias("node")).agg(
+        F.count("*").alias("d")).unionByName(
+        edges.groupBy(F.col("doc_b").alias("node")).agg(
+            F.count("*").alias("d"))).groupBy("node").agg(
+        F.sum("d").alias("deg"))
+    da = deg.select(F.col("node").alias("doc_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("doc_b"), F.col("deg").alias("deg_b"))
+    e = edges.join(da, "doc_a").join(db, "doc_b")
+    fwd = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("doc_a") < F.col("doc_b")))
+    oriented = e.select(
+        F.when(fwd, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+        F.when(fwd, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+        F.when(fwd, F.col("deg_b")).otherwise(F.col("deg_a")).alias("dst_deg"),
+    )
+    return oriented, deg
+
+
+def oriented_wedges(oriented: DataFrame) -> DataFrame:
+    """Enumerated wedge candidates (v1, v2) of the degree-ordered
+    orientation: out-neighbor pairs at each source, endpoints ordered by
+    (degree, id) so the closing edge — if it exists — is oriented exactly
+    (v1 -> v2). Volume is sum over vertices of C(outdeg, 2), bounded by
+    O(m * arboricity); the hub-degree soak test pins this."""
+    o1 = oriented.select("src", F.col("dst").alias("v1"),
+                         F.col("dst_deg").alias("d1"))
+    o2 = oriented.select("src", F.col("dst").alias("v2"),
+                         F.col("dst_deg").alias("d2"))
+    before = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    return o1.join(o2, "src").where(before).select("v1", "v2")
+
+
+def triangle_census(edges: DataFrame) -> DataFrame:
+    """(n_wedges, n_triangles, closure_ratio) of an undirected graph given
+    as a distinct (doc_a < doc_b) edge list.
+
+    n_wedges is the standard open+closed path-of-length-2 count
+    sum(C(deg, 2)) — a per-vertex AGGREGATE, never an enumeration;
+    n_triangles comes from the degree-ordered wedge join (each triangle
+    counted exactly once at its lowest-(degree, id) corner);
+    closure_ratio = 3 * triangles / wedges, the global clustering
+    coefficient. Per-node products stay in BIGINT (deg < 2^31 always —
+    it's bounded by the doc count); the SUM accumulates in DECIMAL(38,0)
+    because a hub-heavy graph can push the wedge total past int64.
+    """
+    from pyspark import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    oriented, deg = degree_oriented(edges)
+    oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
+    tri = oriented_wedges(oriented).join(
+        oriented.select(F.col("src").alias("v1"), F.col("dst").alias("v2")),
+        ["v1", "v2"])
+    n_w = deg.agg(
+        F.sum(F.expr("deg * (deg - 1) div 2").cast("decimal(38,0)"))
+        .cast("bigint").alias("n_wedges"))
+    n_t = tri.agg(F.count("*").alias("n_triangles"))
+    return (
+        n_w.crossJoin(n_t)  # two broadcast 1x1 aggregates
+        .select(
+            F.coalesce("n_wedges", F.lit(0)).alias("n_wedges"),
+            "n_triangles",
+            F.when(F.coalesce("n_wedges", F.lit(0)) > 0,
+                   3.0 * F.col("n_triangles")
+                   / F.col("n_wedges").cast("double"))
+            .otherwise(F.lit(0.0)).alias("closure_ratio"))
+    )

@@ -887,9 +887,12 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     The unordered (LEAST, GREATEST) source key folds the two directions
     of each pair into one matrix cell.
     """
+    from tigerbeetle_cdc_nats_spark.queries_dedup import (
+        corpus_minhash_pairs,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(docs)
-    pairs = dd.minhash_candidate_pairs(sigs).where(
+    pairs = corpus_minhash_pairs(spark, sf_dir).where(
         F.col("est_jaccard") >= 0.5).select("doc_a", "doc_b")
     src = docs.select("doc_id", "source")
     lab = (

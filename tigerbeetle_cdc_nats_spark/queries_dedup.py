@@ -139,6 +139,61 @@ def stored_index_dir(kind: str, sf_dir: str,
     return os.path.join(root, f"{kind}_{h}")
 
 
+def corpus_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidate pairs ``(doc_a, doc_b, est_jaccard)`` for the
+    whole corpus, served from the PERSISTED banded index (built on first
+    touch, reused by every consumer: minhash_dedup_indexed and ALL the
+    dedup diagnostics — agreement/pagerank/triangles/estimator audit —
+    share this one stored artifact instead of each rebuilding one md5 per
+    gram occurrence). Falls back to the in-session signature build when
+    the index scratch is unwritable/untrusted — identical candidates
+    either way (stored and fresh share pairs_est_from_banded)."""
+    import os
+
+    from tigerbeetle_cdc_nats_spark.sources import dedup_index as di
+
+    docs = load_table(spark, sf_dir, "documents")
+    try:
+        path = stored_index_dir("minhash", sf_dir)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            di.write_minhash_index(docs, path)
+        return di.minhash_pairs_from_index(
+            di.read_minhash_index(spark, path))
+    except Exception:
+        # index location unwritable (read-only scratch): same result
+        # from the in-session path — the stored artifact is a perf
+        # optimization, never a correctness dependency
+        return dd.minhash_candidate_pairs(dd.minhash_signatures(docs))
+
+
+def corpus_minhash_probe(spark: SparkSession, sf_dir: str,
+                         delta_mod: int = 5,
+                         delta_rem: int = 4) -> DataFrame:
+    """Delta-vs-corpus candidate probe ``(doc_id, other_id, est_jaccard,
+    other_is_delta)`` for the deterministic ``doc_id % delta_mod ==
+    delta_rem`` delta batch, served from the stored banded index (only the
+    probed (band, shard) partitions are read); in-session incremental-pair
+    fallback with identical candidates."""
+    import os
+
+    from tigerbeetle_cdc_nats_spark.sources import dedup_index as di
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = (F.col("doc_id") % delta_mod) == delta_rem
+    try:
+        path = stored_index_dir("minhash", sf_dir)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            di.write_minhash_index(docs, path)
+        pairs = di.probe_minhash_index(spark, path, docs.where(pred))
+    except Exception:
+        pairs = dd.minhash_incremental_pairs(
+            dd.minhash_signatures(docs), pred).select(
+            "doc_id", "other_id", "est_jaccard")
+    # delta membership is a pure id function — derivable on either path
+    return pairs.withColumn(
+        "other_is_delta", (F.col("other_id") % delta_mod) == delta_rem)
+
+
 @register(
     "minhash_dedup_indexed",
     f"WITH {_MINHASH_CTES}\n"
@@ -158,22 +213,7 @@ def q_minhash_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to minhash_dedup because stored and fresh paths share
     pairs_est_from_banded.
     """
-    import os
-
-    from tigerbeetle_cdc_nats_spark.sources import dedup_index as di
-
-    docs = load_table(spark, sf_dir, "documents")
-    path = stored_index_dir("minhash", sf_dir)
-    try:
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            di.write_minhash_index(docs, path)
-        return di.minhash_pairs_from_index(
-            di.read_minhash_index(spark, path))
-    except Exception:
-        # index location unwritable (read-only scratch): same result
-        # from the in-session path — the stored artifact is a perf
-        # optimization, never a correctness dependency
-        return dd.minhash_candidate_pairs(dd.minhash_signatures(docs))
+    return corpus_minhash_pairs(spark, sf_dir)
 
 
 @register(
@@ -196,23 +236,8 @@ FROM (SELECT probe.doc_id, probe.other_id, sa.sig AS sig_a, sb.sig AS sig_b
         "cost tracks the delta",
 )
 def q_minhash_probe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    from tigerbeetle_cdc_nats_spark.sources import dedup_index as di
-
-    docs = load_table(spark, sf_dir, "documents")
-    delta = docs.where((F.col("doc_id") % 5) == 4)
-    path = stored_index_dir("minhash", sf_dir)
-    try:
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            di.write_minhash_index(docs, path)
-        return di.probe_minhash_index(spark, path, delta)
-    except Exception:
-        # read-only scratch fallback: probe against an in-session banded
-        # table (same candidates; loses only the file-level pruning)
-        pairs = dd.minhash_incremental_pairs(
-            dd.minhash_signatures(docs), (F.col("doc_id") % 5) == 4)
-        return pairs.select("doc_id", "other_id", "est_jaccard")
+    return corpus_minhash_probe(spark, sf_dir).select(
+        "doc_id", "other_id", "est_jaccard")
 
 
 @register(
@@ -241,9 +266,7 @@ def _dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _CC_CACHE.get(key)
     if hit is not None:
         return hit
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(docs)
-    edges = dd.minhash_candidate_pairs(sigs).where(
+    edges = corpus_minhash_pairs(spark, sf_dir).where(
         F.col("est_jaccard") >= DUP_CLUSTER_THRESHOLD)
     comp = dd.connected_components(edges, src="doc_a", dst="doc_b")
     _CC_CACHE[key] = comp
@@ -452,8 +475,7 @@ def q_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-distinct arrays. The audit output is a one-row aggregate.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(docs)
-    pairs = dd.minhash_candidate_pairs(sigs).select(
+    pairs = corpus_minhash_pairs(spark, sf_dir).select(
         "doc_a", "doc_b",
         F.floor(F.col("est_jaccard") * 1000000).cast("bigint")
         .alias("est_e6"),
@@ -540,9 +562,7 @@ def q_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         undirect,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(docs)
-    pairs = dd.minhash_candidate_pairs(sigs).where(
+    pairs = corpus_minhash_pairs(spark, sf_dir).where(
         F.col("est_jaccard") >= DUP_CLUSTER_THRESHOLD).select(
         "doc_a", "doc_b")
     return pagerank_e6(undirect(pairs), iterations=2)
@@ -573,8 +593,7 @@ WHERE edit_dist * 4 <= max_len""",
 )
 def q_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(docs)
-    cand = dd.minhash_candidate_pairs(sigs).where(
+    cand = corpus_minhash_pairs(spark, sf_dir).where(
         F.col("est_jaccard") >= 0.3).select("doc_a", "doc_b")
     a = docs.select(F.col("doc_id").alias("doc_a"),
                     F.col("text").alias("text_a"))
@@ -598,63 +617,46 @@ def q_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""WITH RECURSIVE {_MINHASH_CTES},
 e AS (SELECT doc_a, doc_b FROM wsig
       WHERE {_EST_J} >= {DUP_CLUSTER_THRESHOLD}),
-wedge AS (
-  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
-  FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
-),
+sym AS (SELECT doc_a AS node FROM e UNION ALL SELECT doc_b FROM e),
+deg AS (SELECT node, COUNT(*) AS deg FROM sym GROUP BY node),
+w AS (SELECT CAST(COALESCE(SUM(deg * (deg - 1) // 2), 0) AS BIGINT) AS n
+      FROM deg),
 tri AS (
-  SELECT w.a, w.b, w.c
-  FROM wedge w JOIN e e3 ON w.a = e3.doc_a AND w.c = e3.doc_b
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
+  JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
 )
-SELECT (SELECT COUNT(*) FROM wedge) AS n_wedges,
-       (SELECT COUNT(*) FROM tri) AS n_triangles,
-       CASE WHEN (SELECT COUNT(*) FROM wedge) > 0
-            THEN (SELECT COUNT(*) FROM tri)
-                 / CAST((SELECT COUNT(*) FROM wedge) AS DOUBLE)
-            ELSE 0.0 END AS closure_ratio""",
-    doc="triangle census over the near-dup graph: ordered wedges (a<b<c "
-        "paths) and closed triangles counted via two joins on the "
-        "id-ordered edge list, plus the global closure ratio — the "
-        "transitivity diagnostic that says whether near-dup clusters are "
-        "tight copy-families (high closure) or loose hub-and-spoke chains",
+SELECT w.n AS n_wedges, tri.n AS n_triangles,
+       CASE WHEN w.n > 0 THEN 3.0 * tri.n / CAST(w.n AS DOUBLE)
+            ELSE 0.0 END AS closure_ratio
+FROM w, tri""",
+    doc="triangle census over the near-dup graph: wedge count as the "
+        "per-vertex aggregate sum(C(deg,2)) (never an enumeration), "
+        "triangles via the DEGREE-ORDERED wedge join (per-vertex fan-out "
+        "bounded by arboricity, so a power-law boilerplate hub cannot "
+        "explode the join), closure = 3*tri/wedges — the global "
+        "clustering coefficient that says whether near-dup clusters are "
+        "tight copy-families or loose hub-and-spoke chains",
 )
 def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wedge/triangle counts + closure ratio of the MinHash dup graph.
 
-    Scale shape: the classic ordered-edge triangle count — every edge is
-    stored once as (lo, hi), wedges come from one self-join on the middle
-    vertex, closure from one more join on the (a, c) endpoints. The id
-    ordering means each triangle is counted exactly once, no permutation
-    blow-up, and both joins key on vertex ids (high cardinality, even
-    spread; a power-law hub would call for the degree-ordered variant).
-    The edge list is persisted: it feeds both joins and the wedge count.
+    Scale shape (operators/graph.triangle_census): edges come from the
+    STORED banded index (corpus_minhash_pairs); the wedge count is a
+    per-vertex degree aggregate; triangle enumeration orients every edge
+    from its lower-(degree, id) endpoint, so enumerated wedge volume is
+    sum(C(outdeg, 2)) = O(m * arboricity) — on a power-law hub graph
+    (boilerplate pages, the common web-corpus case) the id-ordered form's
+    sum(deg^2) blows up while this stays near-linear (hub soak test pins
+    it). The oracle counts the same triangles id-ordered — the count is
+    orientation-invariant — and the same wedges by the degree formula.
     """
-    from pyspark import StorageLevel
+    from tigerbeetle_cdc_nats_spark.operators.graph import triangle_census
 
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(docs)
-    e = (dd.minhash_candidate_pairs(sigs)
+    e = (corpus_minhash_pairs(spark, sf_dir)
          .where(F.col("est_jaccard") >= DUP_CLUSTER_THRESHOLD)
-         .select("doc_a", "doc_b")
-         .persist(StorageLevel.MEMORY_AND_DISK))
-    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    e2 = e.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
-    wedge = (e1.join(e2, F.col("b") == F.col("b2"))
-             .select("a", "b", "c")
-             .persist(StorageLevel.MEMORY_AND_DISK))
-    e3 = e.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
-    tri = wedge.join(
-        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
-    n_w = wedge.agg(F.count("*").alias("n_wedges"))
-    n_t = tri.agg(F.count("*").alias("n_triangles"))
-    return (
-        n_w.crossJoin(n_t)
-        .select(
-            "n_wedges", "n_triangles",
-            F.when(F.col("n_wedges") > 0,
-                   F.col("n_triangles") / F.col("n_wedges").cast("double"))
-            .otherwise(F.lit(0.0)).alias("closure_ratio"))
-    )
+         .select("doc_a", "doc_b"))
+    return triangle_census(e)
 
 
 #: Exact-similarity-join threshold (J >= 1/2; the filter compares
@@ -748,9 +750,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     able. The final left join keeps never-seen docs with is_new = 1.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(docs)
-    pairs = dd.minhash_incremental_pairs(
-        sigs, (F.col("doc_id") % 5) == 4).where(
+    pairs = corpus_minhash_probe(spark, sf_dir).where(
         F.col("est_jaccard") >= DUP_CLUSTER_THRESHOLD)
     agg = pairs.groupBy("doc_id").agg(
         F.sum(F.when(~F.col("other_is_delta"), 1).otherwise(0))
@@ -805,9 +805,7 @@ def q_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the left join, never touching a similarity computation.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(docs)
-    pairs = dd.minhash_incremental_pairs(
-        sigs, (F.col("doc_id") % 5) == 4)
+    pairs = corpus_minhash_probe(spark, sf_dir)
     m = (pairs.where(~F.col("other_is_delta"))
          .groupBy("doc_id")
          .agg(F.max("est_jaccard").alias("max_sim"),
@@ -851,8 +849,7 @@ WHERE n_inter * 1000000 // n_a >= 500000
 )
 def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(docs)
-    pairs = dd.minhash_candidate_pairs(sigs).select("doc_a", "doc_b")
+    pairs = corpus_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sets = (dd.gram_hash_rows(docs).groupBy("doc_id")
             .agg(F.collect_set("h").alias("shset"))
             .select("doc_id", "shset",
@@ -893,9 +890,8 @@ WHERE da.lang != db.lang AND {_EST_J} >= 0.5""",
 )
 def q_crosslingual_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(docs)
-    pairs = (dd.minhash_candidate_pairs(sigs)
-             .where(F.col("est_jaccard") >= 0.5))
+    pairs = corpus_minhash_pairs(spark, sf_dir).where(
+        F.col("est_jaccard") >= 0.5)
     la = docs.select(F.col("doc_id").alias("doc_a"),
                      F.col("lang").alias("lang_a"))
     lb = docs.select(F.col("doc_id").alias("doc_b"),
@@ -946,9 +942,8 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold = (dd.hash60(F.concat(F.lit("split:"),
                                F.col("doc_id").cast("string"))) % 10)
     sp = docs.select("doc_id", fold.alias("fold"))
-    sigs = dd.minhash_signatures(docs)
-    pairs = (dd.minhash_candidate_pairs(sigs)
-             .where(F.col("est_jaccard") >= DUP_CLUSTER_THRESHOLD))
+    pairs = corpus_minhash_pairs(spark, sf_dir).where(
+        F.col("est_jaccard") >= DUP_CLUSTER_THRESHOLD)
     sa = sp.select(F.col("doc_id").alias("doc_a"),
                    (F.col("fold") == 0).cast("bigint").alias("a_is_test"))
     sb = sp.select(F.col("doc_id").alias("doc_b"),

@@ -740,15 +740,15 @@ def q_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from tigerbeetle_cdc_nats_spark.operators import dedup as dd
-    from tigerbeetle_cdc_nats_spark.queries_dedup import DUP_CLUSTER_THRESHOLD
+    from tigerbeetle_cdc_nats_spark.queries_dedup import (
+        DUP_CLUSTER_THRESHOLD,
+        corpus_minhash_pairs,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
-    sigs = dd.minhash_signatures(docs)
     t = (
-        dd.minhash_candidate_pairs(sigs)
+        corpus_minhash_pairs(spark, sf_dir)
         .where(F.col("est_jaccard") >= DUP_CLUSTER_THRESHOLD)
         .select(F.col("doc_a").alias("t_a"), F.col("doc_b").alias("t_b"))
     )
