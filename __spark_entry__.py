@@ -29,10 +29,55 @@ def entry(spark: SparkSession) -> DataFrame:
     return qs["cdc_incremental_scan"].fn(spark, SMOKE_SF_DIR)
 
 
+#: Queries already recorded in a prior round's CORRECTNESS artifact
+#: (union of CORRECTNESS_r01..r05 keys). The driver samples the FIRST 50
+#: registered queries each round, so those artifacts never reached the
+#: similarity/corpus/dedup tail; listing the previously-sampled names
+#: LAST rotates fresh coverage into the round-6 sample while keeping the
+#: full registry intact.
+_SAMPLED_IN_PRIOR_ROUNDS = frozenset({
+    "ann_lsh_cosine", "asof_join", "balance_rollup", "cdc_incremental_scan",
+    "cdc_native_scan", "changelog_compaction", "chunk_assignment",
+    "chunk_max_checkpoint", "column_stats", "dedupe_msgid",
+    "distinct_event_count", "doc_fingerprint", "duplicate_count",
+    "embedding_near_dup", "equidepth_histogram", "event_enrichment_join",
+    "event_json_decode", "event_projection", "event_sequence_rank",
+    "event_stream_union", "event_transition_matrix", "event_type_encode",
+    "exact_dedup", "header_projection", "incremental_rollup_merge",
+    "integrity_audit", "ivf_ann_cosine", "ivm_delta_rows", "ivm_join_view",
+    "ivm_topk_view", "json_roundtrip", "knn_bruteforce_cosine",
+    "label_centroids", "lang_id", "ledger_event_type_counts",
+    "ledger_pivot", "ledger_rollup", "left_enrichment_join",
+    "minhash_dedup", "multires_rollup", "ngram_jaccard_dedup",
+    "portable_number_encode", "progress_recovery", "props_json_stats",
+    "q10_returned_items", "q13_order_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue", "q1_pricing_summary", "q21_waiting_orders",
+    "q22_sales_opportunity", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_nation_revenue", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "quality_score", "rate_anomaly", "rate_window_counts", "revenue_trend",
+    "running_balance", "scd2_intervals", "scd2_point_in_time_join",
+    "segment_migration_matrix", "semi_anti_join", "sessionization",
+    "simhash_dedup", "skew_salted_counts", "skew_salted_join",
+    "snapshot_reconcile", "stream_order_audit", "subject_routing",
+    "time_weighted_value", "timestamp_range_filter", "token_count",
+    "top_k_by_amount", "top_suppliers_by_revenue", "value_percentiles",
+})
+
+
+def _rotated(items):
+    """Never-sampled queries first (registration order preserved within
+    each group) so the driver's fixed-size sample reaches new families."""
+    fresh = [(n, q) for n, q in items if n not in _SAMPLED_IN_PRIOR_ROUNDS]
+    stale = [(n, q) for n, q in items if n in _SAMPLED_IN_PRIOR_ROUNDS]
+    return fresh + stale
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name, q in registry.all_queries().items():
+    for name, q in _rotated(registry.all_queries().items()):
         def run(spark: SparkSession, sf_dir: str, _q=q) -> DataFrame:
             configure(spark)
             return _q.fn(spark, sf_dir)
@@ -45,6 +90,6 @@ def oracle_sql() -> dict[str, str]:
     check (non-SQL-expressible ops)."""
     return {
         name: q.oracle
-        for name, q in registry.all_queries().items()
+        for name, q in _rotated(registry.all_queries().items())
         if q.oracle is not None
     }

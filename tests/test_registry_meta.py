@@ -49,3 +49,25 @@ def test_every_query_nonempty_at_smoke_sf(spark):
 def test_entry_returns_rows(spark):
     mod = _entry_module()
     assert mod.entry(spark).count() > 0
+
+
+def test_driver_sample_rotation_prefers_unsampled_queries():
+    """The driver records the first 50 queries() entries each round; the
+    rotation must put never-yet-sampled queries there so CORRECTNESS
+    artifacts accumulate coverage instead of re-recording the same 50."""
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    oracles = entry.oracle_sql()
+    assert len(names) >= 190
+    fresh_head = [n for n in names[:50]
+                  if n not in entry._SAMPLED_IN_PRIOR_ROUNDS]
+    assert len(fresh_head) == 50
+    # rotation reorders but never drops/duplicates; oracles stay attached
+    from tigerbeetle_cdc_nats_spark import registry
+
+    reg = registry.all_queries()
+    assert set(names) == set(reg)
+    assert len(names) == len(reg)
+    assert set(oracles) == {n for n, q in reg.items()
+                            if q.oracle is not None}
