@@ -65,6 +65,11 @@ DOC_OPS = [
     "source_frequency_cap",
     "training_shuffle_order", "quality_rank_normalized",
     "crosslingual_near_dup", "rag_retrieve_diverse",
+    # round 6: the dedup diagnostics now served from the stored MinHash
+    # index (cold cost excludes signature construction) + the
+    # degree-ordered triangle census.
+    "dup_method_agreement", "dup_pagerank", "dup_triangles",
+    "minhash_estimator_audit", "novelty_score",
     "curated_corpus_pipeline", "multi_epoch_shuffle",
     "media_feature_vectors", "quality_weighted_sample", "blocklist_kwic",
     "source_token_divergence",

@@ -108,7 +108,16 @@ def oriented_wedges(oriented: DataFrame) -> DataFrame:
                          F.col("dst_deg").alias("d2"))
     before = (F.col("d1") < F.col("d2")) | (
         (F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
-    return o1.join(o2, "src").where(before).select("v1", "v2")
+    return o1.join(o2, "src").where(before).select("src", "v1", "v2")
+
+
+def triangle_corners(oriented: DataFrame) -> DataFrame:
+    """Closed triangles of the degree-ordered orientation as
+    (src, v1, v2) corner triples — each triangle appears exactly once,
+    anchored at its lowest-(degree, id) corner."""
+    return oriented_wedges(oriented).join(
+        oriented.select(F.col("src").alias("v1"), F.col("dst").alias("v2")),
+        ["v1", "v2"])
 
 
 def triangle_census(edges: DataFrame) -> DataFrame:
@@ -129,9 +138,7 @@ def triangle_census(edges: DataFrame) -> DataFrame:
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     oriented, deg = degree_oriented(edges)
     oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
-    tri = oriented_wedges(oriented).join(
-        oriented.select(F.col("src").alias("v1"), F.col("dst").alias("v2")),
-        ["v1", "v2"])
+    tri = triangle_corners(oriented)
     n_w = deg.agg(
         F.sum(F.expr("deg * (deg - 1) div 2").cast("decimal(38,0)"))
         .cast("bigint").alias("n_wedges"))
@@ -145,4 +152,34 @@ def triangle_census(edges: DataFrame) -> DataFrame:
                    3.0 * F.col("n_triangles")
                    / F.col("n_wedges").cast("double"))
             .otherwise(F.lit(0.0)).alias("closure_ratio"))
+    )
+
+
+def local_clustering_e6(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient in
+    exact 1e-6 integer units: ``lcc = 2 * tri(v) / (deg(v) * (deg(v)-1))``
+    for deg >= 2, else 0. Output: (doc_id, degree, n_tri, lcc_e6).
+
+    Scale shape: triangles enumerate degree-ordered (bounded fan-out);
+    each closed triangle fans out to its THREE corners (a 1->3 explode,
+    no join), then one groupBy(node) count joins back to the degree table
+    — everything keyed on the node id.
+    """
+    from pyspark import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    oriented, deg = degree_oriented(edges)
+    corners = triangle_corners(oriented).select(
+        F.explode(F.array("src", "v1", "v2")).alias("node"))
+    tri = corners.groupBy("node").agg(F.count("*").alias("n_tri"))
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("deg").cast("bigint").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_tri"),
+            F.when(F.col("deg") >= 2,
+                   F.expr("2 * coalesce(n_tri, 0) * 1000000 "
+                          "div (deg * (deg - 1))"))
+            .otherwise(F.lit(0)).cast("bigint").alias("lcc_e6"))
     )

@@ -339,3 +339,39 @@ def q_cdc_native_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.orderBy("ts").limit(4096)
             .select("event_id", "ts", "user_id", "event_type",
                     F.col("value").cast("double").alias("value"), "props"))
+
+
+@register(
+    "cdc_backlog_stats",
+    f"""WITH ev AS ({_EV})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pending,
+       CAST((COUNT(*) + 4095) // 4096 AS BIGINT) AS n_batches,
+       MIN(ts) AS min_pending_ts,
+       MAX(ts) AS max_pending_ts
+FROM ev WHERE ts > {CURSOR_NS}""",
+    doc="consumer-lag observability for the CDC poll loop: events pending "
+        "past the cursor, polls needed to drain them at the reference "
+        "batch limit (--event-count-max 4096, config.go:40), and the "
+        "pending ts range — the backlog dashboard a CDC deployment "
+        "watches to size idle-interval and rate limits",
+)
+def q_cdc_backlog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One aggregation over the cursor-pruned scan.
+
+    Scale shape: the ts > cursor predicate pushes to the parquet scan
+    (row groups before the cursor are never read — the same pruning the
+    streaming source's latestOffset uses), and the result is a single
+    map-side-combined global aggregate.
+    """
+    from tigerbeetle_cdc_nats_spark.config import DEFAULT_EVENT_COUNT_MAX
+
+    ev = events_table(spark, sf_dir, lo_ns=CURSOR_NS + 1)
+    agg = ev.where(F.col("ts") > CURSOR_NS).agg(
+        F.count("*").cast("bigint").alias("n_pending"),
+        F.min("ts").alias("min_pending_ts"),
+        F.max("ts").alias("max_pending_ts"))
+    return agg.select(
+        "n_pending",
+        F.expr(f"(n_pending + {DEFAULT_EVENT_COUNT_MAX - 1}) "
+               f"div {DEFAULT_EVENT_COUNT_MAX}").alias("n_batches"),
+        "min_pending_ts", "max_pending_ts")

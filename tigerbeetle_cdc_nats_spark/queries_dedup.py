@@ -954,3 +954,113 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor(F.col("est_jaccard") * 1000000)
                     .cast("bigint").alias("est_jaccard_e6"),
                     "a_is_test", "b_is_test"))
+
+
+#: Signature-agreement thresholds (of MINHASH_K=16) swept by the
+#: calibration query: 8/16 = est J 0.5 ... 16/16 = exact-signature match.
+SWEEP_MIN_AGREE = (8, 10, 12, 14, 16)
+
+_M_AGREE = (f"len(list_filter(range(1, {dd.MINHASH_K + 1}), "
+            f"i -> sig_a[CAST(i AS INT)] = sig_b[CAST(i AS INT)]))")
+
+
+@register(
+    "dedup_threshold_sweep",
+    f"""WITH {_MINHASH_CTES},
+pm AS (SELECT doc_a, doc_b, {_M_AGREE} AS m FROM wsig),
+th AS (SELECT unnest({list(SWEEP_MIN_AGREE)}) AS min_agree),
+sw AS (SELECT t.min_agree, p.doc_a, p.doc_b
+       FROM pm p JOIN th t ON p.m >= t.min_agree),
+np AS (SELECT min_agree, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       FROM sw GROUP BY 1),
+nd AS (SELECT min_agree, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM (SELECT min_agree, doc_a AS doc_id FROM sw
+             UNION ALL SELECT min_agree, doc_b FROM sw) GROUP BY 1)
+SELECT CAST(t.min_agree AS BIGINT) AS min_agree,
+       COALESCE(np.n_pairs, 0) AS n_pairs,
+       COALESCE(nd.n_docs, 0) AS n_docs
+FROM th t LEFT JOIN np ON np.min_agree = t.min_agree
+LEFT JOIN nd ON nd.min_agree = t.min_agree""",
+    doc="dedup threshold calibration sweep: candidate-pair and flagged-doc "
+        "counts at every signature-agreement cut (8..16 of 16) — the "
+        "curve a dedup deployment reads to pick its Jaccard threshold "
+        "(too low drops real content, too high keeps near-dups). One "
+        "pass over the STORED index's candidate pairs; agreement counts "
+        "are exact integers (est_jaccard * 16), so the sweep is "
+        "cross-engine deterministic",
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair/doc counts per candidate threshold, from the stored index.
+
+    Scale shape: the candidate-pair set (LSH equality join, linear under
+    calibrated geometry) is scanned ONCE; the 5-way threshold explode
+    multiplies only that bounded pair set, and the doc-side distinct is
+    keyed on (threshold, doc_id). The threshold spine left-joins the two
+    aggregates so every cut appears even with zero survivors.
+    """
+    pairs = corpus_minhash_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b",
+        (F.col("est_jaccard") * dd.MINHASH_K).cast("int").alias("m"))
+    sw = (pairs.withColumn(
+        "min_agree",
+        F.explode(F.array(*[F.lit(t) for t in SWEEP_MIN_AGREE])))
+        .where(F.col("m") >= F.col("min_agree")))
+    np_ = sw.groupBy("min_agree").agg(
+        F.count("*").cast("bigint").alias("n_pairs"))
+    nd = (sw.select("min_agree",
+                    F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+          .distinct()
+          .groupBy("min_agree")
+          .agg(F.count("*").cast("bigint").alias("n_docs")))
+    th = spark.createDataFrame([(t,) for t in SWEEP_MIN_AGREE],
+                               "min_agree int")
+    return (th.join(np_, "min_agree", "left").join(nd, "min_agree", "left")
+            .select(F.col("min_agree").cast("bigint").alias("min_agree"),
+                    F.coalesce("n_pairs", F.lit(0)).cast("bigint")
+                    .alias("n_pairs"),
+                    F.coalesce("n_docs", F.lit(0)).cast("bigint")
+                    .alias("n_docs")))
+
+
+@register(
+    "local_clustering",
+    f"""WITH RECURSIVE {_MINHASH_CTES},
+e AS (SELECT doc_a, doc_b FROM wsig
+      WHERE {_EST_J} >= {DUP_CLUSTER_THRESHOLD}),
+sym AS (SELECT doc_a AS node FROM e UNION ALL SELECT doc_b FROM e),
+deg AS (SELECT node, COUNT(*) AS deg FROM sym GROUP BY node),
+tric AS (SELECT unnest([e1.doc_a, e1.doc_b, e2.doc_b]) AS node
+         FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
+         JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+tn AS (SELECT node, COUNT(*) AS n_tri FROM tric GROUP BY node)
+SELECT d.node AS doc_id, CAST(d.deg AS BIGINT) AS degree,
+       CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(CASE WHEN d.deg >= 2
+            THEN (2 * COALESCE(tn.n_tri, 0) * 1000000)
+                 // (d.deg * (d.deg - 1))
+            ELSE 0 END AS BIGINT) AS lcc_e6
+FROM deg d LEFT JOIN tn ON tn.node = d.node""",
+    doc="per-document local clustering coefficient over the near-dup "
+        "graph (exact 1e-6 integer units): high lcc = tight copy-family "
+        "member (safe to collapse), low lcc on a high-degree node = "
+        "boilerplate hub stitching unrelated docs (collapse would merge "
+        "distinct content) — the per-node refinement of dup_triangles' "
+        "global closure ratio",
+)
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangles + clustering coefficient, index-served edges.
+
+    Scale shape: operators/graph.local_clustering_e6 — degree-ordered
+    triangle enumeration (hub-safe), a 1->3 corner explode, one
+    groupBy(node), one join to the degree table. The oracle enumerates
+    the same triangles id-ordered (per-corner counts are orientation-
+    invariant).
+    """
+    from tigerbeetle_cdc_nats_spark.operators.graph import (
+        local_clustering_e6,
+    )
+
+    e = (corpus_minhash_pairs(spark, sf_dir)
+         .where(F.col("est_jaccard") >= DUP_CLUSTER_THRESHOLD)
+         .select("doc_a", "doc_b"))
+    return local_clustering_e6(e)

@@ -1491,3 +1491,40 @@ def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                            sim.quantized_vec("embedding").alias("qq")),
                 "q_id"))
     return sim.pq_adc_scores_cells(index, cb, qs, dim, k=5)
+
+
+@register(
+    "ann_bucket_stats",
+    f"""WITH eb AS (SELECT vec_id, {_BUCKET} AS bucket FROM embeddings),
+occ AS (SELECT bucket, COUNT(*) AS c FROM eb GROUP BY bucket)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(c) AS BIGINT) AS n_vectors,
+       CAST(MAX(c) AS BIGINT) AS max_occupancy,
+       CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_candidate_pairs
+FROM occ""",
+    doc="LSH index health check: bucket count, max occupancy, and the "
+        "implied self-join candidate volume sum(C(c,2)) — the number "
+        "every ANN deployment watches, because one overloaded bucket is "
+        "the difference between an equality join and an accidental "
+        "quadratic scan (the planes_for_corpus knob exists to keep "
+        "max_occupancy bounded as the corpus grows)",
+)
+def q_ann_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy profile of the hyperplane-LSH bucketing.
+
+    Scale shape: one groupBy(bucket) count (the same shuffle the ANN
+    candidate join pays) then a single global aggregate; the pair-count
+    products run per bucket in BIGINT and accumulate in DECIMAL(38,0)
+    (a degenerate all-in-one-bucket index would overflow int64).
+    """
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    occ = (sim.lsh_buckets(emb, _planes(sf_dir), dim=_dim(sf_dir))
+           .groupBy("bucket").agg(F.count("*").alias("c")))
+    return occ.agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum("c").cast("bigint").alias("n_vectors"),
+        F.max("c").cast("bigint").alias("max_occupancy"),
+        F.sum(F.expr("c * (c - 1) div 2").cast("decimal(38,0)"))
+        .cast("bigint").alias("n_candidate_pairs"))
