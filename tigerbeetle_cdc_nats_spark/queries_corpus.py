@@ -1861,3 +1861,49 @@ def q_source_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("src_rank"),
         F.count("*").over(ws).cast("bigint").alias("src_docs"),
     ).withColumn("kept", (F.col("src_rank") <= 20).cast("bigint"))
+
+
+@register(
+    "winnow_probe_indexed",
+    f"""WITH {_WINNOW_FP_CTE},
+dp AS (SELECT doc_id, wm FROM fp WHERE doc_id % 5 = 4),
+pr AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS other_id, COUNT(*) AS n_shared
+  FROM dp a JOIN fp b ON a.wm = b.wm AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id, other_id, n_shared FROM pr""",
+    doc="delta-vs-corpus winnowing probe: a 20% delta batch's fingerprints "
+        "read ONLY their wm-shard partition directories of the stored "
+        "fingerprint index (file-level pruning) — per delta doc, shared-"
+        "fingerprint counts against the whole corpus; the winnow twin of "
+        "minhash_probe_indexed, completing the stored-index probe surface",
+)
+def q_winnow_probe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-fingerprint counts of the delta batch vs the indexed corpus.
+
+    Scale shape: the probe side is the delta's fingerprints (~2/(w+1) of
+    its gram volume); the index side prunes to the probed shards before
+    any join, so a daily batch costs O(|delta|), not O(corpus).
+    """
+    import os
+
+    from tigerbeetle_cdc_nats_spark.queries_dedup import stored_index_dir
+    from tigerbeetle_cdc_nats_spark.sources import dedup_index as di
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = (F.col("doc_id") % 5) == 4
+    try:
+        path = stored_index_dir("winnow", sf_dir)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            di.write_winnow_index(docs, path)
+        return di.probe_winnow_index(spark, path, docs.where(pred))
+    except Exception:
+        # read-only scratch fallback: identical counts in-session
+        fp = winnow_fingerprints(docs).persist()
+        a = fp.where(pred).select("wm", F.col("doc_id").alias("doc_id"))
+        b = fp.select("wm", F.col("doc_id").alias("other_id"))
+        return (a.join(b, ["wm"])
+                .where(F.col("doc_id") != F.col("other_id"))
+                .groupBy("doc_id", "other_id")
+                .agg(F.count("*").alias("n_shared")))
