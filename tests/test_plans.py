@@ -580,6 +580,7 @@ UNPARTITIONED_WINDOW_ALLOWANCE = {
     "quality_tertiles": 1,        # cumsum over distinct score values
     "source_mixing_weights": 1,   # share over per-source totals
     "token_ids": 1,               # frequency rank over the vocabulary
+    "vocab_coverage": 1,          # same vocabulary-aggregate rank
     "training_shuffle_order": 1,  # prefix-sum over 256 hash-bucket counts
     "multi_epoch_shuffle": 3,     # same 256-count prefix sum, one per epoch
     "weekly_growth": 1,           # lag over weekly rollup rows

@@ -1907,3 +1907,58 @@ def q_winnow_probe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .where(F.col("doc_id") != F.col("other_id"))
                 .groupBy("doc_id", "other_id")
                 .agg(F.count("*").alias("n_shared")))
+
+
+#: Head sizes for the vocabulary coverage curve.
+VOCAB_COVERAGE_KS = (10, 100, 1000)
+
+
+@register(
+    "vocab_coverage",
+    f"""WITH tok AS (SELECT unnest(str_split(text, ' ')) AS t
+             FROM documents),
+tc AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT SUM(c) AS n FROM tc),
+r AS (SELECT t, c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rk FROM tc),
+ks AS (SELECT unnest({list(VOCAB_COVERAGE_KS)}) AS k),
+cov AS (SELECT ks.k, CAST(SUM(r.c) AS BIGINT) AS covered,
+               CAST(COUNT(*) AS BIGINT) AS n_vocab
+        FROM ks JOIN r ON r.rk <= ks.k GROUP BY ks.k)
+SELECT CAST(cov.k AS BIGINT) AS k, cov.n_vocab,
+       CAST(CAST(covered AS HUGEINT) * 1000000 // tot.n AS BIGINT)
+         AS covered_e6
+FROM cov, tot""",
+    doc="vocabulary coverage / OOV curve: the exact token-mass fraction "
+        "(1e-6 units) covered by the top-10/100/1000 most frequent "
+        "tokens — the statistic that sizes a tokenizer vocabulary and "
+        "predicts the OOV rate a fixed vocab leaves behind; deterministic "
+        "ties by (count desc, token)",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage of the top-k token heads.
+
+    Scale shape: one explode+groupBy(token) (vocab-sized output with
+    map-side combine), the rank window runs over the VOCABULARY aggregate
+    only (allow-listed grouped input, never row-level data), and the
+    k-spine join multiplies only vocab rows. Coverage shares widen
+    through DECIMAL(38,0)/HUGEINT — token totals at advertised corpus
+    scale pass int64 when multiplied by 1e6.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (docs.select(F.explode(F.split("text", " ")).alias("t"))
+          .groupBy("t").agg(F.count("*").alias("c")))
+    r = tc.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("c").desc(), "t")))
+    tot = tc.agg(F.sum("c").alias("n"))
+    ks = spark.createDataFrame([(k,) for k in VOCAB_COVERAGE_KS], "k int")
+    cov = (r.join(F.broadcast(ks), F.col("rk") <= F.col("k"))
+           .groupBy("k")
+           .agg(F.sum("c").cast("bigint").alias("covered"),
+                F.count("*").cast("bigint").alias("n_vocab")))
+    return (cov.crossJoin(F.broadcast(tot))
+            .select(F.col("k").cast("bigint").alias("k"),
+                    "n_vocab",
+                    F.expr("CAST((CAST(covered AS DECIMAL(38,0)) * 1000000)"
+                           " DIV n AS BIGINT)").alias("covered_e6")))

@@ -1064,3 +1064,56 @@ def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
          .where(F.col("est_jaccard") >= DUP_CLUSTER_THRESHOLD)
          .select("doc_a", "doc_b"))
     return local_clustering_e6(e)
+
+
+def corpus_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded LSH rows ``(doc_id, band, bucket, sig)`` for the corpus,
+    read from the stored index when available (in-session build
+    fallback) — the raw material for band-level index health checks."""
+    import os
+
+    from tigerbeetle_cdc_nats_spark.sources import dedup_index as di
+
+    docs = load_table(spark, sf_dir, "documents")
+    try:
+        path = stored_index_dir("minhash", sf_dir)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            di.write_minhash_index(docs, path)
+        return di.read_minhash_index(spark, path).select(
+            "doc_id", "band", "bucket", "sig")
+    except Exception:
+        return dd.banded_buckets(dd.minhash_signatures(docs))
+
+
+@register(
+    "minhash_band_stats",
+    f"""WITH {_MINHASH_CTES},
+occ AS (SELECT band, bucket, COUNT(*) AS c FROM bk GROUP BY 1, 2)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(c) AS BIGINT) AS max_occupancy,
+       CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_candidate_pairs
+FROM occ GROUP BY band""",
+    doc="MinHash index health per LSH band: bucket count, max occupancy, "
+        "and implied candidate volume sum(C(c,2)) — the text-dedup twin "
+        "of ann_bucket_stats; one overloaded band bucket (an empty-text "
+        "or boilerplate signature) is where the banded self-join "
+        "degenerates, and this is the number that catches it before the "
+        "join does",
+)
+def q_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band occupancy profile from the stored banded index.
+
+    Scale shape: one groupBy(band, bucket) count (the exact shuffle the
+    candidate self-join pays) then a bands-sized aggregate; per-bucket
+    pair products run in BIGINT and accumulate in DECIMAL(38,0).
+    """
+    occ = (corpus_banded(spark, sf_dir)
+           .groupBy("band", "bucket").agg(F.count("*").alias("c")))
+    return (occ.groupBy("band")
+            .agg(F.count("*").cast("bigint").alias("n_buckets"),
+                 F.max("c").cast("bigint").alias("max_occupancy"),
+                 F.sum(F.expr("c * (c - 1) div 2").cast("decimal(38,0)"))
+                 .cast("bigint").alias("n_candidate_pairs"))
+            .select(F.col("band").cast("bigint").alias("band"),
+                    "n_buckets", "max_occupancy", "n_candidate_pairs"))
