@@ -70,6 +70,8 @@ DOC_OPS = [
     # degree-ordered triangle census.
     "dup_method_agreement", "dup_pagerank", "dup_triangles",
     "minhash_estimator_audit", "novelty_score",
+    "local_clustering", "dedup_threshold_sweep", "minhash_band_stats",
+    "vocab_coverage", "winnow_probe_indexed",
     "curated_corpus_pipeline", "multi_epoch_shuffle",
     "media_feature_vectors", "quality_weighted_sample", "blocklist_kwic",
     "source_token_divergence",
@@ -82,6 +84,7 @@ EMB_OPS = [
     # bounded-candidate MMR, different-label top-k mining.
     "pq_ann_adc", "mmr_rerank", "hard_negative_mining", "ivfpq_ann",
     "ann_recall_audit", "centroid_drift_audit",
+    "ann_bucket_stats",
 ]
 #: events-table window/aggregation family (time-series scale risks:
 #: per-user window sorts, global percentile sorts, self-join rollups).
@@ -100,6 +103,7 @@ EVENT_OPS = [
     # frame rolling median / dyadic EWMA (one user_id window sort each).
     "gap_fill_locf", "gap_fill_interpolate",
     "rolling_median_value", "ewma_value",
+    "cdc_backlog_stats",
 ]
 BASE_EVENTS = 100_000  # sf0.1 events rows
 

@@ -1528,3 +1528,102 @@ def q_ann_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").cast("bigint").alias("max_occupancy"),
         F.sum(F.expr("c * (c - 1) div 2").cast("decimal(38,0)"))
         .cast("bigint").alias("n_candidate_pairs"))
+
+
+def _sql_norm_e6(vec: str) -> str:
+    return (f"CAST(FLOOR(sqrt({sim.sql_dot(vec, vec)}) * 1000000) "
+            f"AS BIGINT)")
+
+
+@register(
+    "embedding_norm_outliers",
+    f"""WITH c AS (
+  SELECT label, vec_id, {_sql_norm_e6('embedding')} AS norm_e6
+  FROM embeddings
+),
+r1 AS (
+  SELECT label, norm_e6,
+    ROW_NUMBER() OVER (PARTITION BY label ORDER BY norm_e6, vec_id) AS rn,
+    COUNT(*) OVER (PARTITION BY label) AS n
+  FROM c
+),
+med AS (
+  SELECT label, MAX(n) AS n_vectors,
+    MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.50) AS BIGINT) + 1
+             THEN norm_e6 END) AS med_norm_e6
+  FROM r1 GROUP BY label
+),
+dev AS (
+  SELECT c.label, c.vec_id, ABS(c.norm_e6 - m.med_norm_e6) AS adev
+  FROM c JOIN med m ON c.label = m.label
+),
+r2 AS (
+  SELECT label, adev,
+    ROW_NUMBER() OVER (PARTITION BY label ORDER BY adev, vec_id) AS rn,
+    COUNT(*) OVER (PARTITION BY label) AS n
+  FROM dev
+),
+mad AS (
+  SELECT label,
+    MAX(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.50) AS BIGINT) + 1
+             THEN adev END) AS mad_norm_e6
+  FROM r2 GROUP BY label
+)
+SELECT m.label, m.n_vectors, m.med_norm_e6, d.mad_norm_e6,
+       CAST(SUM(CASE WHEN v.adev > 3 * d.mad_norm_e6 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM med m
+JOIN mad d ON m.label = d.label
+JOIN dev v ON v.label = m.label
+GROUP BY m.label, m.n_vectors, m.med_norm_e6, d.mad_norm_e6""",
+    doc="embedding hygiene: per-label median + MAD of the exact integer-e6 "
+        "vector norms, counting vectors beyond 3 MADs — dead (near-zero) "
+        "or corrupt (exploding) embeddings are the classic upstream-"
+        "encoder failure, and norm outliers catch them before they "
+        "poison ANN geometry; robust stats, so heavy tails don't mask "
+        "the bad vectors",
+)
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD/3-MAD outlier counts of vector norms per label.
+
+    Scale shape: the norm is a zero-shuffle per-row fold (the same
+    sequential accumulation every cosine reuses); two positional-median
+    passes keyed on label + one count. Same per-partition-volume caveat
+    as mad_outliers at 100 TB (few labels -> big windows); this is the
+    exact form a sketch path would be audited against.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.select(
+        "label", "vec_id",
+        F.floor(sim.norm_col("embedding", _dim(sf_dir)) * 1000000)
+        .cast("long").alias("norm_e6"))
+
+    def positional_median(df, col, out):
+        w = W.partitionBy("label").orderBy(col, "vec_id")
+        r = df.select(
+            "label", col,
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(W.partitionBy("label")).alias("n"))
+        pos = F.floor((F.col("n") - 1) * 0.50).cast("bigint") + 1
+        return r.groupBy("label").agg(
+            F.max("n").alias("n_vectors"),
+            F.max(F.when(F.col("rn") == pos, F.col(col))).alias(out))
+
+    med = positional_median(c, "norm_e6", "med_norm_e6")
+    dev = (c.join(F.broadcast(med), "label")
+           .select("label", "vec_id",
+                   F.abs(F.col("norm_e6") - F.col("med_norm_e6"))
+                   .alias("adev")))
+    mad = positional_median(dev, "adev", "mad_norm_e6").drop("n_vectors")
+    return (dev.join(F.broadcast(mad), "label")
+            .groupBy("label")
+            .agg(F.count("*").alias("n_chk"),
+                 F.sum(F.when(F.col("adev") > 3 * F.col("mad_norm_e6"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_outliers"))
+            .join(F.broadcast(med), "label")
+            .join(F.broadcast(mad), "label")
+            .select("label", "n_vectors", "med_norm_e6", "mad_norm_e6",
+                    "n_outliers"))
