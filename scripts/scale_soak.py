@@ -84,7 +84,7 @@ EMB_OPS = [
     # bounded-candidate MMR, different-label top-k mining.
     "pq_ann_adc", "mmr_rerank", "hard_negative_mining", "ivfpq_ann",
     "ann_recall_audit", "centroid_drift_audit",
-    "ann_bucket_stats",
+    "ann_bucket_stats", "embedding_norm_outliers",
 ]
 #: events-table window/aggregation family (time-series scale risks:
 #: per-user window sorts, global percentile sorts, self-join rollups).
