@@ -1117,3 +1117,76 @@ def q_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("bigint").alias("n_candidate_pairs"))
             .select(F.col("band").cast("bigint").alias("band"),
                     "n_buckets", "max_occupancy", "n_candidate_pairs"))
+
+
+@register(
+    "dup_cluster_stats",
+    f"""WITH RECURSIVE {_MINHASH_CTES},
+scored AS (SELECT doc_a, doc_b FROM wsig
+           WHERE {_EST_J} >= {DUP_CLUSTER_THRESHOLD}),
+e AS (SELECT doc_a AS ea, doc_b AS eb FROM scored
+      UNION ALL SELECT doc_b, doc_a FROM scored),
+nd AS (SELECT DISTINCT ea AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM nd
+  UNION
+  SELECT e.eb, reach.r FROM reach JOIN e ON e.ea = reach.node
+),
+comp AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+          FROM comp GROUP BY cluster_id)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size""",
+    doc="near-dup cluster size histogram: how duplication mass is "
+        "distributed (many pairs vs few giant boilerplate families) — "
+        "the number that decides whether canonical-selection keeps 99% "
+        "or 60% of the corpus, and the first thing to inspect when a "
+        "dedup run's drop rate surprises",
+)
+def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the resolved components.
+
+    Scale shape: reuses the memoized cluster table (_dup_components — the
+    same artifact dup_clusters/canonical_selection consume, built from
+    index-served edges), then two tiny keyed aggregates; output is
+    bounded by the number of DISTINCT cluster sizes.
+    """
+    comp = _dup_components(spark, sf_dir)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count("*").cast("bigint").alias("n_clusters"))
+            .select(F.col("cluster_size").cast("bigint")
+                    .alias("cluster_size"),
+                    "n_clusters",
+                    (F.col("cluster_size") * F.col("n_clusters"))
+                    .cast("bigint").alias("n_docs")))
+
+
+@register(
+    "dup_pair_sample",
+    f"""WITH {_MINHASH_CTES}
+SELECT doc_a, doc_b,
+       CAST(FLOOR({_EST_J} * 1000000) AS BIGINT) AS est_e6,
+       md5(CAST(doc_a AS VARCHAR) || ':' || CAST(doc_b AS VARCHAR))
+         AS sample_key
+FROM wsig
+ORDER BY sample_key
+LIMIT 20""",
+    doc="deterministic human-review sample of candidate pairs: bottom-20 "
+        "by md5 of the pair key — an unbiased, reproducible labeling "
+        "queue for threshold calibration (the pairs a reviewer grades to "
+        "validate what dedup_threshold_sweep proposes); heap top-k, "
+        "never a global sort",
+)
+def q_dup_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = corpus_minhash_pairs(spark, sf_dir)
+    key = F.md5(F.concat_ws(":", F.col("doc_a"), F.col("doc_b")))
+    return (pairs.select(
+        "doc_a", "doc_b",
+        F.floor(F.col("est_jaccard") * 1000000).cast("bigint")
+        .alias("est_e6"),
+        key.alias("sample_key"))
+        .orderBy("sample_key").limit(20))
