@@ -71,7 +71,8 @@ DOC_OPS = [
     "dup_method_agreement", "dup_pagerank", "dup_triangles",
     "minhash_estimator_audit", "novelty_score",
     "local_clustering", "dedup_threshold_sweep", "minhash_band_stats",
-    "vocab_coverage", "winnow_probe_indexed",
+    "vocab_coverage", "winnow_probe_indexed", "dup_cluster_stats",
+    "dup_pair_sample",
     "curated_corpus_pipeline", "multi_epoch_shuffle",
     "media_feature_vectors", "quality_weighted_sample", "blocklist_kwic",
     "source_token_divergence",

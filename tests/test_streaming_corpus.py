@@ -166,3 +166,68 @@ def test_normalized_dedup_stream_collapses_formatting_variants(
     online = got.select("doc_id", "norm_h")
     j = online.join(batch, "doc_id")
     assert j.where(F.col("norm_h") != F.col("h")).count() == 0
+
+
+def test_streaming_index_maintenance_matches_rebuild(spark, tmp_path):
+    """The stored MinHash index maintained continuously from the doc
+    stream must yield candidate pairs BYTE-IDENTICAL to a from-scratch
+    rebuild over the same corpus, and at-least-once replay (a re-appended
+    batch) must not change any pair."""
+    import time
+
+    from tigerbeetle_cdc_nats_spark.sources import dedup_index as di
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    idx_rebuild = str(tmp_path / "idx_rebuild")
+    chk = str(tmp_path / "chk")
+    os.makedirs(src)
+
+    batch1 = [(1, GOOD, 1), (2, GOOD + " extra tokens here", 2)]
+    batch2 = [(3, GOOD, 3),
+              (4, "totally different words entirely distinct phrase", 4)]
+
+    def _index_docs():
+        try:
+            return {r["doc_id"] for r in
+                    spark.read.parquet(idx).select("doc_id")
+                    .distinct().collect()}
+        except Exception:
+            return set()
+
+    _write_docs(spark, src, batch1)
+    stream = (spark.readStream.schema(DOC_SCHEMA).parquet(src)
+              .select("doc_id", "text"))
+    q = sc.maintain_minhash_index(stream, idx, checkpoint_dir=chk,
+                                  trigger_seconds=0.2)
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and _index_docs() != {1, 2}:
+            time.sleep(0.5)
+        assert _index_docs() == {1, 2}
+        _write_docs(spark, src, batch2)
+        while time.time() < deadline and _index_docs() != {1, 2, 3, 4}:
+            time.sleep(0.5)
+        assert _index_docs() == {1, 2, 3, 4}
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    def pairs_of(path):
+        return sorted(
+            map(tuple, di.minhash_pairs_from_index(
+                di.read_minhash_index(spark, path)).collect()))
+
+    all_docs = spark.createDataFrame(
+        [(i, t) for i, t, _s in batch1 + batch2], "doc_id long, text string")
+    di.write_minhash_index(all_docs, idx_rebuild)
+    streamed = pairs_of(idx)
+    assert streamed == pairs_of(idx_rebuild)
+    assert any(p[0] == 1 and p[1] == 3 for p in streamed)  # planted dup
+
+    # at-least-once replay: re-appending an already-indexed batch
+    # duplicates banded rows but must not change candidate pairs
+    di.append_minhash_index(
+        spark.createDataFrame([(i, t) for i, t, _s in batch2],
+                              "doc_id long, text string"), idx)
+    assert pairs_of(idx) == streamed

@@ -129,3 +129,44 @@ def normalized_dedup_stream(docs: DataFrame, *,
     if docs.isStreaming:
         return out.dropDuplicatesWithinWatermark(["norm_h"])
     return out.dropDuplicates(["norm_h"])
+
+
+def maintain_minhash_index(docs: DataFrame, index_path: str, *,
+                           checkpoint_dir: str,
+                           trigger_seconds: float = 1.0):
+    """Continuously maintain the STORED MinHash banded index from a
+    document stream: each micro-batch's banded rows APPEND into their
+    (band, shard) partitions via sources/dedup_index.append_minhash_index
+    — the inverted-index append pattern, so the index dedup queries probe
+    (queries_dedup.corpus_minhash_pairs and the delta probes) is never
+    more than one trigger behind ingest.
+
+    Idempotency: a replayed batch re-appends its rows, which duplicates
+    banded rows but NOT candidate pairs — pairs_est_from_banded
+    dropDuplicates on (doc_a, doc_b), so at-least-once replay cannot
+    change any dedup verdict (test-pinned). First batch on an empty
+    location bootstraps the index (writes metadata with a corpus-scaled
+    shard count); later batches append under the stored modulus.
+
+    Scale shape: per batch the work is |batch| signature builds + a
+    partitioned append touching only the batch's own (band, shard)
+    directories — O(|delta|) exactly like the batch append path.
+    """
+    import os
+
+    from tigerbeetle_cdc_nats_spark.sources import dedup_index as di
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            if os.path.exists(os.path.join(index_path, di._META)):
+                di.append_minhash_index(batch_df, index_path)
+            else:
+                di.write_minhash_index(batch_df, index_path)
+                # _SUCCESS marker so batch readers trust the location
+                open(os.path.join(index_path, "_SUCCESS"), "a").close()
+
+    return (docs.writeStream
+            .foreachBatch(append_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start())
