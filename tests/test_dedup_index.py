@@ -129,3 +129,28 @@ def test_stored_index_dir_is_per_user_and_private():
     assert stat.S_IMODE(st.st_mode) & 0o077 == 0  # no group/other access
     # stable across calls (cache key still fingerprints the source table)
     assert stored_index_dir("minhash", "/root/testdata/sf0.001") == p
+
+
+def test_corpus_pairs_fall_back_when_cache_untrusted(spark, docs,
+                                                     monkeypatch):
+    """A raising stored_index_dir (unwritable or foreign-owned cache)
+    must degrade every index-served consumer to the in-session path with
+    IDENTICAL candidates — poisoning/permission failures can cost a
+    recompute, never rows."""
+    from tigerbeetle_cdc_nats_spark import queries_dedup as qd
+
+    def boom(kind, sf_dir, table="documents"):
+        raise RuntimeError("cache untrusted (test)")
+
+    monkeypatch.setattr(qd, "stored_index_dir", boom)
+    got = _pairs(qd.corpus_minhash_pairs(spark, SF_DIR))
+    want = _pairs(dd.minhash_candidate_pairs(dd.minhash_signatures(docs)))
+    assert got == want and len(got) > 0
+
+    probe = qd.corpus_minhash_probe(spark, SF_DIR)
+    fresh = dd.minhash_incremental_pairs(
+        dd.minhash_signatures(docs), (F.col("doc_id") % 5) == 4)
+    assert (sorted(map(tuple, probe.select(
+        "doc_id", "other_id", "est_jaccard").collect()))
+        == sorted(map(tuple, fresh.select(
+            "doc_id", "other_id", "est_jaccard").collect())))

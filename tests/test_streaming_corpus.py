@@ -231,3 +231,68 @@ def test_streaming_index_maintenance_matches_rebuild(spark, tmp_path):
         spark.createDataFrame([(i, t) for i, t, _s in batch2],
                               "doc_id long, text string"), idx)
     assert pairs_of(idx) == streamed
+
+
+def test_streaming_ann_index_maintenance(spark, tmp_path):
+    """Vector twin of the banded-index stream: appended batches land in
+    their bucket partitions under the caller's plane set, and the
+    maintained index equals a from-scratch rebuild."""
+    import time
+
+    from pyspark.sql import types as T
+
+    from tigerbeetle_cdc_nats_spark.operators import similarity as sim
+    from tigerbeetle_cdc_nats_spark.sources import ann_index as ai
+
+    dim = 8
+    planes = sim.hyperplanes(n_planes=4, dim=dim)
+    src = str(tmp_path / "vsrc")
+    idx = str(tmp_path / "vidx")
+    idx_rebuild = str(tmp_path / "vidx_rebuild")
+    chk = str(tmp_path / "vchk")
+    os.makedirs(src)
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+
+    def vec(i):
+        return [float((i * 7 + j) % 5 - 2) for j in range(dim)]
+
+    def write_batch(ids):
+        spark.createDataFrame([(i, vec(i)) for i in ids], schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    def indexed_ids():
+        try:
+            return {r["vec_id"] for r in spark.read.parquet(idx)
+                    .select("vec_id").distinct().collect()}
+        except Exception:
+            return set()
+
+    write_batch(range(0, 6))
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = sc.maintain_ann_index(stream, idx, planes,
+                              checkpoint_dir=chk, dim=dim,
+                              trigger_seconds=0.2)
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and indexed_ids() != set(range(6)):
+            time.sleep(0.5)
+        write_batch(range(6, 10))
+        while time.time() < deadline and indexed_ids() != set(range(10)):
+            time.sleep(0.5)
+        assert indexed_ids() == set(range(10))
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    ai.write_ann_index(
+        spark.createDataFrame([(i, vec(i)) for i in range(10)], schema),
+        idx_rebuild, planes, dim=dim)
+    got = sorted(map(tuple, spark.read.parquet(idx)
+                 .select("vec_id", "bucket").collect()))
+    want = sorted(map(tuple, spark.read.parquet(idx_rebuild)
+                  .select("vec_id", "bucket").collect()))
+    assert got == want and len(got) == 10

@@ -170,3 +170,31 @@ def maintain_minhash_index(docs: DataFrame, index_path: str, *,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(processingTime=f"{trigger_seconds} seconds")
             .start())
+
+
+def maintain_ann_index(vectors: DataFrame, index_path: str,
+                       planes, *, checkpoint_dir: str, dim: int,
+                       trigger_seconds: float = 1.0):
+    """Continuously maintain the stored bucket-partitioned ANN index from
+    an embedding stream — the vector twin of maintain_minhash_index.
+    Each micro-batch's vectors append into their bucket's partition
+    directory under the CALLER-owned plane set (plane-set versioning is
+    an index property, never derived per batch — deriving planes from a
+    batch would silently split the index into incompatible bucketings).
+
+    Replay idempotency: a re-appended batch duplicates (vec_id, bucket)
+    rows; ANN consumers that dedupe on vec_id (top-k windows rank per
+    c_id; pair scans drop duplicate pairs) are unaffected — same
+    contract as the banded-index appends.
+    """
+    from tigerbeetle_cdc_nats_spark.sources import ann_index as ai
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            ai.append_ann_index(batch_df, index_path, planes, dim=dim)
+
+    return (vectors.writeStream
+            .foreachBatch(append_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start())
