@@ -139,6 +139,14 @@ def stored_index_dir(kind: str, sf_dir: str,
     return os.path.join(root, f"{kind}_{h}")
 
 
+#: Session-level memo of the served candidate-pair table, keyed by
+#: (spark application id, sf_dir): the stored index is the CROSS-session
+#: cache, this persist is the WITHIN-session one — 14 consumers share one
+#: in-memory pairs table instead of each re-reading + re-joining the
+#: index (measured ~1.2 s fixed overhead per consumer at sf0.1).
+_PAIRS_CACHE: dict = {}
+
+
 def corpus_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidate pairs ``(doc_a, doc_b, est_jaccard)`` for the
     whole corpus, served from the PERSISTED banded index (built on first
@@ -150,20 +158,30 @@ def corpus_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     either way (stored and fresh share pairs_est_from_banded)."""
     import os
 
+    from pyspark import StorageLevel
+
     from tigerbeetle_cdc_nats_spark.sources import dedup_index as di
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PAIRS_CACHE.get(key)
+    if hit is not None:
+        return hit
     docs = load_table(spark, sf_dir, "documents")
     try:
         path = stored_index_dir("minhash", sf_dir)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             di.write_minhash_index(docs, path)
-        return di.minhash_pairs_from_index(
+        pairs = di.minhash_pairs_from_index(
             di.read_minhash_index(spark, path))
     except Exception:
         # index location unwritable (read-only scratch): same result
         # from the in-session path — the stored artifact is a perf
         # optimization, never a correctness dependency
-        return dd.minhash_candidate_pairs(dd.minhash_signatures(docs))
+        pairs = dd.minhash_candidate_pairs(dd.minhash_signatures(docs))
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count()  # eager: concurrent consumers read one materialization
+    _PAIRS_CACHE[key] = pairs
+    return pairs
 
 
 def corpus_minhash_probe(spark: SparkSession, sf_dir: str,
