@@ -610,24 +610,58 @@ WHERE edit_dist * 4 <= max_len""",
         "float ratio",
 )
 def q_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: joining ``documents`` once per pair SIDE (the naive
+    two-join form) makes Spark broadcast the WHOLE corpus text for the
+    second side — impossible at 100 TB — and evaluate the Levenshtein
+    twice (once in the pushed-down join filter, once in the projection).
+    Instead each candidate pair is melted into its two (doc_id, side)
+    probes, ``documents`` is scanned ONCE with the (tiny, corpus-scaled)
+    probe set on the build side, and the texts are zipped back per pair
+    with a candidate-sized shuffle. Two further prunes before any DP:
+    the length band (dist >= |len_a - len_b|, so a pair whose lengths
+    differ by more than 25%% of the longer can never pass) costs two
+    ``length()`` calls, and the surviving compares run the BANDED DP
+    (``levenshtein(a, b, threshold)``) which abandons a row as soon as
+    the distance provably exceeds the keep threshold — O(len * len/4)
+    instead of O(len^2), returning -1 for over-threshold pairs (exactly
+    the rows the 25%% filter would drop, so the oracle's full-DP + filter
+    form is row- and value-identical)."""
     docs = load_table(spark, sf_dir, "documents")
     cand = corpus_minhash_pairs(spark, sf_dir).where(
         F.col("est_jaccard") >= 0.3).select("doc_a", "doc_b")
-    a = docs.select(F.col("doc_id").alias("doc_a"),
-                    F.col("text").alias("text_a"))
-    b = docs.select(F.col("doc_id").alias("doc_b"),
-                    F.col("text").alias("text_b"))
-    scored = (
-        cand.join(a, "doc_a").join(b, "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            F.levenshtein("text_a", "text_b").cast("bigint")
-            .alias("edit_dist"),
-            F.greatest(F.length("text_a"), F.length("text_b")).cast("bigint")
-            .alias("max_len"),
+    edges = cand.select(
+        "doc_a", "doc_b",
+        F.explode(F.array(
+            F.struct(F.col("doc_a").alias("doc_id"),
+                     F.lit("a").alias("side")),
+            F.struct(F.col("doc_b").alias("doc_id"),
+                     F.lit("b").alias("side")),
+        )).alias("e"),
+    ).select("doc_a", "doc_b", F.col("e.doc_id").alias("doc_id"),
+             F.col("e.side").alias("side"))
+    matched = docs.select("doc_id", "text").join(edges, "doc_id")
+    paired = (
+        matched.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max(F.when(F.col("side") == "a", F.col("text")))
+            .alias("text_a"),
+            F.max(F.when(F.col("side") == "b", F.col("text")))
+            .alias("text_b"),
         )
+        .withColumn("len_a", F.length("text_a"))
+        .withColumn("len_b", F.length("text_b"))
+        .withColumn("max_len",
+                    F.greatest("len_a", "len_b").cast("bigint"))
+        .withColumn("band", F.expr("CAST(max_len DIV 4 AS INT)"))
+        .where(F.abs(F.col("len_a") - F.col("len_b")) <= F.col("band"))
     )
-    return scored.where(F.col("edit_dist") * 4 <= F.col("max_len"))
+    scored = paired.select(
+        "doc_a", "doc_b",
+        F.expr("levenshtein(text_a, text_b, band)").cast("bigint")
+        .alias("edit_dist"),
+        "max_len",
+    )
+    return scored.where(F.col("edit_dist") >= 0)
 
 
 @register(
