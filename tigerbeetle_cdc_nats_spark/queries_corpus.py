@@ -1962,3 +1962,70 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_vocab",
                     F.expr("CAST((CAST(covered AS DECIMAL(38,0)) * 1000000)"
                            " DIV n AS BIGINT)").alias("covered_e6")))
+
+
+#: Width of the shared-phrase window for boilerplate detection (C4 strips
+#: repeated 3-sentence spans; on the ~50-token synthetic docs a 5-token
+#: phrase is the analogous "too long to collide by chance" unit).
+BOILERPLATE_N = 5
+
+_BP_TOKS = "str_split(text, ' ')"
+_BP_GRAM = " || ' ' || ".join(
+    f"l[CAST(i + {j} AS INT)]" for j in range(BOILERPLATE_N))
+
+
+@register(
+    "boilerplate_ngrams",
+    f"""WITH t AS (SELECT doc_id, {_BP_TOKS} AS l FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l) - {BOILERPLATE_N - 2}),
+                               i -> {_BP_GRAM})) AS gram
+  FROM t WHERE len(l) >= {BOILERPLATE_N}
+)
+SELECT gram,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM g
+GROUP BY gram
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, gram
+LIMIT 50""",
+    doc=f"boilerplate phrase census: the top-50 word-{BOILERPLATE_N}-grams "
+        "shared by at least two distinct documents, ranked by how many "
+        "docs carry them — the C4-style detector for navigation chrome, "
+        "license headers, and template footers that near-dup pair mining "
+        "misses because no single document pair is similar enough; feeds "
+        "a strip-list, not a drop-list",
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: explode gram START INDEXES (not materialized gram
+    arrays) so the concat stays a codegen'd row expression pipelined with
+    the scan; one shuffle keyed on the gram string with map-side partial
+    aggregation (count-distinct runs as Spark's two-phase partial
+    dedupe); top-50 is TakeOrderedAndProject (per-partition heaps), never
+    a global sort. Gram cardinality ~ corpus token count, the same key
+    space every vocab aggregate here already shuffles on."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = (
+        dd.ensure_parallelism(
+            docs.select("doc_id", toks.alias("_toks")))
+        .where(F.size("_toks") >= BOILERPLATE_N)
+    )
+    ex = base.withColumn(
+        "_i",
+        F.explode(F.sequence(F.lit(0), F.size("_toks") - BOILERPLATE_N)))
+    gram = F.concat_ws(
+        " ", *[F.element_at("_toks", F.col("_i") + j + 1)
+               for j in range(BOILERPLATE_N)])
+    rows = ex.select("doc_id", gram.alias("gram"))
+    stats = (
+        rows.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("n_docs") >= 2)
+    )
+    return stats.orderBy(
+        F.col("n_docs").desc(), F.col("n_occurrences").desc(),
+        "gram").limit(50)

@@ -1242,3 +1242,56 @@ def q_dup_pair_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("est_e6"),
         key.alias("sample_key"))
         .orderBy("sample_key").limit(20))
+
+
+@register(
+    "dedup_rate_by_source",
+    f"""WITH RECURSIVE {_MINHASH_CTES},
+e AS (SELECT doc_a, doc_b FROM wsig
+      WHERE {_EST_J} >= {DUP_CLUSTER_THRESHOLD}),
+ends AS (SELECT doc_a AS doc_id FROM e UNION ALL SELECT doc_b FROM e),
+pe AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ends
+       FROM ends GROUP BY doc_id)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(pe.n_ends) AS BIGINT) AS n_dup_docs,
+       CAST(COALESCE(SUM(pe.n_ends), 0) AS BIGINT) AS n_pair_ends,
+       CAST((1000000 * COUNT(pe.n_ends)) // COUNT(*) AS BIGINT)
+         AS dup_frac_e6
+FROM documents d LEFT JOIN pe ON pe.doc_id = d.doc_id
+GROUP BY d.source""",
+    doc="per-source duplicate-rate marginals: share of each source's docs "
+        "that sit on at least one near-dup edge (MinHash est. jaccard >= "
+        "cluster threshold) plus total pair-end degree — the row-level "
+        "complement to cross_source_overlap's source-pair matrix; tells a "
+        "mixture designer which sources to discount BEFORE sampling "
+        "weights are fit",
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: edges come from the stored banded index (one build
+    amortized across every consumer); the per-doc degree is an explode +
+    count on the (tiny, corpus-scaled) edge set; the source attribution
+    is a broadcast of that degree table into ONE streaming pass over
+    ``documents`` followed by a |sources|-cardinality aggregate. Nothing
+    here is ever all-pairs or corpus x corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = corpus_minhash_pairs(spark, sf_dir).where(
+        F.col("est_jaccard") >= DUP_CLUSTER_THRESHOLD).select(
+        "doc_a", "doc_b")
+    per_doc = (
+        edges.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_ends"))
+    )
+    lab = docs.select("doc_id", "source").join(per_doc, "doc_id", "left")
+    agg = lab.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("n_ends").alias("n_dup_docs"),
+        F.coalesce(F.sum("n_ends"), F.lit(0)).cast("bigint")
+        .alias("n_pair_ends"),
+    )
+    return agg.select(
+        "source", "n_docs", "n_dup_docs", "n_pair_ends",
+        F.expr("CAST((1000000 * n_dup_docs) DIV n_docs AS BIGINT)")
+        .alias("dup_frac_e6"),
+    )

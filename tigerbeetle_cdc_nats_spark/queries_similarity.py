@@ -1627,3 +1627,122 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(mad), "label")
             .select("label", "n_vectors", "med_norm_e6", "mad_norm_e6",
                     "n_outliers"))
+
+
+@register(
+    "ivf_probe_recall",
+    f"""WITH {_IVF_ASSIGN_SQL},
+qr AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY a_sim DESC NULLS LAST, cell)
+           AS cell_rank
+  FROM sc WHERE vec_id IN {QUERY_IDS}
+),
+pr AS (SELECT CAST(p AS BIGINT) AS nprobe, q_id, q_emb, cell
+       FROM qr, (SELECT unnest([1, 2, 3]) AS p) WHERE cell_rank <= p),
+cand AS (
+  SELECT pr.nprobe, pr.q_id, pr.q_emb,
+         a.vec_id AS c_id, a.embedding AS c_emb
+  FROM pr JOIN assigned a
+    ON a.cell = pr.cell AND a.vec_id != pr.q_id
+),
+s AS (SELECT nprobe, q_id, c_id, {_COS} AS sim_e6 FROM cand),
+r AS (SELECT nprobe, q_id, c_id,
+        ROW_NUMBER() OVER (PARTITION BY nprobe, q_id
+                           ORDER BY sim_e6 DESC, c_id) AS rk
+      FROM s),
+gt0 AS (SELECT q.vec_id AS q_id, q.embedding AS q_emb,
+               e.vec_id AS c_id, e.embedding AS c_emb
+        FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+        WHERE q.vec_id IN {QUERY_IDS}),
+gts AS (SELECT q_id, c_id, {_COS} AS sim_e6 FROM gt0),
+gt AS (SELECT q_id, c_id FROM (
+         SELECT q_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY sim_e6 DESC, c_id) AS rk
+         FROM gts) WHERE rk <= 5),
+hits AS (SELECT r.nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+         FROM r JOIN gt ON gt.q_id = r.q_id AND gt.c_id = r.c_id
+         WHERE r.rk <= 5 GROUP BY r.nprobe),
+vol AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        FROM cand GROUP BY nprobe)
+SELECT v.nprobe, v.n_candidates,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST((1000000 * COALESCE(h.n_hits, 0)) // 25 AS BIGINT)
+         AS recall_e6
+FROM vol v LEFT JOIN hits h ON h.nprobe = v.nprobe""",
+    doc="IVF operating curve: recall@5 vs brute-force ground truth and "
+        "scanned-candidate volume at nprobe = 1, 2, 3 — the number that "
+        "decides how many inverted lists a 100 TB deployment must probe "
+        "to hit its recall SLO (the tuning companion to ann_recall_audit, "
+        "which grades a single configuration)",
+)
+def q_ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nprobe -> (candidate volume, recall@5) sweep over the IVF index.
+
+    Scale shape: the corpus side is assigned ONCE by the map-side Arrow
+    argmax (ivf_assign — zero shuffle; plan-identical to ivf_ann/
+    kmeans_refine so a warm session reuses one materialization); the
+    query side is 5 vectors x k cells ranked wholly inside a broadcast.
+    Probe fan-out multiplies only the broadcast side (<= 3 cells per
+    query), so candidate volume is sum of probed-cell populations — the
+    exact quantity this query reports. Ground truth is the bounded
+    brute-force top-5 (broadcast query side), and the hit join keys on
+    (q_id, c_id) pairs, 25 rows a side at most."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window, functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _dim(sf_dir)
+    centv = centroid_vectors(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    c = ivf_assign(emb, centv, dim=dim).persist(
+        StorageLevel.MEMORY_AND_DISK).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
+        F.col("cell").alias("c_cell"), F.col("norm").alias("c_n"))
+    qv = emb.where(F.col("vec_id").isin(list(QUERY_IDS))).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        sim.norm_col("embedding", dim).alias("q_n"))
+    cw = F.broadcast(centv.withColumn("_cn", sim.norm_col("c_arr", dim)))
+    a_sim = F.when(
+        (F.col("q_n") != 0) & (F.col("_cn") != 0),
+        sim.cosine_sim_e6_prenorm("q_emb", "c_arr",
+                                  F.col("q_n"), F.col("_cn"), dim))
+    rank_w = Window.partitionBy("q_id").orderBy(
+        F.col("a_sim").desc(), F.col("cell"))
+    qrank = (qv.crossJoin(cw)
+             .withColumn("a_sim", a_sim)
+             .withColumn("cell_rank", F.row_number().over(rank_w)))
+    probes = (qrank
+              .withColumn("nprobe", F.explode(F.array(
+                  F.lit(1).cast("bigint"), F.lit(2).cast("bigint"),
+                  F.lit(3).cast("bigint"))))
+              .where(F.col("cell_rank") <= F.col("nprobe"))
+              .select("nprobe", "q_id", "q_emb", "q_n", "cell"))
+    cand = F.broadcast(probes).join(
+        c, (F.col("cell") == F.col("c_cell"))
+        & (F.col("q_id") != F.col("c_id")))
+    # s is consumed twice (volume count + top-k ranking); persisting the
+    # NARROW scored form (4 scalar columns, candidate-volume rows) makes
+    # the embedding-bearing scoring join run once, not per consumer.
+    s = cand.select(
+        "nprobe", "q_id", "c_id",
+        sim.cosine_sim_e6_prenorm("q_emb", "c_emb",
+                                  F.col("q_n"), F.col("c_n"), dim)
+        .alias("sim_e6")).persist(StorageLevel.MEMORY_AND_DISK)
+    top_w = Window.partitionBy("nprobe", "q_id").orderBy(
+        F.col("sim_e6").desc(), F.col("c_id"))
+    top = (s.withColumn("rk", F.row_number().over(top_w))
+           .where(F.col("rk") <= 5).select("nprobe", "q_id", "c_id"))
+    gt = sim.knn_bruteforce(emb, QUERY_IDS, k=5, dim=dim).select(
+        "q_id", "c_id")
+    hits = (top.join(gt, ["q_id", "c_id"])
+            .groupBy("nprobe").agg(F.count(F.lit(1)).alias("n_hits")))
+    vol = s.groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("n_candidates"))
+    return (vol.join(hits, "nprobe", "left")
+            .select("nprobe", "n_candidates",
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
+                    .alias("n_hits"),
+                    F.expr("CAST((1000000 * COALESCE(n_hits, 0)) DIV 25 "
+                           "AS BIGINT)").alias("recall_e6")))
