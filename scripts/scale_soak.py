@@ -73,6 +73,9 @@ DOC_OPS = [
     "local_clustering", "dedup_threshold_sweep", "minhash_band_stats",
     "vocab_coverage", "winnow_probe_indexed", "dup_cluster_stats",
     "dup_pair_sample",
+    # round 6 continuation: per-source dup marginals (index-served),
+    # shared-phrase census (gram-keyed shuffle), banded edit distance.
+    "dedup_rate_by_source", "boilerplate_ngrams", "edit_distance_dedup",
     "curated_corpus_pipeline", "multi_epoch_shuffle",
     "media_feature_vectors", "quality_weighted_sample", "blocklist_kwic",
     "source_token_divergence",
@@ -86,6 +89,10 @@ EMB_OPS = [
     "pq_ann_adc", "mmr_rerank", "hard_negative_mining", "ivfpq_ann",
     "ann_recall_audit", "centroid_drift_audit",
     "ann_bucket_stats", "embedding_norm_outliers",
+    # round 6 continuation: nprobe operating curve (candidate volume is
+    # the quantity under test — alpha tracks probed-list population),
+    # per-cell prototypicality pruning (one cell-keyed window sort).
+    "ivf_probe_recall", "prototype_pruning",
 ]
 #: events-table window/aggregation family (time-series scale risks:
 #: per-user window sorts, global percentile sorts, self-join rollups).

@@ -1746,3 +1746,65 @@ def q_ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_hits"),
                     F.expr("CAST((1000000 * COALESCE(n_hits, 0)) DIV 25 "
                            "AS BIGINT)").alias("recall_e6")))
+
+
+_PP_COS = sim.sql_cosine_e6("a.embedding", "v.c_arr")
+
+
+@register(
+    "prototype_pruning",
+    f"""WITH {_IVF_ASSIGN_SQL},
+wc AS (SELECT a.vec_id, a.cell, {_PP_COS} AS proto_sim_e6
+       FROM assigned a JOIN centv v ON v.cell = a.cell),
+r AS (SELECT vec_id, cell, proto_sim_e6,
+        CAST(ROW_NUMBER() OVER (PARTITION BY cell
+                                ORDER BY proto_sim_e6 DESC, vec_id)
+             AS BIGINT) AS proto_rank,
+        CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS n_cell
+      FROM wc)
+SELECT vec_id, cell, proto_sim_e6, proto_rank, n_cell,
+       CAST(CASE WHEN proto_rank * 10 <= n_cell THEN 1 ELSE 0 END
+            AS BIGINT) AS dropped
+FROM r""",
+    doc="cluster-based data pruning (SSL-prototypes style): every vector "
+        "ranked by cosine to its own cluster centroid; the most "
+        "prototypical 10% per cell are flagged for dropping — redundant "
+        "easy examples contribute least training signal, and unlike "
+        "semdedup (which removes near-identical PAIRS) this prunes "
+        "density around the cluster center itself",
+)
+def q_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell prototypicality rank + drop flag.
+
+    Scale shape: assignment is the map-side Arrow argmax (zero shuffle,
+    plan-shared with ivf_ann/kmeans_refine); the centroid re-join is a
+    broadcast of k tiny rows; the only exchange is ONE window sort keyed
+    by cell. Cells number corpus/target_cell_size under the scaled
+    geometry, so per-cell populations stay bounded; a deployment with
+    deliberately few, huge cells would salt the rank by sim-bucket
+    before the final within-cell ordering."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window, functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _dim(sf_dir)
+    centv = centroid_vectors(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    assigned = ivf_assign(emb, centv, dim=dim)
+    cw = F.broadcast(centv.withColumn("_cn", sim.norm_col("c_arr", dim)))
+    scored = assigned.join(cw, "cell").select(
+        "vec_id", "cell",
+        sim.cosine_sim_e6_prenorm("embedding", "c_arr",
+                                  F.col("norm"), F.col("_cn"), dim)
+        .alias("proto_sim_e6"))
+    w = Window.partitionBy("cell").orderBy(
+        F.col("proto_sim_e6").desc(), F.col("vec_id"))
+    cnt_w = Window.partitionBy("cell")
+    ranked = (scored
+              .withColumn("proto_rank",
+                          F.row_number().over(w).cast("bigint"))
+              .withColumn("n_cell",
+                          F.count(F.lit(1)).over(cnt_w).cast("bigint")))
+    return ranked.select(
+        "vec_id", "cell", "proto_sim_e6", "proto_rank", "n_cell",
+        F.when(F.col("proto_rank") * 10 <= F.col("n_cell"), F.lit(1))
+        .otherwise(F.lit(0)).cast("bigint").alias("dropped"))
