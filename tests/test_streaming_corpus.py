@@ -296,3 +296,56 @@ def test_streaming_ann_index_maintenance(spark, tmp_path):
     want = sorted(map(tuple, spark.read.parquet(idx_rebuild)
                   .select("vec_id", "bucket").collect()))
     assert got == want and len(got) == 10
+
+
+def test_maintenance_invalidates_session_pairs_memo(spark, tmp_path):
+    """A same-session batch consumer must see candidate pairs for docs the
+    STREAMING maintenance appended after the consumer first memoized the
+    served pairs table — the append path must invalidate the session memo
+    (a frozen snapshot would silently miss every post-append duplicate)."""
+    import time
+
+    import tigerbeetle_cdc_nats_spark.queries_dedup as qd
+
+    sfd = str(tmp_path / "sf")
+    os.makedirs(sfd)
+    spark.createDataFrame(
+        [(1, GOOD), (2, "totally different words entirely distinct here")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(os.path.join(sfd, "documents.parquet"))
+
+    p1 = qd.corpus_minhash_pairs(spark, sfd)
+    p1.count()
+    assert qd.corpus_minhash_pairs(spark, sfd) is p1  # memo hit
+
+    idx = qd.stored_index_dir("minhash", sfd)
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    os.makedirs(src)
+    _write_docs(spark, src, [(3, GOOD, 1)])  # exact dup of doc 1
+    stream = (spark.readStream.schema(DOC_SCHEMA).parquet(src)
+              .select("doc_id", "text"))
+    q = sc.maintain_minhash_index(stream, idx, checkpoint_dir=chk,
+                                  trigger_seconds=0.2)
+    try:
+        deadline = time.time() + 120
+
+        def _indexed():
+            try:
+                return {r["doc_id"] for r in
+                        spark.read.parquet(idx).select("doc_id")
+                        .distinct().collect()}
+            except Exception:
+                return set()
+
+        while time.time() < deadline and 3 not in _indexed():
+            time.sleep(0.5)
+        assert 3 in _indexed()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    p2 = qd.corpus_minhash_pairs(spark, sfd)
+    assert p2 is not p1, "append must invalidate the session memo"
+    pairs = {(r["doc_a"], r["doc_b"]) for r in p2.collect()}
+    assert (1, 3) in pairs, "the appended exact dup must pair with doc 1"

@@ -147,6 +147,22 @@ def stored_index_dir(kind: str, sf_dir: str,
 _PAIRS_CACHE: dict = {}
 
 
+def invalidate_pairs_cache() -> None:
+    """Drop every memoized pairs table (unpersisting its storage).
+
+    MUST be called whenever the stored index gains rows outside the
+    batch build path — streaming maintenance
+    (streaming/corpus.maintain_minhash_index) calls this per appended
+    batch so same-session batch consumers re-read the grown index
+    instead of serving a frozen snapshot."""
+    while _PAIRS_CACHE:
+        _key, pairs = _PAIRS_CACHE.popitem()
+        try:
+            pairs.unpersist()
+        except Exception:
+            pass  # session already stopped: nothing to release
+
+
 def corpus_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidate pairs ``(doc_a, doc_b, est_jaccard)`` for the
     whole corpus, served from the PERSISTED banded index (built on first

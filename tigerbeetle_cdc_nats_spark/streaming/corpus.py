@@ -164,6 +164,13 @@ def maintain_minhash_index(docs: DataFrame, index_path: str, *,
                 di.write_minhash_index(batch_df, index_path)
                 # _SUCCESS marker so batch readers trust the location
                 open(os.path.join(index_path, "_SUCCESS"), "a").close()
+            # same-session batch consumers memoize the served pairs
+            # table; a grown index must invalidate that snapshot or
+            # their dedup verdicts freeze at the pre-append corpus
+            from tigerbeetle_cdc_nats_spark.queries_dedup import (
+                invalidate_pairs_cache,
+            )
+            invalidate_pairs_cache()
 
     return (docs.writeStream
             .foreachBatch(append_batch)
