@@ -282,7 +282,13 @@ SELECT col_name, n AS n_rows, n_distinct, min_v, max_v FROM (
         "(double min/max string formatting is engine-specific)",
 )
 def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events_table(spark, sf_dir)
+    # the 5-way distinct expand multiplies every row BEFORE the partial
+    # aggregate — on a single-row-group local file that whole stage runs
+    # on one core; ensure_parallelism spreads it (no-op at scale where
+    # the scan already has >= cores splits)
+    from tigerbeetle_cdc_nats_spark.session import ensure_parallelism
+
+    ev = ensure_parallelism(events_table(spark, sf_dir))
     cents = agg.cents()
     g = ev.agg(
         F.count("*").alias("n"),
