@@ -694,3 +694,34 @@ def test_source_frequency_cap_single_exchange(spark, sf_dir):
     exchange on source in the plan."""
     plan = plan_of(spark, sf_dir, "source_frequency_cap")
     assert plan.count("hashpartitioning(source") <= 2  # tree + details
+
+
+def test_edit_distance_scans_documents_once(spark, sf_dir):
+    """The melt form must read documents EXACTLY once: the naive two-sided
+    text join broadcast the whole corpus for the second side — impossible
+    at 100 TB."""
+    plan = plan_of(spark, sf_dir, "edit_distance_dedup")
+    assert plan.count("documents.parquet") == 1
+
+
+def test_edit_distance_uses_banded_dp(spark, sf_dir):
+    """The threshold (3-arg) Levenshtein must reach the physical plan —
+    the full O(len^2) DP form costs ~4x more per surviving pair."""
+    plan = plan_of(spark, sf_dir, "edit_distance_dedup")
+    assert "levenshtein" in plan
+    assert "band" in plan
+
+
+def test_boilerplate_topk_is_heap_not_global_sort(spark, sf_dir):
+    """Top-50 grams must be TakeOrderedAndProject over the aggregate —
+    a global sort of the gram-cardinality table would shuffle a token-
+    volume-sized dataset a second time."""
+    plan = plan_of(spark, sf_dir, "boilerplate_ngrams")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_rate_by_source_single_documents_pass(spark, sf_dir):
+    """Source attribution must be ONE streaming documents pass with the
+    (tiny) per-doc degree table on the build side."""
+    plan = plan_of(spark, sf_dir, "dedup_rate_by_source")
+    assert plan.count("documents.parquet") == 1
