@@ -154,3 +154,73 @@ def test_corpus_pairs_fall_back_when_cache_untrusted(spark, docs,
         "doc_id", "other_id", "est_jaccard").collect()))
         == sorted(map(tuple, fresh.select(
             "doc_id", "other_id", "est_jaccard").collect())))
+
+
+def test_compaction_drops_replay_duplicates(spark, tmp_path):
+    """Re-appending an already-indexed batch duplicates banded rows;
+    compaction must restore the from-scratch row count while leaving
+    candidate pairs, shard metadata, and probe pruning intact."""
+    from tigerbeetle_cdc_nats_spark.sources import dedup_index as di
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally different words entirely another thing")],
+        "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    di.write_minhash_index(docs, path)
+    baseline_rows = spark.read.parquet(path).count()
+    baseline_shards = di._read_meta_shards(path)
+
+    def pairs():
+        return sorted(map(tuple, di.minhash_pairs_from_index(
+            di.read_minhash_index(spark, path)).collect()))
+
+    before = pairs()
+    assert any(p[0] == 1 and p[1] == 2 for p in before)
+
+    # at-least-once replay: same batch appended twice
+    replay = docs.where("doc_id >= 2")
+    di.append_minhash_index(replay, path)
+    di.append_minhash_index(replay, path)
+    inflated = spark.read.parquet(path).count()
+    assert inflated > baseline_rows
+    assert pairs() == before  # pairs immune, rows inflated
+
+    di.compact_minhash_index(spark, path)
+    assert spark.read.parquet(path).count() == baseline_rows
+    assert pairs() == before
+    assert di._read_meta_shards(path) == baseline_shards
+    import os
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    # probe still prunes with the preserved modulus
+    delta = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    hits = {r["other_id"]
+            for r in di.probe_minhash_index(spark, path, delta).collect()}
+    assert {1, 2} <= hits
+
+
+def test_winnow_compaction_preserves_candidates(spark, tmp_path):
+    from tigerbeetle_cdc_nats_spark.sources import dedup_index as di
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta iota"),
+         (3, "unrelated content entirely other words in this doc here")],
+        "doc_id long, text string")
+    path = str(tmp_path / "widx")
+    di.write_winnow_index(docs, path)
+    baseline_rows = spark.read.parquet(path).count()
+
+    def cands():
+        return sorted(map(tuple, di.winnow_candidates_from_index(
+            di.read_winnow_index(spark, path)).collect()))
+
+    before = cands()
+    di.append_winnow_index(docs.where("doc_id = 2"), path)
+    assert spark.read.parquet(path).count() > baseline_rows
+    di.compact_winnow_index(spark, path)
+    assert spark.read.parquet(path).count() == baseline_rows
+    assert cands() == before

@@ -228,3 +228,61 @@ def probe_winnow_index(spark: SparkSession, path: str,
                  F.col("b.doc_id").alias("other_id"))
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+# -- Compaction --------------------------------------------------------------
+
+def _swap_in(spark: SparkSession, path: str, rows: DataFrame,
+             partition_cols: list[str]) -> None:
+    """Write ``rows`` partitioned next to ``path`` and atomically swap the
+    directories (POSIX rename), preserving the shard metadata and the
+    ``_SUCCESS`` trust marker. Readers that listed files BEFORE the swap
+    re-list on their next query (the registered queries build their scan
+    per call); a deployment with long-lived readers runs compaction under
+    the same single-writer lock the streaming pipeline already uses."""
+    import shutil
+
+    n_shards = _read_meta_shards(path)
+    tmp = path + ".compact"
+    old = path + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    rows.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+    _write_meta(tmp, n_shards)
+    open(os.path.join(tmp, "_SUCCESS"), "a").close()
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    spark.catalog.clearCache()  # drop any cached scans of the old files
+
+
+def compact_minhash_index(spark: SparkSession, path: str) -> None:
+    """Rewrite the banded index with replay duplicates dropped.
+
+    At-least-once maintenance (streaming/corpus.maintain_minhash_index)
+    re-appends a replayed batch's banded rows; candidate PAIRS are
+    unaffected (pairs_est_from_banded dropDuplicates on the pair key) but
+    the duplicated rows inflate every future index read and delta probe.
+    Compaction is the standard LSM-style remedy: one dropDuplicates on
+    the row identity (doc_id, band, bucket) — sig is doc-determined,
+    shard is bucket-determined — rewritten under the SAME shard modulus,
+    so probes keep pruning correctly. O(index) once, amortized against
+    every read after it; the session pairs memo is invalidated so
+    same-session consumers re-read the compacted files."""
+    from tigerbeetle_cdc_nats_spark.queries_dedup import (
+        invalidate_pairs_cache,
+    )
+
+    rows = read_minhash_index(spark, path).select(
+        "doc_id", "sig", "band", "bucket", "shard"
+    ).dropDuplicates(["doc_id", "band", "bucket"])
+    _swap_in(spark, path, rows, ["band", "shard"])
+    invalidate_pairs_cache()
+
+
+def compact_winnow_index(spark: SparkSession, path: str) -> None:
+    """Replay-duplicate compaction for the fingerprint index: row identity
+    is (doc_id, wm); shard is wm-determined and preserved."""
+    rows = read_winnow_index(spark, path).select(
+        "doc_id", "wm", "shard").dropDuplicates(["doc_id", "wm"])
+    _swap_in(spark, path, rows, ["shard"])
