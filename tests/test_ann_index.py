@@ -87,3 +87,31 @@ def test_incremental_append_equals_rebuild(spark, tmp_path):
     b = sorted(map(tuple, read_ann_index(spark, full)
                    .select("vec_id", "bucket").collect()))
     assert a == b and len(a) == emb.count()
+
+
+def test_ann_compaction_drops_replay_duplicates(spark, tmp_path):
+    from tigerbeetle_cdc_nats_spark.operators import similarity as sim
+    from tigerbeetle_cdc_nats_spark.sources import ann_index as ai
+    from tigerbeetle_cdc_nats_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(64)
+    dim = sim.embedding_dim("/root/testdata/sf0.001")
+    planes = sim.hyperplanes(n_planes=4, dim=dim)
+    path = str(tmp_path / "annidx")
+    ai.write_ann_index(emb, path, planes, dim=dim)
+    baseline = spark.read.parquet(path).count()
+
+    replay = emb.limit(16)
+    ai.append_ann_index(replay, path, planes, dim=dim)
+    ai.append_ann_index(replay, path, planes, dim=dim)
+    assert spark.read.parquet(path).count() == baseline + 32
+
+    ai.compact_ann_index(spark, path)
+    after = ai.read_ann_index(spark, path)
+    assert after.count() == baseline
+    # partition pruning still works on the rewritten layout
+    some_bucket = after.select("bucket").first()["bucket"]
+    pruned = ai.probe_buckets(after, [some_bucket])
+    assert pruned.count() > 0
+    assert {r["bucket"] for r in pruned.select("bucket")
+            .distinct().collect()} == {some_bucket}

@@ -58,3 +58,27 @@ def probe_buckets(index: DataFrame, buckets: list[int]) -> DataFrame:
     """Candidate fetch for a (multi-)probe set: an IN filter on the
     partition column — prunes to |buckets| directories at the file level."""
     return index.where(F.col("bucket").isin([int(b) for b in buckets]))
+
+
+def compact_ann_index(spark: SparkSession, path: str) -> None:
+    """Replay-duplicate compaction (same lifecycle op as the text
+    indexes, sources/dedup_index.compact_minhash_index): at-least-once
+    maintenance re-appends a replayed batch's vectors; row identity is
+    (vec_id, bucket) — the bucket is plane-determined, so a vec_id can
+    legitimately appear once per plane-set generation but a replayed
+    batch writes the SAME bucket twice. Rewritten bucket-partitioned and
+    swapped atomically; probes keep pruning on the partition column."""
+    import os
+    import shutil
+
+    vecs = read_ann_index(spark, path).dropDuplicates(["vec_id", "bucket"])
+    cols = [c for c in vecs.columns if c != "bucket"] + ["bucket"]
+    tmp, old = path + ".compact", path + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    vecs.select(*cols).write.mode("overwrite").partitionBy(
+        "bucket").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    spark.catalog.clearCache()
