@@ -133,7 +133,15 @@ def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return sim.ann_lsh(load_table(spark, sf_dir, "embeddings"),
                            QUERY_IDS, planes, k=5,
                            dim=dim).withColumnRenamed("rank", "knn_rank")
-    q = (idx.where(F.col("vec_id").isin(list(QUERY_IDS)))
+    # Query vectors come from the SOURCE table (vec_id IN pushes to that
+    # scan), with buckets re-derived by the same deterministic hyperplane
+    # expression the index writer used — fetching them from the index
+    # would full-scan it (vec_id is NOT the partition key), which at
+    # 100 TB costs more than the probe it sets up saves.
+    q = (sim.lsh_buckets(
+            load_table(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id").isin(list(QUERY_IDS))),
+            planes, dim=dim)
          .select(F.col("vec_id").alias("q_id"),
                  F.col("embedding").alias("q_emb"),
                  F.col("bucket").alias("q_bucket"),
