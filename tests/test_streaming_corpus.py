@@ -349,3 +349,61 @@ def test_maintenance_invalidates_session_pairs_memo(spark, tmp_path):
     assert p2 is not p1, "append must invalidate the session memo"
     pairs = {(r["doc_a"], r["doc_b"]) for r in p2.collect()}
     assert (1, 3) in pairs, "the appended exact dup must pair with doc 1"
+
+
+def test_maintenance_auto_compaction_bounds_growth(spark, tmp_path):
+    """With compact_every set, the maintained index's row count returns to
+    the from-scratch baseline after the compaction batch fires, and the
+    candidate pairs never change."""
+    import time
+
+    from tigerbeetle_cdc_nats_spark.sources import dedup_index as di
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    chk = str(tmp_path / "chk")
+    os.makedirs(src)
+    _write_docs(spark, src, [(1, GOOD, 1), (2, GOOD + " more words", 2)])
+    stream = (spark.readStream.schema(DOC_SCHEMA).parquet(src)
+              .select("doc_id", "text"))
+    q = sc.maintain_minhash_index(stream, idx, checkpoint_dir=chk,
+                                  trigger_seconds=0.2, compact_every=2)
+    try:
+        deadline = time.time() + 120
+
+        def docs_in_index():
+            try:
+                return {r["doc_id"] for r in spark.read.parquet(idx)
+                        .select("doc_id").distinct().collect()}
+            except Exception:
+                return set()
+
+        while time.time() < deadline and docs_in_index() != {1, 2}:
+            time.sleep(0.5)
+        # batch 1: a replay-shaped append (doc 2 again) + a new doc
+        _write_docs(spark, src, [(2, GOOD + " more words", 3), (3, GOOD, 4)])
+        while time.time() < deadline and docs_in_index() != {1, 2, 3}:
+            time.sleep(0.5)
+        # batch 2 triggers compaction (batch_id 2 % compact_every 2 == 0)
+        _write_docs(spark, src, [(4, "entirely different text here", 5)])
+        while time.time() < deadline and docs_in_index() != {1, 2, 3, 4}:
+            time.sleep(0.5)
+        assert docs_in_index() == {1, 2, 3, 4}
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    # after the compaction cycle the duplicated doc-2 rows are gone:
+    # row count equals the from-scratch rebuild
+    rebuilt = str(tmp_path / "rebuild")
+    all_docs = spark.createDataFrame(
+        [(1, GOOD), (2, GOOD + " more words"), (3, GOOD),
+         (4, "entirely different text here")], "doc_id long, text string")
+    di.write_minhash_index(all_docs, rebuilt)
+    assert (spark.read.parquet(idx).count()
+            == spark.read.parquet(rebuilt).count())
+
+    def pairs(p):
+        return sorted(map(tuple, di.minhash_pairs_from_index(
+            di.read_minhash_index(spark, p)).collect()))
+
+    assert pairs(idx) == pairs(rebuilt)

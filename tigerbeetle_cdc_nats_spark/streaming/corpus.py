@@ -133,7 +133,8 @@ def normalized_dedup_stream(docs: DataFrame, *,
 
 def maintain_minhash_index(docs: DataFrame, index_path: str, *,
                            checkpoint_dir: str,
-                           trigger_seconds: float = 1.0):
+                           trigger_seconds: float = 1.0,
+                           compact_every: int | None = None):
     """Continuously maintain the STORED MinHash banded index from a
     document stream: each micro-batch's banded rows APPEND into their
     (band, shard) partitions via sources/dedup_index.append_minhash_index
@@ -151,6 +152,13 @@ def maintain_minhash_index(docs: DataFrame, index_path: str, *,
     Scale shape: per batch the work is |batch| signature builds + a
     partitioned append touching only the batch's own (band, shard)
     directories — O(|delta|) exactly like the batch append path.
+
+    ``compact_every=N`` runs replay-duplicate compaction
+    (sources/dedup_index.compact_minhash_index — O(index), atomic swap)
+    after every N appended batches, bounding the growth an at-least-once
+    replay storm can accumulate; compaction is idempotent, so a batch
+    replayed ACROSS a compaction boundary is simply deduplicated again
+    at the next cycle.
     """
     import os
 
@@ -171,6 +179,9 @@ def maintain_minhash_index(docs: DataFrame, index_path: str, *,
                 invalidate_pairs_cache,
             )
             invalidate_pairs_cache()
+            if (compact_every and batch_id > 0
+                    and batch_id % compact_every == 0):
+                di.compact_minhash_index(batch_df.sparkSession, index_path)
 
     return (docs.writeStream
             .foreachBatch(append_batch)
