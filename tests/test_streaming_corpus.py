@@ -364,7 +364,11 @@ def test_maintenance_auto_compaction_bounds_growth(spark, tmp_path):
     chk = str(tmp_path / "chk")
     os.makedirs(src)
     _write_docs(spark, src, [(1, GOOD, 1), (2, GOOD + " more words", 2)])
-    stream = (spark.readStream.schema(DOC_SCHEMA).parquet(src)
+    # one file per trigger: each _write_docs call (coalesce(1) = one
+    # part-file) becomes exactly one numbered batch, so the compaction
+    # batch (id 2) is deterministic instead of timing-dependent
+    stream = (spark.readStream.schema(DOC_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src)
               .select("doc_id", "text"))
     q = sc.maintain_minhash_index(stream, idx, checkpoint_dir=chk,
                                   trigger_seconds=0.2, compact_every=2)
@@ -384,23 +388,37 @@ def test_maintenance_auto_compaction_bounds_growth(spark, tmp_path):
         _write_docs(spark, src, [(2, GOOD + " more words", 3), (3, GOOD, 4)])
         while time.time() < deadline and docs_in_index() != {1, 2, 3}:
             time.sleep(0.5)
-        # batch 2 triggers compaction (batch_id 2 % compact_every 2 == 0)
+        # after the compaction cycle the duplicated doc-2 rows are gone:
+        # row count equals the from-scratch rebuild
+        rebuilt = str(tmp_path / "rebuild")
+        all_docs = spark.createDataFrame(
+            [(1, GOOD), (2, GOOD + " more words"), (3, GOOD),
+             (4, "entirely different text here")],
+            "doc_id long, text string")
+        di.write_minhash_index(all_docs, rebuilt)
+        expected_rows = spark.read.parquet(rebuilt).count()
+
+        def idx_rows():
+            try:
+                return spark.read.parquet(idx).count()
+            except Exception:
+                return -1
+
+        # batch 2 triggers compaction (batch_id 2 % compact_every 2 == 0);
+        # poll for doc 4 AND the compacted row count — doc visibility
+        # alone would stop the stream mid-compaction (same foreachBatch
+        # call), and row count alone collides with the pre-batch-2 count
+        # (3 docs + 1 replayed = the same 4-doc total the rebuild has)
         _write_docs(spark, src, [(4, "entirely different text here", 5)])
-        while time.time() < deadline and docs_in_index() != {1, 2, 3, 4}:
+        while time.time() < deadline and not (
+                docs_in_index() == {1, 2, 3, 4}
+                and idx_rows() == expected_rows):
             time.sleep(0.5)
         assert docs_in_index() == {1, 2, 3, 4}
+        assert idx_rows() == expected_rows
     finally:
         q.stop()
         q.awaitTermination(60)
-    # after the compaction cycle the duplicated doc-2 rows are gone:
-    # row count equals the from-scratch rebuild
-    rebuilt = str(tmp_path / "rebuild")
-    all_docs = spark.createDataFrame(
-        [(1, GOOD), (2, GOOD + " more words"), (3, GOOD),
-         (4, "entirely different text here")], "doc_id long, text string")
-    di.write_minhash_index(all_docs, rebuilt)
-    assert (spark.read.parquet(idx).count()
-            == spark.read.parquet(rebuilt).count())
 
     def pairs(p):
         return sorted(map(tuple, di.minhash_pairs_from_index(
