@@ -425,3 +425,72 @@ def test_maintenance_auto_compaction_bounds_growth(spark, tmp_path):
             di.read_minhash_index(spark, p)).collect()))
 
     assert pairs(idx) == pairs(rebuilt)
+
+
+def test_ann_maintenance_auto_compaction(spark, tmp_path):
+    """compact_every on the vector stream: after the compaction batch the
+    maintained index's (vec_id, bucket) rows equal a from-scratch rebuild
+    even though a batch was replay-appended. Deterministic batches via
+    one-file-per-trigger; the poll requires BOTH the final id set and the
+    compacted row count (the mid-stream count can transiently equal the
+    target)."""
+    import time
+
+    from pyspark.sql import types as T
+
+    from tigerbeetle_cdc_nats_spark.operators import similarity as sim
+    from tigerbeetle_cdc_nats_spark.sources import ann_index as ai
+
+    dim = 8
+    planes = sim.hyperplanes(n_planes=4, dim=dim)
+    src = str(tmp_path / "vsrc")
+    idx = str(tmp_path / "vidx")
+    chk = str(tmp_path / "vchk")
+    os.makedirs(src)
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+
+    def vec(i):
+        return [float((i * 7 + j) % 5 - 2) for j in range(dim)]
+
+    def write_batch(ids):
+        spark.createDataFrame([(i, vec(i)) for i in ids], schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    def indexed_ids():
+        try:
+            return {r["vec_id"] for r in spark.read.parquet(idx)
+                    .select("vec_id").distinct().collect()}
+        except Exception:
+            return set()
+
+    def idx_rows():
+        try:
+            return spark.read.parquet(idx).count()
+        except Exception:
+            return -1
+
+    write_batch(range(0, 4))                     # batch 0
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = sc.maintain_ann_index(stream, idx, planes, checkpoint_dir=chk,
+                              dim=dim, trigger_seconds=0.2,
+                              compact_every=2)
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and indexed_ids() != set(range(4)):
+            time.sleep(0.5)
+        write_batch([2, 3, 4, 5])                # batch 1: replay of 2,3
+        while time.time() < deadline and indexed_ids() != set(range(6)):
+            time.sleep(0.5)
+        write_batch([6])                         # batch 2 -> compaction
+        while time.time() < deadline and not (
+                indexed_ids() == set(range(7)) and idx_rows() == 7):
+            time.sleep(0.5)
+        assert indexed_ids() == set(range(7))
+        assert idx_rows() == 7                   # replay rows compacted
+    finally:
+        q.stop()
+        q.awaitTermination(60)

@@ -192,7 +192,8 @@ def maintain_minhash_index(docs: DataFrame, index_path: str, *,
 
 def maintain_ann_index(vectors: DataFrame, index_path: str,
                        planes, *, checkpoint_dir: str, dim: int,
-                       trigger_seconds: float = 1.0):
+                       trigger_seconds: float = 1.0,
+                       compact_every: int | None = None):
     """Continuously maintain the stored bucket-partitioned ANN index from
     an embedding stream — the vector twin of maintain_minhash_index.
     Each micro-batch's vectors append into their bucket's partition
@@ -203,13 +204,18 @@ def maintain_ann_index(vectors: DataFrame, index_path: str,
     Replay idempotency: a re-appended batch duplicates (vec_id, bucket)
     rows; ANN consumers that dedupe on vec_id (top-k windows rank per
     c_id; pair scans drop duplicate pairs) are unaffected — same
-    contract as the banded-index appends.
+    contract as the banded-index appends. ``compact_every=N`` bounds the
+    accumulated duplicate rows exactly like the text-index knob
+    (sources/ann_index.compact_ann_index, idempotent atomic swap).
     """
     from tigerbeetle_cdc_nats_spark.sources import ann_index as ai
 
     def append_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():
             ai.append_ann_index(batch_df, index_path, planes, dim=dim)
+            if (compact_every and batch_id > 0
+                    and batch_id % compact_every == 0):
+                ai.compact_ann_index(batch_df.sparkSession, index_path)
 
     return (vectors.writeStream
             .foreachBatch(append_batch)
