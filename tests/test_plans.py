@@ -725,3 +725,11 @@ def test_dedup_rate_by_source_single_documents_pass(spark, sf_dir):
     (tiny) per-doc degree table on the build side."""
     plan = plan_of(spark, sf_dir, "dedup_rate_by_source")
     assert plan.count("documents.parquet") == 1
+
+
+def test_ann_indexed_probes_via_dynamic_partition_pruning(spark, sf_dir):
+    """The stored-index ANN probe must prune bucket directories through
+    DPP on the partition column — no full index scan for the query rows
+    (vec_id is not the partition key) and no driver-side collect."""
+    plan = plan_of(spark, sf_dir, "ann_lsh_indexed")
+    assert "dynamicpruning" in plan.lower()

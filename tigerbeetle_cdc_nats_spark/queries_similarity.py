@@ -106,12 +106,17 @@ SELECT q_id, c_id, sim_e6, knn_rank FROM r WHERE knn_rank <= 5""",
 def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-LSH top-5 against the stored vector index.
 
-    The index is the corpus written partitioned by its LSH bucket; the
-    probe collects the (bounded, <= |queries|) query buckets driver-side
-    and fetches candidates through an IN filter on the partition column,
-    so the scan prunes to those directories before any row is decoded.
-    Results are identical to ann_lsh_cosine: the stored bucket derivation
-    is the same deterministic hyperplane expression.
+    The index is the corpus written partitioned by its LSH bucket. The
+    query side is the SOURCE table scan (``vec_id IN`` pushes down) with
+    buckets derived by the SAME Arrow path the index writer used
+    (signature_cols — bit-identical stored/fresh buckets); fetching query
+    rows from the index instead would full-scan it (vec_id is not the
+    partition key). Candidates come from a broadcast equality join on
+    the bucket, which Spark turns into DYNAMIC PARTITION PRUNING on the
+    index's partition column — only the probed bucket directories are
+    listed and decoded, with no driver-side collect round-trip (the
+    earlier IN-filter form synchronized on a collect and re-planned a
+    second job). Results are identical to ann_lsh_cosine.
     """
     import os
 
@@ -133,26 +138,18 @@ def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return sim.ann_lsh(load_table(spark, sf_dir, "embeddings"),
                            QUERY_IDS, planes, k=5,
                            dim=dim).withColumnRenamed("rank", "knn_rank")
-    # Query vectors come from the SOURCE table (vec_id IN pushes to that
-    # scan), with buckets re-derived by the same deterministic hyperplane
-    # expression the index writer used — fetching them from the index
-    # would full-scan it (vec_id is NOT the partition key), which at
-    # 100 TB costs more than the probe it sets up saves.
-    q = (sim.lsh_buckets(
-            load_table(spark, sf_dir, "embeddings")
-            .where(F.col("vec_id").isin(list(QUERY_IDS))),
-            planes, dim=dim)
+    qsrc = (load_table(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id").isin(list(QUERY_IDS))))
+    q = (sim.signature_cols(qsrc, [planes], "embedding", dim,
+                            bucket_names=["bucket"])
          .select(F.col("vec_id").alias("q_id"),
                  F.col("embedding").alias("q_emb"),
                  F.col("bucket").alias("q_bucket"),
                  sim.norm_col("embedding", dim).alias("q_n")))
-    buckets = [int(r["q_bucket"]) for r in
-               q.select("q_bucket").distinct().collect()]
-    c = (ai.probe_buckets(idx, buckets)
-         .select(F.col("vec_id").alias("c_id"),
-                 F.col("embedding").alias("c_emb"),
-                 F.col("bucket").alias("c_bucket"),
-                 sim.norm_col("embedding", dim).alias("c_n")))
+    c = idx.select(F.col("vec_id").alias("c_id"),
+                   F.col("embedding").alias("c_emb"),
+                   F.col("bucket").alias("c_bucket"),
+                   sim.norm_col("embedding", dim).alias("c_n"))
     s = sim.cosine_sim_e6_prenorm("q_emb", "c_emb",
                                   F.col("q_n"), F.col("c_n"), None)
     w = Window.partitionBy("q_id").orderBy(F.col("sim_e6").desc(), "c_id")
