@@ -79,6 +79,10 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
         "bucket").parquet(tmp)
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        os.rename(old, path)  # failed swap degrades to "nothing happened"
+        raise
     shutil.rmtree(old, ignore_errors=True)
     spark.catalog.clearCache()

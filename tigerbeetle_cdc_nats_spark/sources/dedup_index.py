@@ -251,7 +251,14 @@ def _swap_in(spark: SparkSession, path: str, rows: DataFrame,
     open(os.path.join(tmp, "_SUCCESS"), "a").close()
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        # the window between the two renames is the only moment the live
+        # path is absent — restore the original before propagating so a
+        # failed compaction degrades to "nothing happened"
+        os.rename(old, path)
+        raise
     shutil.rmtree(old, ignore_errors=True)
     spark.catalog.clearCache()  # drop any cached scans of the old files
 
