@@ -91,8 +91,9 @@ EMB_OPS = [
     "ann_bucket_stats", "embedding_norm_outliers",
     # round 6 continuation: nprobe operating curve (candidate volume is
     # the quantity under test — alpha tracks probed-list population),
-    # per-cell prototypicality pruning (one cell-keyed window sort).
-    "ivf_probe_recall", "prototype_pruning",
+    # per-cell prototypicality pruning (one cell-keyed window sort),
+    # stored cell-partitioned IVF serving (DPP probe).
+    "ivf_probe_recall", "prototype_pruning", "ivf_ann_indexed",
 ]
 #: events-table window/aggregation family (time-series scale risks:
 #: per-user window sorts, global percentile sorts, self-join rollups).

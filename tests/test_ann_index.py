@@ -115,3 +115,16 @@ def test_ann_compaction_drops_replay_duplicates(spark, tmp_path):
     assert pruned.count() > 0
     assert {r["bucket"] for r in pruned.select("bucket")
             .distinct().collect()} == {some_bucket}
+
+
+def test_stored_ivf_equals_in_session(spark, tmp_path, monkeypatch):
+    """ivf_ann_indexed must return row-identical results to
+    ivf_ann_cosine — the stored assignment and the session assignment
+    are the same Arrow argmax over the same integer-e6 centroids."""
+    from tigerbeetle_cdc_nats_spark.registry import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    fresh = sorted(map(tuple, qs["ivf_ann_cosine"].fn(spark, sf).collect()))
+    stored = sorted(map(tuple, qs["ivf_ann_indexed"].fn(spark, sf).collect()))
+    assert stored == fresh

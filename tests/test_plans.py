@@ -733,3 +733,10 @@ def test_ann_indexed_probes_via_dynamic_partition_pruning(spark, sf_dir):
     (vec_id is not the partition key) and no driver-side collect."""
     plan = plan_of(spark, sf_dir, "ann_lsh_indexed")
     assert "dynamicpruning" in plan.lower()
+
+
+def test_ivf_indexed_probes_via_dynamic_partition_pruning(spark, sf_dir):
+    """The stored IVF probe must prune cell directories through DPP —
+    same contract as the LSH bucket index."""
+    plan = plan_of(spark, sf_dir, "ivf_ann_indexed")
+    assert "dynamicpruning" in plan.lower()

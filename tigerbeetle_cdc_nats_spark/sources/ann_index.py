@@ -86,3 +86,57 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
         raise
     shutil.rmtree(old, ignore_errors=True)
     spark.catalog.clearCache()
+
+
+# -- Stored IVF index --------------------------------------------------------
+#
+# The inverted-file twin of the LSH bucket index: the corpus coarse-
+# quantized once (map-side Arrow argmax, queries_similarity.ivf_assign)
+# and stored partitioned by cell, with the centroid table persisted
+# UNDER the same root as an underscore-prefixed sidecar (parquet readers
+# skip underscore paths, so spark.read.parquet(root) sees only vectors).
+# A query then re-assigns ONLY itself against the stored centroids —
+# bit-identical to the build-time assignment — and probes its cell's
+# partition directory.
+
+_IVF_CENTROIDS = "_centroids"
+
+
+def write_ivf_index(embeddings: DataFrame, path: str, *,
+                    dim: int | None = None) -> None:
+    import os
+
+    from tigerbeetle_cdc_nats_spark.queries_similarity import (
+        centroid_vectors,
+        ivf_assign,
+    )
+
+    from pyspark import StorageLevel
+
+    # vectors FIRST (the root overwrite clears the directory), sidecar
+    # second. Using the in-memory centv for assignment equals using the
+    # stored copy: centroids are integer-e6 longs, lossless in parquet.
+    centv = centroid_vectors(embeddings).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    (ivf_assign(embeddings, centv, dim=dim)
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+    centv.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, _IVF_CENTROIDS))
+    centv.unpersist()
+    open(os.path.join(path, "_SUCCESS"), "a").close()
+
+
+def read_ivf_index(spark: SparkSession, path: str) -> DataFrame:
+    from tigerbeetle_cdc_nats_spark.session import configure
+
+    configure(spark)
+    return spark.read.parquet(path)
+
+
+def read_ivf_centroids(spark: SparkSession, path: str) -> DataFrame:
+    import os
+
+    from tigerbeetle_cdc_nats_spark.session import configure
+
+    configure(spark)
+    return spark.read.parquet(os.path.join(path, _IVF_CENTROIDS))
