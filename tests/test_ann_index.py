@@ -128,3 +128,44 @@ def test_stored_ivf_equals_in_session(spark, tmp_path, monkeypatch):
     fresh = sorted(map(tuple, qs["ivf_ann_cosine"].fn(spark, sf).collect()))
     stored = sorted(map(tuple, qs["ivf_ann_indexed"].fn(spark, sf).collect()))
     assert stored == fresh
+
+
+def test_ivf_append_and_compact_lifecycle(spark, tmp_path):
+    """Online insert assigns against the STORED centroids (no re-train);
+    a replayed insert's duplicates compact away; the centroid sidecar
+    survives compaction byte-for-byte."""
+    from tigerbeetle_cdc_nats_spark.operators import similarity as sim
+    from tigerbeetle_cdc_nats_spark.session import load_table
+    from tigerbeetle_cdc_nats_spark.sources import ann_index as ai
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    dim = sim.embedding_dim(sf)
+    base = emb.where("vec_id < 400")
+    delta = emb.where("vec_id >= 400 and vec_id < 420")
+    path = str(tmp_path / "ivfidx")
+    ai.write_ivf_index(base, path, dim=dim)
+    cent_before = sorted(map(tuple, ai.read_ivf_centroids(spark, path)
+                             .collect()))
+    n0 = spark.read.parquet(path).count()
+
+    ai.append_ivf_index(delta, path, dim=dim)
+    ai.append_ivf_index(delta, path, dim=dim)  # at-least-once replay
+    assert spark.read.parquet(path).count() == n0 + 40
+
+    ai.compact_ivf_index(spark, path)
+    idx = ai.read_ivf_index(spark, path)
+    assert idx.count() == n0 + 20
+    # centroids untouched by insert AND compaction (no silent re-train)
+    cent_after = sorted(map(tuple, ai.read_ivf_centroids(spark, path)
+                            .collect()))
+    assert cent_after == cent_before
+    # appended vectors landed in the same cells a fresh assignment picks
+    from tigerbeetle_cdc_nats_spark.queries_similarity import ivf_assign
+    centv = ai.read_ivf_centroids(spark, path)
+    fresh = {(r["vec_id"], r["cell"]) for r in
+             ivf_assign(delta, centv, dim=dim)
+             .select("vec_id", "cell").collect()}
+    stored = {(r["vec_id"], r["cell"]) for r in
+              idx.where("vec_id >= 400").select("vec_id", "cell").collect()}
+    assert stored == fresh

@@ -140,3 +140,48 @@ def read_ivf_centroids(spark: SparkSession, path: str) -> DataFrame:
 
     configure(spark)
     return spark.read.parquet(os.path.join(path, _IVF_CENTROIDS))
+
+
+def append_ivf_index(new_vectors: DataFrame, path: str, *,
+                     dim: int | None = None) -> None:
+    """Online IVF insert: new vectors are assigned to the EXISTING stored
+    centroids (the standard inverted-file insert — centroids stay fixed
+    between re-trainings; centroid_drift_audit quantifies when a rebuild
+    is due) and appended into their cell's partition directory,
+    O(|delta| x k) with no touch of existing partitions."""
+    from tigerbeetle_cdc_nats_spark.queries_similarity import ivf_assign
+
+    spark = new_vectors.sparkSession
+    centv = read_ivf_centroids(spark, path)
+    (ivf_assign(new_vectors, centv, dim=dim)
+     .write.mode("append").partitionBy("cell").parquet(path))
+
+
+def compact_ivf_index(spark: SparkSession, path: str) -> None:
+    """Replay-duplicate compaction for the IVF index: row identity is
+    (vec_id, cell) — the cell is centroid-determined under the stored
+    (fixed) centroid table, so a replayed insert writes the same cell
+    twice. The centroid sidecar is untouched (underscore paths survive
+    the data swap: the rewrite targets only the vector rows)."""
+    import os
+    import shutil
+
+    vecs = read_ivf_index(spark, path).dropDuplicates(["vec_id", "cell"])
+    cols = [c for c in vecs.columns if c != "cell"] + ["cell"]
+    tmp, old = path + ".compact", path + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    vecs.select(*cols).write.mode("overwrite").partitionBy(
+        "cell").parquet(tmp)
+    # carry the sidecar + trust marker into the replacement root
+    shutil.copytree(os.path.join(path, _IVF_CENTROIDS),
+                    os.path.join(tmp, _IVF_CENTROIDS))
+    open(os.path.join(tmp, "_SUCCESS"), "a").close()
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        os.rename(old, path)  # failed swap degrades to "nothing happened"
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+    spark.catalog.clearCache()
