@@ -26,3 +26,18 @@ def test_multiprobe_dominates_single_bucket(spark, sf_dir):
         mn, mbest = multi[q_id]
         assert mn >= n
         assert mbest >= best
+
+
+def test_indexed_multiprobe_equals_in_session(spark):
+    """ann_multiprobe_indexed must return row-identical results to
+    ann_multiprobe_cosine — same probe set, candidates served from the
+    stored bucket partitions via DPP."""
+    from tigerbeetle_cdc_nats_spark.registry import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    fresh = sorted(map(tuple,
+                       qs["ann_multiprobe_cosine"].fn(spark, sf).collect()))
+    stored = sorted(map(tuple,
+                        qs["ann_multiprobe_indexed"].fn(spark, sf).collect()))
+    assert stored == fresh

@@ -740,3 +740,8 @@ def test_ivf_indexed_probes_via_dynamic_partition_pruning(spark, sf_dir):
     same contract as the LSH bucket index."""
     plan = plan_of(spark, sf_dir, "ivf_ann_indexed")
     assert "dynamicpruning" in plan.lower()
+
+
+def test_multiprobe_indexed_uses_dpp(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ann_multiprobe_indexed")
+    assert "dynamicpruning" in plan.lower()

@@ -1883,3 +1883,79 @@ def q_ivf_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("knn_rank") <= 5)
     )
+
+
+@register(
+    "ann_multiprobe_indexed",
+    f"""WITH b AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
+q0 AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+       FROM b WHERE vec_id IN {QUERY_IDS}),
+q AS (SELECT q_id, q_emb, unnest({_PROBE_LIST_SQL}) AS probe FROM q0),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket AS c_bucket FROM b),
+s AS (SELECT q_id, c_id, {_COS} AS sim_e6
+      FROM q JOIN c ON probe = c_bucket AND q_id != c_id),
+r AS (SELECT q_id, c_id, sim_e6,
+        ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY sim_e6 DESC, c_id) AS knn_rank
+      FROM s)
+SELECT q_id, c_id, sim_e6, knn_rank FROM r WHERE knn_rank <= 5""",
+    doc="multi-probe LSH against the STORED bucket-partitioned index: "
+        "each query probes its bucket plus all 1-bit-flip neighbors, and "
+        "the (planes+1)-per-query probe set drives dynamic partition "
+        "pruning on the index — the production recall knob served from "
+        "the persisted artifact; results identical to "
+        "ann_multiprobe_cosine",
+)
+def q_ann_multiprobe_indexed(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Indexed multi-probe: the recall fix at stored-index serving cost.
+
+    Scale shape: identical to ann_lsh_indexed's DPP probe except the
+    (tiny) query side fans out to planes+1 probe rows BEFORE the
+    broadcast equality join — DPP then lists only the probed bucket
+    directories, so candidate volume is (planes+1) x bucket population
+    per query with no full index scan and no driver collect. The
+    query-side bucket derives via the writer's Arrow path
+    (bit-identical)."""
+    import os
+
+    from pyspark.sql import Window, functions as F
+
+    from tigerbeetle_cdc_nats_spark.queries_dedup import stored_index_dir
+    from tigerbeetle_cdc_nats_spark.sources import ann_index as ai
+
+    dim, planes = _dim(sf_dir), _planes(sf_dir)
+    path = stored_index_dir("annlsh", sf_dir, table="embeddings")
+    try:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            ai.write_ann_index(load_table(spark, sf_dir, "embeddings"),
+                               path, planes, dim=dim)
+        idx = ai.read_ann_index(spark, path)
+    except Exception:
+        # read-only scratch fallback: identical result in-session
+        return q_ann_multiprobe(spark, sf_dir)
+    qsrc = (load_table(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id").isin(list(QUERY_IDS))))
+    masks = F.array(*[F.lit(m) for m in _PROBE_MASKS])
+    q = (sim.signature_cols(qsrc, [planes], "embedding", dim,
+                            bucket_names=["bucket"])
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb"),
+                 sim.norm_col("embedding", dim).alias("q_n"),
+                 F.explode(F.transform(
+                     masks, lambda m: F.col("bucket").bitwiseXOR(m)))
+                 .alias("probe")))
+    c = idx.select(F.col("vec_id").alias("c_id"),
+                   F.col("embedding").alias("c_emb"),
+                   F.col("bucket").alias("c_bucket"),
+                   sim.norm_col("embedding", dim).alias("c_n"))
+    s = sim.cosine_sim_e6_prenorm("q_emb", "c_emb",
+                                  F.col("q_n"), F.col("c_n"), dim)
+    w = Window.partitionBy("q_id").orderBy(F.col("sim_e6").desc(), "c_id")
+    return (
+        c.join(F.broadcast(q), (F.col("probe") == F.col("c_bucket"))
+               & (F.col("q_id") != F.col("c_id")))
+        .select("q_id", "c_id", s.alias("sim_e6"))
+        .withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("knn_rank") <= 5)
+    )
