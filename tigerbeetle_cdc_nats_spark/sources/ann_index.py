@@ -29,10 +29,23 @@ def write_ann_index(embeddings: DataFrame, path: str,
                     planes: list[list[float]], *,
                     vec_col: str = "embedding", dim: int | None = None,
                     mode: str = "overwrite") -> None:
-    """Bucket-partitioned index: one partition directory per LSH bucket."""
+    """Bucket-partitioned index: one partition directory per LSH bucket.
+    The vector norm is stored alongside (same folded accumulation the
+    cosine uses, so FLOOR(cos*1e6) stays bit-identical) — probes read it
+    instead of planning a dim-unrolled norm expression per query."""
     (sim.signature_cols(embeddings, [planes], vec_col, dim,
                         bucket_names=["bucket"])
+     .withColumn("norm", sim.norm_col(vec_col, dim))
      .write.mode(mode).partitionBy("bucket").parquet(path))
+
+
+def index_norm(idx: DataFrame, vec_col: str = "embedding",
+               dim: int | None = None):
+    """The stored ``norm`` column, or the computed fold for indexes
+    written before norms were stored (backward compatible)."""
+    if "norm" in idx.columns:
+        return F.col("norm")
+    return sim.norm_col(vec_col, dim)
 
 
 def append_ann_index(new_vectors: DataFrame, path: str,
