@@ -745,3 +745,25 @@ def test_ivf_indexed_probes_via_dynamic_partition_pruning(spark, sf_dir):
 def test_multiprobe_indexed_uses_dpp(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ann_multiprobe_indexed")
     assert "dynamicpruning" in plan.lower()
+
+
+@pytest.mark.parametrize("name,query_side_folds", [
+    ("ann_lsh_indexed", 2), ("ann_multiprobe_indexed", 3)])
+def test_ann_indexed_probes_read_stored_norm(spark, sf_dir, name,
+                                             query_side_folds):
+    """The index writer persists a ``norm`` column precisely so probes
+    never re-plan a dim-unrolled self-product per candidate row
+    (sources/ann_index.write_ann_index). The candidate fetch must READ
+    it: the index scan's schema includes norm:double (the source
+    embeddings table has no such column, so its presence can only come
+    from the index scan), and the only remaining self-product folds are
+    the bounded query-side ones (q_n + DPP's duplicated broadcast
+    subquery) — recomputing candidate norms would add one more."""
+    import re
+
+    plan = plan_of(spark, sf_dir, name)
+    assert "norm:double" in plan, "index scan must project the stored norm"
+    folds = re.findall(r"\[0\] as double\) \* cast\(\w+#\d+\[0\]",
+                       plan.lower())
+    assert len(folds) <= query_side_folds, (
+        f"{name}: unexpected dim-unrolled norm fold on the candidate side")

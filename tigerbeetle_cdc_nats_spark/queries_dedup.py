@@ -99,11 +99,20 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_candidate_pairs(sigs)
 
 
+#: Index LAYOUT versions, folded into the directory key: bumping one
+#: retires every stored index of that kind, so a schema change (e.g.
+#: annlsh v2 adding the stored ``norm`` column) can never silently serve
+#: a pre-change index through a backward-compat accessor forever.
+#: Unlisted kinds are layout v1 (their directories keep amortizing).
+_INDEX_LAYOUT_VERSION = {"annlsh": 2}
+
+
 def stored_index_dir(kind: str, sf_dir: str,
                      table: str = "documents") -> str:
     """Location of a persisted index for ``sf_dir``, keyed by the source
-    table's fingerprint (path + mtime + size) so a regenerated testdata
-    set can never serve a stale index.
+    table's fingerprint (path + mtime + size) AND the kind's layout
+    version so neither a regenerated testdata set nor an index-schema
+    change can ever serve a stale index.
 
     The cache root is per-user (uid-suffixed, mode 0700) and its ownership
     is verified before any caller trusts an existing index: on a shared
@@ -123,8 +132,10 @@ def stored_index_dir(kind: str, sf_dir: str,
         tag = f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
         tag = "absent"
+    ver = _INDEX_LAYOUT_VERSION.get(kind, 1)
+    vtag = "" if ver == 1 else f":L{ver}"  # v1 keys predate the suffix
     h = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{tag}".encode()).hexdigest()[:12]
+        f"{os.path.abspath(sf_dir)}:{tag}{vtag}".encode()).hexdigest()[:12]
     uid = os.getuid() if hasattr(os, "getuid") else 0
     root = os.path.join(tempfile.gettempdir(),
                         f"spark_graft_dedup_index_{uid}")

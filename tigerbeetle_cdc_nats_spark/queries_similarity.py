@@ -146,10 +146,14 @@ def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("embedding").alias("q_emb"),
                  F.col("bucket").alias("q_bucket"),
                  sim.norm_col("embedding", dim).alias("q_n")))
+    # Candidate norms come from the index's stored ``norm`` column (the
+    # writer persists the same fold precisely so probes never re-plan a
+    # dim-unrolled norm expression per candidate row); index_norm falls
+    # back to the fold only for pre-norm-era indexes.
     c = idx.select(F.col("vec_id").alias("c_id"),
                    F.col("embedding").alias("c_emb"),
                    F.col("bucket").alias("c_bucket"),
-                   sim.norm_col("embedding", dim).alias("c_n"))
+                   ai.index_norm(idx, "embedding", dim).alias("c_n"))
     s = sim.cosine_sim_e6_prenorm("q_emb", "c_emb",
                                   F.col("q_n"), F.col("c_n"), None)
     w = Window.partitionBy("q_id").orderBy(F.col("sim_e6").desc(), "c_id")
@@ -1945,10 +1949,12 @@ def q_ann_multiprobe_indexed(spark: SparkSession,
                  F.explode(F.transform(
                      masks, lambda m: F.col("bucket").bitwiseXOR(m)))
                  .alias("probe")))
+    # Stored-norm contract (see q_ann_lsh_indexed): candidates read the
+    # index's persisted ``norm``, never recompute the fold per row.
     c = idx.select(F.col("vec_id").alias("c_id"),
                    F.col("embedding").alias("c_emb"),
                    F.col("bucket").alias("c_bucket"),
-                   sim.norm_col("embedding", dim).alias("c_n"))
+                   ai.index_norm(idx, "embedding", dim).alias("c_n"))
     s = sim.cosine_sim_e6_prenorm("q_emb", "c_emb",
                                   F.col("q_n"), F.col("c_n"), dim)
     w = Window.partitionBy("q_id").orderBy(F.col("sim_e6").desc(), "c_id")
