@@ -94,6 +94,10 @@ EMB_OPS = [
     # per-cell prototypicality pruning (one cell-keyed window sort),
     # stored cell-partitioned IVF serving (DPP probe).
     "ivf_probe_recall", "prototype_pruning", "ivf_ann_indexed",
+    # round 7: the REGISTERED adaptive-geometry near-dup (clamp floor =
+    # the pinned 8 planes, widening past 65k vectors) — the in-registry
+    # answer to embedding_near_dup's SKIP_AT_64 entry.
+    "embedding_near_dup_adaptive",
 ]
 #: events-table window/aggregation family (time-series scale risks:
 #: per-user window sorts, global percentile sorts, self-join rollups).
@@ -386,7 +390,9 @@ def main() -> None:
                 print(f"x{mult:<3} {name:<28} skipped (known fixed-"
                       f"geometry blowup, see SCALE.md)", file=sys.stderr)
                 continue
-            rf = {"embedding_near_dup": pair_rec, "semdedup": drop_rec}.get(name)
+            rf = {"embedding_near_dup": pair_rec,
+                  "embedding_near_dup_adaptive": pair_rec,
+                  "semdedup": drop_rec}.get(name)
             timed(name, lambda: queries[name].fn(spark, out_dir), rf)
         timed("near_dup_adaptive_geometry",
               lambda: near_dup_adaptive(spark, out_dir, n_emb), pair_rec)

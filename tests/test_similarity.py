@@ -131,3 +131,31 @@ def test_ivf_assign_degenerate_vectors_agree(spark):
     assert by_id[2] == 3    # zero-norm vector -> smallest cell, not garbage
     assert by_id[0] == 3 and by_id[1] == 7
     assert all(r[1] != 9 for r in a)  # zero-norm centroid never wins
+
+
+def test_adaptive_near_dup_matches_pinned_below_widening_point(spark, sf_dir):
+    """embedding_near_dup_adaptive's clamp floor IS the pinned 8-plane
+    geometry: below 65,536 vectors (every driver SF) the two queries must
+    return byte-identical pairs — the property that lets the adaptive
+    variant keep a static oracle while fixing the quadratic past it."""
+    from tigerbeetle_cdc_nats_spark import registry
+
+    qs = registry.all_queries()
+    pinned = sorted(map(tuple, qs["embedding_near_dup"]
+                        .fn(spark, sf_dir).collect()))
+    adaptive = sorted(map(tuple, qs["embedding_near_dup_adaptive"]
+                          .fn(spark, sf_dir).collect()))
+    assert pinned == adaptive and len(pinned) >= 1
+
+
+def test_adaptive_near_dup_widens_past_clamp_floor():
+    """planes_for_corpus at target 256 leaves the floor exactly past
+    2^8 * 256 vectors — the corpus size where fixed geometry goes
+    quadratic and the adaptive knob must start widening."""
+    from tigerbeetle_cdc_nats_spark.operators.similarity import (
+        planes_for_corpus)
+
+    assert planes_for_corpus(65_536, target_bucket=256) == 8
+    assert planes_for_corpus(65_537, target_bucket=256) == 9
+    assert planes_for_corpus(128_000, target_bucket=256) == 9
+    assert planes_for_corpus(10_000_000, target_bucket=256) == 16

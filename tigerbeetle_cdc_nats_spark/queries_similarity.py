@@ -210,6 +210,77 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def near_dup_pairs_adaptive(emb, corpus_size: int, dim: int):
+    """Embedding near-dup candidate pairs with CORPUS-SCALED LSH geometry.
+
+    ``embedding_near_dup`` pins 8 planes / 256 buckets, so with a growing
+    corpus its expected bucket population is n/256 and within-bucket pair
+    volume O(n^2/256) — the last quadratic-under-growth shape in the
+    registry (SCALE.md x16 soak note). This helper applies the
+    ``semdedup_scaled`` recipe: plane count from ``planes_for_corpus``
+    with a clamp FLOOR at the pinned 8 (``hyperplanes(8, dim)`` == the
+    registered PLANES, so below the widening point — n <= 2^8 * 256 =
+    65,536 vectors, which covers every driver SF — buckets, pairs, and
+    the static DuckDB oracle are bit-identical to the pinned query),
+    while past it the bucket count scales with n, keeping total pair
+    volume ~O(n * 256). signature_cols picks unrolled-codegen vs Arrow
+    by term budget (wide plane sets at 100 TB scale stay compilable).
+    Output: (vec_a, vec_b, sim_e6) with cosine >= 0.4, vec_a < vec_b.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    n_planes = max(len(PLANES),
+                   sim.planes_for_corpus(corpus_size, target_bucket=256))
+    planes = sim.hyperplanes(n_planes, dim)
+    # One scan computes buckets + norms; persisted because both join
+    # sides read it (same rationale as embedding_near_dup).
+    b = sim.signature_cols(emb, [planes], "embedding", dim,
+                           bucket_names=["bucket"],
+                           norm_name="norm").persist(
+        StorageLevel.MEMORY_AND_DISK)
+    q = b.select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.col("bucket").alias("q_bucket"),
+                 F.col("norm").alias("q_n"))
+    c = b.select(F.col("vec_id").alias("c_id"),
+                 F.col("embedding").alias("c_emb"),
+                 F.col("bucket").alias("c_bucket"),
+                 F.col("norm").alias("c_n"))
+    s = sim.cosine_sim_e6_prenorm(F.col("q_emb"), F.col("c_emb"),
+                                  F.col("q_n"), F.col("c_n"), None)
+    return (
+        q.join(c, (F.col("q_bucket") == F.col("c_bucket"))
+               & (F.col("q_id") < F.col("c_id")))
+        .select(F.col("q_id").alias("vec_a"), F.col("c_id").alias("vec_b"),
+                s.alias("sim_e6"))
+        .where(F.col("sim_e6") >= 400000)
+    )
+
+
+@register(
+    "embedding_near_dup_adaptive",
+    f"""WITH b AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket FROM b),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket AS c_bucket FROM b),
+n AS (SELECT COUNT(*) AS n_vec FROM embeddings)
+SELECT q_id AS vec_a, c_id AS vec_b, {_COS} AS sim_e6
+FROM q JOIN c ON q_bucket = c_bucket AND q_id < c_id, n
+WHERE {_COS} >= 400000 AND n.n_vec <= 65536""",
+    doc="embedding near-dup with corpus-scaled LSH geometry "
+        "(planes_for_corpus, clamp floor = the pinned 8 planes): "
+        "identical to embedding_near_dup below the 65,536-vector "
+        "widening point (every driver SF — the oracle bakes the clamp-"
+        "floor geometry and asserts the bound), linear pair volume past "
+        "it — the semdedup_scaled recipe applied to the registry's last "
+        "pinned-geometry quadratic",
+)
+def q_embedding_near_dup_adaptive(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return near_dup_pairs_adaptive(emb, emb.count(), _dim(sf_dir))
+
+
 @register(
     "label_centroids",
     """WITH e AS (SELECT label, embedding FROM embeddings),
@@ -762,27 +833,12 @@ def q_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_a").alias("t_a"), F.col("doc_b").alias("t_b"))
     )
 
-    # Persisted like embedding_near_dup: both sides of the bucket self-join
-    # read the bucketed+normed corpus — materialize that pass once instead
-    # of recomputing the scan+hash subtree per side.
-    b = sim.lsh_buckets(emb, _planes(sf_dir), dim=_dim(sf_dir)).withColumn(
-        "norm", sim.norm_col("embedding", _dim(sf_dir))).persist()
-    q = b.select(F.col("vec_id").alias("q_id"),
-                 F.col("embedding").alias("q_emb"),
-                 F.col("bucket").alias("q_bucket"), F.col("norm").alias("q_n"))
-    c = b.select(F.col("vec_id").alias("c_id"),
-                 F.col("embedding").alias("c_emb"),
-                 F.col("bucket").alias("c_bucket"), F.col("norm").alias("c_n"))
-    s = sim.cosine_sim_e6_prenorm(F.col("q_emb"), F.col("c_emb"),
-                                  F.col("q_n"), F.col("c_n"), None)
-    e = (
-        q.join(c, (F.col("q_bucket") == F.col("c_bucket"))
-               & (F.col("q_id") < F.col("c_id")))
-        .select(F.col("q_id").alias("e_a"), F.col("c_id").alias("e_b"),
-                s.alias("sim_e6"))
-        .where(F.col("sim_e6") >= 400000)
-        .select("e_a", "e_b")
-    )
+    # Semantic side via the ADAPTIVE-geometry pair generator: identical
+    # pairs to the pinned 8-plane form at every driver SF (clamp floor),
+    # but the agreement audit no longer inherits embedding_near_dup's
+    # fixed-bucket quadratic when the corpus grows (SCALE.md x16 note).
+    e = (near_dup_pairs_adaptive(emb, emb.count(), _dim(sf_dir))
+         .select(F.col("vec_a").alias("e_a"), F.col("vec_b").alias("e_b")))
 
     j = t.join(e, (F.col("t_a") == F.col("e_a"))
                & (F.col("t_b") == F.col("e_b")), "full_outer")
