@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tigerbeetle_cdc_nats_spark.operators import similarity as sim
+from tigerbeetle_cdc_nats_spark.sources import index_versioning as iv
 from tigerbeetle_cdc_nats_spark.plans.inspect import physical_plan
 from tigerbeetle_cdc_nats_spark.session import load_table
 from tigerbeetle_cdc_nats_spark.sources.ann_index import (
@@ -99,12 +100,12 @@ def test_ann_compaction_drops_replay_duplicates(spark, tmp_path):
     planes = sim.hyperplanes(n_planes=4, dim=dim)
     path = str(tmp_path / "annidx")
     ai.write_ann_index(emb, path, planes, dim=dim)
-    baseline = spark.read.parquet(path).count()
+    baseline = spark.read.parquet(iv.current_dir(path)).count()
 
     replay = emb.limit(16)
     ai.append_ann_index(replay, path, planes, dim=dim)
     ai.append_ann_index(replay, path, planes, dim=dim)
-    assert spark.read.parquet(path).count() == baseline + 32
+    assert spark.read.parquet(iv.current_dir(path)).count() == baseline + 32
 
     ai.compact_ann_index(spark, path)
     after = ai.read_ann_index(spark, path)
@@ -147,11 +148,11 @@ def test_ivf_append_and_compact_lifecycle(spark, tmp_path):
     ai.write_ivf_index(base, path, dim=dim)
     cent_before = sorted(map(tuple, ai.read_ivf_centroids(spark, path)
                              .collect()))
-    n0 = spark.read.parquet(path).count()
+    n0 = spark.read.parquet(iv.current_dir(path)).count()
 
     ai.append_ivf_index(delta, path, dim=dim)
     ai.append_ivf_index(delta, path, dim=dim)  # at-least-once replay
-    assert spark.read.parquet(path).count() == n0 + 40
+    assert spark.read.parquet(iv.current_dir(path)).count() == n0 + 40
 
     ai.compact_ivf_index(spark, path)
     idx = ai.read_ivf_index(spark, path)

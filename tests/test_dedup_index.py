@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tigerbeetle_cdc_nats_spark.operators import dedup as dd
+from tigerbeetle_cdc_nats_spark.sources import index_versioning as iv
 from tigerbeetle_cdc_nats_spark.plans.inspect import physical_plan
 from tigerbeetle_cdc_nats_spark.session import load_table
 from tigerbeetle_cdc_nats_spark.sources import dedup_index as di
@@ -169,7 +170,7 @@ def test_compaction_drops_replay_duplicates(spark, tmp_path):
         "doc_id long, text string")
     path = str(tmp_path / "idx")
     di.write_minhash_index(docs, path)
-    baseline_rows = spark.read.parquet(path).count()
+    baseline_rows = spark.read.parquet(iv.current_dir(path)).count()
     baseline_shards = di._read_meta_shards(path)
 
     def pairs():
@@ -183,16 +184,15 @@ def test_compaction_drops_replay_duplicates(spark, tmp_path):
     replay = docs.where("doc_id >= 2")
     di.append_minhash_index(replay, path)
     di.append_minhash_index(replay, path)
-    inflated = spark.read.parquet(path).count()
+    inflated = spark.read.parquet(iv.current_dir(path)).count()
     assert inflated > baseline_rows
     assert pairs() == before  # pairs immune, rows inflated
 
     di.compact_minhash_index(spark, path)
-    assert spark.read.parquet(path).count() == baseline_rows
+    assert spark.read.parquet(iv.current_dir(path)).count() == baseline_rows
     assert pairs() == before
     assert di._read_meta_shards(path) == baseline_shards
-    import os
-    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert iv.index_ready(path)
     # probe still prunes with the preserved modulus
     delta = spark.createDataFrame(
         [(9, "alpha beta gamma delta epsilon zeta")],
@@ -212,7 +212,7 @@ def test_winnow_compaction_preserves_candidates(spark, tmp_path):
         "doc_id long, text string")
     path = str(tmp_path / "widx")
     di.write_winnow_index(docs, path)
-    baseline_rows = spark.read.parquet(path).count()
+    baseline_rows = spark.read.parquet(iv.current_dir(path)).count()
 
     def cands():
         return sorted(map(tuple, di.winnow_candidates_from_index(
@@ -220,7 +220,7 @@ def test_winnow_compaction_preserves_candidates(spark, tmp_path):
 
     before = cands()
     di.append_winnow_index(docs.where("doc_id = 2"), path)
-    assert spark.read.parquet(path).count() > baseline_rows
+    assert spark.read.parquet(iv.current_dir(path)).count() > baseline_rows
     di.compact_winnow_index(spark, path)
-    assert spark.read.parquet(path).count() == baseline_rows
+    assert spark.read.parquet(iv.current_dir(path)).count() == baseline_rows
     assert cands() == before

@@ -9,6 +9,7 @@ import os
 import pytest
 from pyspark.sql import functions as F, types as T
 
+from tigerbeetle_cdc_nats_spark.sources import index_versioning as iv
 from tigerbeetle_cdc_nats_spark.streaming import corpus as sc
 
 DOC_SCHEMA = T.StructType([
@@ -190,7 +191,7 @@ def test_streaming_index_maintenance_matches_rebuild(spark, tmp_path):
     def _index_docs():
         try:
             return {r["doc_id"] for r in
-                    spark.read.parquet(idx).select("doc_id")
+                    spark.read.parquet(iv.current_dir(idx)).select("doc_id")
                     .distinct().collect()}
         except Exception:
             return set()
@@ -266,7 +267,7 @@ def test_streaming_ann_index_maintenance(spark, tmp_path):
 
     def indexed_ids():
         try:
-            return {r["vec_id"] for r in spark.read.parquet(idx)
+            return {r["vec_id"] for r in spark.read.parquet(iv.current_dir(idx))
                     .select("vec_id").distinct().collect()}
         except Exception:
             return set()
@@ -291,7 +292,7 @@ def test_streaming_ann_index_maintenance(spark, tmp_path):
     ai.write_ann_index(
         spark.createDataFrame([(i, vec(i)) for i in range(10)], schema),
         idx_rebuild, planes, dim=dim)
-    got = sorted(map(tuple, spark.read.parquet(idx)
+    got = sorted(map(tuple, spark.read.parquet(iv.current_dir(idx))
                  .select("vec_id", "bucket").collect()))
     want = sorted(map(tuple, spark.read.parquet(idx_rebuild)
                   .select("vec_id", "bucket").collect()))
@@ -333,7 +334,7 @@ def test_maintenance_invalidates_session_pairs_memo(spark, tmp_path):
         def _indexed():
             try:
                 return {r["doc_id"] for r in
-                        spark.read.parquet(idx).select("doc_id")
+                        spark.read.parquet(iv.current_dir(idx)).select("doc_id")
                         .distinct().collect()}
             except Exception:
                 return set()
@@ -377,7 +378,7 @@ def test_maintenance_auto_compaction_bounds_growth(spark, tmp_path):
 
         def docs_in_index():
             try:
-                return {r["doc_id"] for r in spark.read.parquet(idx)
+                return {r["doc_id"] for r in spark.read.parquet(iv.current_dir(idx))
                         .select("doc_id").distinct().collect()}
             except Exception:
                 return set()
@@ -396,11 +397,11 @@ def test_maintenance_auto_compaction_bounds_growth(spark, tmp_path):
              (4, "entirely different text here")],
             "doc_id long, text string")
         di.write_minhash_index(all_docs, rebuilt)
-        expected_rows = spark.read.parquet(rebuilt).count()
+        expected_rows = spark.read.parquet(iv.current_dir(rebuilt)).count()
 
         def idx_rows():
             try:
-                return spark.read.parquet(idx).count()
+                return spark.read.parquet(iv.current_dir(idx)).count()
             except Exception:
                 return -1
 
@@ -461,14 +462,14 @@ def test_ann_maintenance_auto_compaction(spark, tmp_path):
 
     def indexed_ids():
         try:
-            return {r["vec_id"] for r in spark.read.parquet(idx)
+            return {r["vec_id"] for r in spark.read.parquet(iv.current_dir(idx))
                     .select("vec_id").distinct().collect()}
         except Exception:
             return set()
 
     def idx_rows():
         try:
-            return spark.read.parquet(idx).count()
+            return spark.read.parquet(iv.current_dir(idx)).count()
         except Exception:
             return -1
 

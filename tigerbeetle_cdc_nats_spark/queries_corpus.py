@@ -22,6 +22,7 @@ from tigerbeetle_cdc_nats_spark.operators import text as tx
 from tigerbeetle_cdc_nats_spark.queries_dedup import _MINHASH_CTES
 from tigerbeetle_cdc_nats_spark.registry import register
 from tigerbeetle_cdc_nats_spark.session import load_table
+from tigerbeetle_cdc_nats_spark.sources import index_versioning as iv
 
 #: Source partition held out as the "benchmark" set for decontamination.
 BENCHMARK_SOURCE = "src19"
@@ -1345,7 +1346,7 @@ def q_winnow_candidates_indexed(spark: SparkSession,
     docs = load_table(spark, sf_dir, "documents")
     path = stored_index_dir("winnow", sf_dir)
     try:
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        if not iv.index_ready(path):
             di.write_winnow_index(docs, path)
         return di.winnow_candidates_from_index(
             di.read_winnow_index(spark, path))
@@ -1895,7 +1896,7 @@ def q_winnow_probe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = (F.col("doc_id") % 5) == 4
     try:
         path = stored_index_dir("winnow", sf_dir)
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        if not iv.index_ready(path):
             di.write_winnow_index(docs, path)
         return di.probe_winnow_index(spark, path, docs.where(pred))
     except Exception:

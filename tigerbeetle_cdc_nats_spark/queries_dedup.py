@@ -9,6 +9,7 @@ from tigerbeetle_cdc_nats_spark.operators import dedup as dd
 from tigerbeetle_cdc_nats_spark.operators import text as tx
 from tigerbeetle_cdc_nats_spark.registry import register
 from tigerbeetle_cdc_nats_spark.session import load_table
+from tigerbeetle_cdc_nats_spark.sources import index_versioning as iv
 
 _SHH = dd.sql_word_shingle_hashes("text")
 
@@ -196,7 +197,7 @@ def corpus_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     try:
         path = stored_index_dir("minhash", sf_dir)
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        if not iv.index_ready(path):
             di.write_minhash_index(docs, path)
         pairs = di.minhash_pairs_from_index(
             di.read_minhash_index(spark, path))
@@ -227,7 +228,7 @@ def corpus_minhash_probe(spark: SparkSession, sf_dir: str,
     pred = (F.col("doc_id") % delta_mod) == delta_rem
     try:
         path = stored_index_dir("minhash", sf_dir)
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        if not iv.index_ready(path):
             di.write_minhash_index(docs, path)
         pairs = di.probe_minhash_index(spark, path, docs.where(pred))
     except Exception:
@@ -1156,7 +1157,7 @@ def corpus_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     try:
         path = stored_index_dir("minhash", sf_dir)
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        if not iv.index_ready(path):
             di.write_minhash_index(docs, path)
         return di.read_minhash_index(spark, path).select(
             "doc_id", "band", "bucket", "sig")

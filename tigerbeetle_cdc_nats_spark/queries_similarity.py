@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from tigerbeetle_cdc_nats_spark.operators import similarity as sim
 from tigerbeetle_cdc_nats_spark.registry import register
 from tigerbeetle_cdc_nats_spark.session import load_table
+from tigerbeetle_cdc_nats_spark.sources import index_versioning as iv
 
 QUERY_IDS = (0, 1, 2, 3, 4)
 #: Static corpus width (TESTDATA.md contract) — passed to every similarity
@@ -128,7 +129,7 @@ def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim, planes = _dim(sf_dir), _planes(sf_dir)
     path = stored_index_dir("annlsh", sf_dir, table="embeddings")
     try:
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        if not iv.index_ready(path):
             ai.write_ann_index(load_table(spark, sf_dir, "embeddings"),
                                path, planes, dim=dim)
         idx = ai.read_ann_index(spark, path)
@@ -1916,7 +1917,7 @@ def q_ivf_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = _dim(sf_dir)
     path = stored_index_dir("ivfcell", sf_dir, table="embeddings")
     try:
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        if not iv.index_ready(path):
             ai.write_ivf_index(load_table(spark, sf_dir, "embeddings"),
                                path, dim=dim)
         idx = ai.read_ivf_index(spark, path)
@@ -1987,7 +1988,7 @@ def q_ann_multiprobe_indexed(spark: SparkSession,
     dim, planes = _dim(sf_dir), _planes(sf_dir)
     path = stored_index_dir("annlsh", sf_dir, table="embeddings")
     try:
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        if not iv.index_ready(path):
             ai.write_ann_index(load_table(spark, sf_dir, "embeddings"),
                                path, planes, dim=dim)
         idx = ai.read_ann_index(spark, path)

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tigerbeetle_cdc_nats_spark.operators import similarity as sim
+from tigerbeetle_cdc_nats_spark.sources import index_versioning as iv
 
 
 def write_ann_index(embeddings: DataFrame, path: str,
@@ -33,10 +34,13 @@ def write_ann_index(embeddings: DataFrame, path: str,
     The vector norm is stored alongside (same folded accumulation the
     cosine uses, so FLOOR(cos*1e6) stays bit-identical) — probes read it
     instead of planning a dim-unrolled norm expression per query."""
+    # appends land in the LIVE snapshot (versioned layouts keep older
+    # snapshots immutable); an overwrite build resets to a flat root
+    dest = iv.current_dir(path) if mode == "append" else path
     (sim.signature_cols(embeddings, [planes], vec_col, dim,
                         bucket_names=["bucket"])
      .withColumn("norm", sim.norm_col(vec_col, dim))
-     .write.mode(mode).partitionBy("bucket").parquet(path))
+     .write.mode(mode).partitionBy("bucket").parquet(dest))
 
 
 def index_norm(idx: DataFrame, vec_col: str = "embedding",
@@ -64,7 +68,7 @@ def read_ann_index(spark: SparkSession, path: str) -> DataFrame:
     from tigerbeetle_cdc_nats_spark.session import configure
 
     configure(spark)
-    return spark.read.parquet(path)
+    return spark.read.parquet(iv.current_dir(path))
 
 
 def probe_buckets(index: DataFrame, buckets: list[int]) -> DataFrame:
@@ -79,25 +83,19 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
     maintenance re-appends a replayed batch's vectors; row identity is
     (vec_id, bucket) — the bucket is plane-determined, so a vec_id can
     legitimately appear once per plane-set generation but a replayed
-    batch writes the SAME bucket twice. Rewritten bucket-partitioned and
-    swapped atomically; probes keep pruning on the partition column."""
-    import os
-    import shutil
-
+    batch writes the SAME bucket twice. Published as a new immutable
+    snapshot (sources/index_versioning): the CURRENT pointer flips
+    atomically and the previous snapshot survives as a grace window so
+    a concurrent reader finishes its scan; probes keep pruning on the
+    partition column."""
     vecs = read_ann_index(spark, path).dropDuplicates(["vec_id", "bucket"])
     cols = [c for c in vecs.columns if c != "bucket"] + ["bucket"]
-    tmp, old = path + ".compact", path + ".old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    vecs.select(*cols).write.mode("overwrite").partitionBy(
-        "bucket").parquet(tmp)
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    try:
-        os.rename(tmp, path)
-    except BaseException:
-        os.rename(old, path)  # failed swap degrades to "nothing happened"
-        raise
-    shutil.rmtree(old, ignore_errors=True)
+
+    def write(vdir: str) -> None:
+        vecs.select(*cols).write.mode("overwrite").partitionBy(
+            "bucket").parquet(vdir)
+
+    iv.publish_version(path, write)
     spark.catalog.clearCache()
 
 
@@ -143,7 +141,7 @@ def read_ivf_index(spark: SparkSession, path: str) -> DataFrame:
     from tigerbeetle_cdc_nats_spark.session import configure
 
     configure(spark)
-    return spark.read.parquet(path)
+    return spark.read.parquet(iv.current_dir(path))
 
 
 def read_ivf_centroids(spark: SparkSession, path: str) -> DataFrame:
@@ -152,7 +150,8 @@ def read_ivf_centroids(spark: SparkSession, path: str) -> DataFrame:
     from tigerbeetle_cdc_nats_spark.session import configure
 
     configure(spark)
-    return spark.read.parquet(os.path.join(path, _IVF_CENTROIDS))
+    return spark.read.parquet(
+        os.path.join(iv.current_dir(path), _IVF_CENTROIDS))
 
 
 def append_ivf_index(new_vectors: DataFrame, path: str, *,
@@ -167,34 +166,32 @@ def append_ivf_index(new_vectors: DataFrame, path: str, *,
     spark = new_vectors.sparkSession
     centv = read_ivf_centroids(spark, path)
     (ivf_assign(new_vectors, centv, dim=dim)
-     .write.mode("append").partitionBy("cell").parquet(path))
+     .write.mode("append").partitionBy("cell")
+     .parquet(iv.current_dir(path)))
 
 
 def compact_ivf_index(spark: SparkSession, path: str) -> None:
     """Replay-duplicate compaction for the IVF index: row identity is
     (vec_id, cell) — the cell is centroid-determined under the stored
     (fixed) centroid table, so a replayed insert writes the same cell
-    twice. The centroid sidecar is untouched (underscore paths survive
-    the data swap: the rewrite targets only the vector rows)."""
+    twice. The centroid sidecar rides INSIDE each snapshot (copied into
+    the new version dir), so a reader pinned to the grace snapshot sees
+    matching vectors + centroids. Published via sources/index_versioning:
+    atomic CURRENT flip, previous snapshot kept as the concurrent-reader
+    grace window."""
     import os
     import shutil
 
     vecs = read_ivf_index(spark, path).dropDuplicates(["vec_id", "cell"])
     cols = [c for c in vecs.columns if c != "cell"] + ["cell"]
-    tmp, old = path + ".compact", path + ".old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    vecs.select(*cols).write.mode("overwrite").partitionBy(
-        "cell").parquet(tmp)
-    # carry the sidecar + trust marker into the replacement root
-    shutil.copytree(os.path.join(path, _IVF_CENTROIDS),
-                    os.path.join(tmp, _IVF_CENTROIDS))
-    open(os.path.join(tmp, "_SUCCESS"), "a").close()
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    try:
-        os.rename(tmp, path)
-    except BaseException:
-        os.rename(old, path)  # failed swap degrades to "nothing happened"
-        raise
-    shutil.rmtree(old, ignore_errors=True)
+    live = iv.current_dir(path)
+
+    def write(vdir: str) -> None:
+        vecs.select(*cols).write.mode("overwrite").partitionBy(
+            "cell").parquet(vdir)
+        shutil.copytree(os.path.join(live, _IVF_CENTROIDS),
+                        os.path.join(vdir, _IVF_CENTROIDS))
+        open(os.path.join(vdir, "_SUCCESS"), "a").close()
+
+    iv.publish_version(path, write)
     spark.catalog.clearCache()

@@ -34,6 +34,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tigerbeetle_cdc_nats_spark.operators import dedup as dd
+from tigerbeetle_cdc_nats_spark.sources import index_versioning as iv
 
 #: Default shard fan-out for indexes written before metadata existed.
 N_SHARDS = 16
@@ -54,6 +55,8 @@ def shards_for_corpus(n_docs: int, *, docs_per_shard: int = 50_000,
 
 
 def _write_meta(path: str, n_shards: int) -> None:
+    """Write shard metadata into the given PHYSICAL directory (callers
+    resolve snapshots; the builders write flat roots directly)."""
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, _META), "w", encoding="utf-8") as fh:
         json.dump({"n_shards": int(n_shards)}, fh)
@@ -61,7 +64,8 @@ def _write_meta(path: str, n_shards: int) -> None:
 
 def _read_meta_shards(path: str) -> int:
     try:
-        with open(os.path.join(path, _META), encoding="utf-8") as fh:
+        with open(os.path.join(iv.current_dir(path), _META),
+                  encoding="utf-8") as fh:
             return int(json.load(fh)["n_shards"])
     except (OSError, ValueError, KeyError):
         return N_SHARDS  # pre-metadata index layout
@@ -82,10 +86,13 @@ def write_minhash_index(docs: DataFrame, path: str, *,
     probes always derive shards with the writer's modulus."""
     if n_shards is None:
         n_shards = shards_for_corpus(docs.count())
+    # appends land in the LIVE snapshot dir (versioned layouts keep older
+    # snapshots immutable); a fresh overwrite build resets to a flat root
+    dest = iv.current_dir(path) if mode == "append" else path
     banded = dd.banded_buckets(dd.minhash_signatures(docs))
     (banded.withColumn("shard", _bucket_shard(F.col("bucket"), n_shards))
-     .write.mode(mode).partitionBy("band", "shard").parquet(path))
-    _write_meta(path, n_shards)
+     .write.mode(mode).partitionBy("band", "shard").parquet(dest))
+    _write_meta(dest, n_shards)
 
 
 def append_minhash_index(delta_docs: DataFrame, path: str) -> None:
@@ -100,7 +107,7 @@ def read_minhash_index(spark: SparkSession, path: str) -> DataFrame:
     from tigerbeetle_cdc_nats_spark.session import configure
 
     configure(spark)
-    return spark.read.parquet(path)
+    return spark.read.parquet(iv.current_dir(path))
 
 
 def minhash_pairs_from_index(index: DataFrame) -> DataFrame:
@@ -168,11 +175,12 @@ def write_winnow_index(docs: DataFrame, path: str, *,
 
     if n_shards is None:
         n_shards = shards_for_corpus(docs.count())
+    dest = iv.current_dir(path) if mode == "append" else path
     fp = winnow_fingerprints(docs)
     (fp.withColumn("shard", F.pmod(F.col("wm"), F.lit(n_shards))
                    .cast("int"))
-     .write.mode(mode).partitionBy("shard").parquet(path))
-    _write_meta(path, n_shards)
+     .write.mode(mode).partitionBy("shard").parquet(dest))
+    _write_meta(dest, n_shards)
 
 
 def append_winnow_index(delta_docs: DataFrame, path: str) -> None:
@@ -184,7 +192,7 @@ def read_winnow_index(spark: SparkSession, path: str) -> DataFrame:
     from tigerbeetle_cdc_nats_spark.session import configure
 
     configure(spark)
-    return spark.read.parquet(path)
+    return spark.read.parquet(iv.current_dir(path))
 
 
 def winnow_candidates_from_index(index: DataFrame) -> DataFrame:
@@ -234,32 +242,25 @@ def probe_winnow_index(spark: SparkSession, path: str,
 
 def _swap_in(spark: SparkSession, path: str, rows: DataFrame,
              partition_cols: list[str]) -> None:
-    """Write ``rows`` partitioned next to ``path`` and atomically swap the
-    directories (POSIX rename), preserving the shard metadata and the
-    ``_SUCCESS`` trust marker. Readers that listed files BEFORE the swap
-    re-list on their next query (the registered queries build their scan
-    per call); a deployment with long-lived readers runs compaction under
-    the same single-writer lock the streaming pipeline already uses."""
-    import shutil
-
+    """Publish ``rows`` as a new immutable snapshot of the index
+    (sources/index_versioning): the compacted tree is written into the
+    next ``v<N>/`` directory, the ``CURRENT`` pointer flips atomically,
+    and the previous snapshot survives as a grace window so a reader
+    that resolved it BEFORE the flip finishes its scan untouched —
+    concurrent-reader-safe, unlike a directory rename swap. Shard
+    metadata and the ``_SUCCESS`` trust marker ride inside the
+    snapshot. Single-WRITER remains the contract (publish_version
+    asserts it); the streaming pipeline runs appends + compactions in
+    one foreachBatch thread under its writer lock."""
     n_shards = _read_meta_shards(path)
-    tmp = path + ".compact"
-    old = path + ".old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    rows.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
-    _write_meta(tmp, n_shards)
-    open(os.path.join(tmp, "_SUCCESS"), "a").close()
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    try:
-        os.rename(tmp, path)
-    except BaseException:
-        # the window between the two renames is the only moment the live
-        # path is absent — restore the original before propagating so a
-        # failed compaction degrades to "nothing happened"
-        os.rename(old, path)
-        raise
-    shutil.rmtree(old, ignore_errors=True)
+
+    def write(vdir: str) -> None:
+        rows.write.mode("overwrite").partitionBy(
+            *partition_cols).parquet(vdir)
+        _write_meta(vdir, n_shards)
+        open(os.path.join(vdir, "_SUCCESS"), "a").close()
+
+    iv.publish_version(path, write)
     spark.catalog.clearCache()  # drop any cached scans of the old files
 
 

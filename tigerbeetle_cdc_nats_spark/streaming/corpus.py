@@ -166,7 +166,12 @@ def maintain_minhash_index(docs: DataFrame, index_path: str, *,
 
     def append_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():
-            if os.path.exists(os.path.join(index_path, di._META)):
+            from tigerbeetle_cdc_nats_spark.sources import (
+                index_versioning as iv,
+            )
+
+            if os.path.exists(os.path.join(iv.current_dir(index_path),
+                                           di._META)):
                 di.append_minhash_index(batch_df, index_path)
             else:
                 di.write_minhash_index(batch_df, index_path)
