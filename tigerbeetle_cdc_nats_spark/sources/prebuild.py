@@ -28,11 +28,12 @@ def ensure_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     from tigerbeetle_cdc_nats_spark.session import load_table
     from tigerbeetle_cdc_nats_spark.sources import ann_index as ai
     from tigerbeetle_cdc_nats_spark.sources import dedup_index as di
+    from tigerbeetle_cdc_nats_spark.sources import index_versioning as iv
 
     def build(kind: str, table: str, write) -> float:
         try:
             path = stored_index_dir(kind, sf_dir, table=table)
-            if os.path.exists(os.path.join(path, "_SUCCESS")):
+            if iv.index_ready(path):  # resolves versioned layouts too
                 return 0.0
             t0 = time.perf_counter()
             write(load_table(spark, sf_dir, table), path)
