@@ -1139,19 +1139,25 @@ def q_embedding_near_dup_multitable(spark: SparkSession,
 
     q, c = side("q"), side("c")
     lt = F.col("q_id") < F.col("c_id")
-    cols = ["q_id", "c_id", "q_emb", "c_emb", "q_n", "c_n"]
-    pairs = (
-        q.join(c, (F.col("qb1") == F.col("cb1")) & lt).select(*cols)
-        .unionByName(
-            q.join(c, (F.col("qb2") == F.col("cb2")) & lt).select(*cols))
-        .dropDuplicates(["q_id", "c_id"])
-    )
     s = sim.cosine_sim_e6_prenorm("q_emb", "c_emb",
                                   F.col("q_n"), F.col("c_n"), None)
+
+    # Score INSIDE each table's join projection so the union/dedup
+    # exchange carries (id, id, sim) — 24-byte rows — instead of both
+    # embedding arrays (~600 B/row; measured 38+ GB of shuffle spill at
+    # the x64 soak size, exhausting local disk). A pair landing in both
+    # tables is scored twice to the same deterministic value, so the
+    # pair-key dropDuplicates keeps identical results 25x cheaper.
+    def scored(qb, cb):
+        return (q.join(c, (F.col(qb) == F.col(cb)) & lt)
+                .select("q_id", "c_id", s.alias("sim_e6")))
+
     return (
-        pairs.select(F.col("q_id").alias("vec_a"),
-                     F.col("c_id").alias("vec_b"), s.alias("sim_e6"))
+        scored("qb1", "cb1").unionByName(scored("qb2", "cb2"))
         .where(F.col("sim_e6") >= 400000)
+        .dropDuplicates(["q_id", "c_id"])
+        .select(F.col("q_id").alias("vec_a"),
+                F.col("c_id").alias("vec_b"), "sim_e6")
     )
 
 
