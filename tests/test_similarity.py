@@ -135,7 +135,7 @@ def test_ivf_assign_degenerate_vectors_agree(spark):
 
 def test_adaptive_near_dup_matches_pinned_below_widening_point(spark, sf_dir):
     """embedding_near_dup_adaptive's clamp floor IS the pinned 8-plane
-    geometry: below 65,536 vectors (every driver SF) the two queries must
+    geometry: below 16,384 vectors (every driver SF) the two queries must
     return byte-identical pairs — the property that lets the adaptive
     variant keep a static oracle while fixing the quadratic past it."""
     from tigerbeetle_cdc_nats_spark import registry
@@ -149,13 +149,14 @@ def test_adaptive_near_dup_matches_pinned_below_widening_point(spark, sf_dir):
 
 
 def test_adaptive_near_dup_widens_past_clamp_floor():
-    """planes_for_corpus at target 256 leaves the floor exactly past
-    2^8 * 256 vectors — the corpus size where fixed geometry goes
-    quadratic and the adaptive knob must start widening."""
+    """planes_for_corpus at target 64 leaves the 8-plane floor exactly
+    past 2^8 * 64 vectors — the corpus size where the pinned geometry
+    would start going quadratic and the adaptive knob must widen."""
     from tigerbeetle_cdc_nats_spark.operators.similarity import (
         planes_for_corpus)
 
-    assert planes_for_corpus(65_536, target_bucket=256) == 8
-    assert planes_for_corpus(65_537, target_bucket=256) == 9
-    assert planes_for_corpus(128_000, target_bucket=256) == 9
-    assert planes_for_corpus(10_000_000, target_bucket=256) == 16
+    assert planes_for_corpus(16_384, target_bucket=64) == 8
+    assert planes_for_corpus(16_385, target_bucket=64) == 9
+    assert planes_for_corpus(32_000, target_bucket=64) == 9
+    assert planes_for_corpus(128_000, target_bucket=64) == 11
+    assert planes_for_corpus(10_000_000, target_bucket=64) == 18

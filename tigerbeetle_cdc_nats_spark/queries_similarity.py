@@ -219,20 +219,21 @@ def near_dup_pairs_adaptive(emb, corpus_size: int, dim: int):
     volume O(n^2/256) — the last quadratic-under-growth shape in the
     registry (SCALE.md x16 soak note). This helper applies the
     ``semdedup_scaled`` recipe: plane count from ``planes_for_corpus``
-    with a clamp FLOOR at the pinned 8 (``hyperplanes(8, dim)`` == the
-    registered PLANES, so below the widening point — n <= 2^8 * 256 =
-    65,536 vectors, which covers every driver SF — buckets, pairs, and
-    the static DuckDB oracle are bit-identical to the pinned query),
-    while past it the bucket count scales with n, keeping total pair
-    volume ~O(n * 256). signature_cols picks unrolled-codegen vs Arrow
-    by term budget (wide plane sets at 100 TB scale stay compilable).
+    at target bucket population 64, with a clamp FLOOR at the pinned 8
+    planes (``hyperplanes(8, dim)`` == the registered PLANES, so below
+    the widening point — n <= 2^8 * 64 = 16,384 vectors, which covers
+    every driver SF at 4-32x margin — buckets, pairs, and the static
+    DuckDB oracle are bit-identical to the pinned query), while past it
+    the bucket count scales with n, bounding total pair volume by
+    ~O(n * 64). signature_cols picks unrolled-codegen vs Arrow by term
+    budget (wide plane sets at 100 TB scale stay compilable).
     Output: (vec_a, vec_b, sim_e6) with cosine >= 0.4, vec_a < vec_b.
     """
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
     n_planes = max(len(PLANES),
-                   sim.planes_for_corpus(corpus_size, target_bucket=256))
+                   sim.planes_for_corpus(corpus_size, target_bucket=64))
     planes = sim.hyperplanes(n_planes, dim)
     # One scan computes buckets + norms; persisted because both join
     # sides read it (same rationale as embedding_near_dup).
@@ -267,14 +268,14 @@ c AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket AS c_bucket FROM b),
 n AS (SELECT COUNT(*) AS n_vec FROM embeddings)
 SELECT q_id AS vec_a, c_id AS vec_b, {_COS} AS sim_e6
 FROM q JOIN c ON q_bucket = c_bucket AND q_id < c_id, n
-WHERE {_COS} >= 400000 AND n.n_vec <= 65536""",
+WHERE {_COS} >= 400000 AND n.n_vec <= 16384""",
     doc="embedding near-dup with corpus-scaled LSH geometry "
-        "(planes_for_corpus, clamp floor = the pinned 8 planes): "
-        "identical to embedding_near_dup below the 65,536-vector "
-        "widening point (every driver SF — the oracle bakes the clamp-"
-        "floor geometry and asserts the bound), linear pair volume past "
-        "it — the semdedup_scaled recipe applied to the registry's last "
-        "pinned-geometry quadratic",
+        "(planes_for_corpus at target population 64, clamp floor = the "
+        "pinned 8 planes): identical to embedding_near_dup below the "
+        "16,384-vector widening point (every driver SF — the oracle "
+        "bakes the clamp-floor geometry and asserts the bound), pair "
+        "volume bounded ~O(n*64) past it — the semdedup_scaled recipe "
+        "applied to the registry's last pinned-geometry quadratic",
 )
 def q_embedding_near_dup_adaptive(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
