@@ -268,11 +268,15 @@ def near_dup_adaptive(spark, sf_dir: str, n_emb: int):
 
     emb = load_table(spark, sf_dir, "embeddings")
     dim = sim.embedding_dim(sf_dir)
-    # target ~64/bucket: at x16 (32k vecs) this is 9 planes / 512 buckets
+    # target ~64/bucket: at x16 (32k vecs) this is 9 planes / 512 buckets.
+    # signature_cols (not lsh_buckets) so plane counts past the codegen
+    # term budget compute Arrow-side instead of falling back interpreted
+    # (the round-7 x64 measurement that recalibrated the budget).
     planes = sim.hyperplanes(
         sim.planes_for_corpus(n_emb, target_bucket=64), dim)
-    b = sim.lsh_buckets(emb, planes, dim=dim).withColumn(
-        "norm", sim.norm_col("embedding", dim)).persist()
+    b = sim.signature_cols(emb, [planes], "embedding", dim,
+                           bucket_names=["bucket"],
+                           norm_name="norm").persist()
     q = b.select(F.col("vec_id").alias("q_id"),
                  F.col("embedding").alias("q_emb"),
                  F.col("bucket").alias("q_bucket"), F.col("norm").alias("q_n"))
@@ -304,14 +308,14 @@ def near_dup_multitable(spark, sf_dir: str, n_emb: int):
     n_planes = sim.planes_for_corpus(n_emb, target_bucket=64)
     both = sim.hyperplanes(2 * n_planes, dim)
     tables = [both[:n_planes], both[n_planes:]]
-    b = emb.select(
-        "vec_id", "embedding",
-        F.array(*[sim.bucket_col(t, "embedding", dim) for t in tables])
-        .alias("buckets"),
-        sim.norm_col("embedding", dim).alias("norm"))
+    # signature_cols: 2 tables + norm is always past the codegen term
+    # budget at adaptive plane counts — Arrow-side signatures, then the
+    # (tbl, bucket) melt over the two bucket columns.
+    b = sim.signature_cols(emb, tables, "embedding", dim,
+                           bucket_names=["b0", "b1"], norm_name="norm")
     bt = b.select(
         "vec_id", "embedding", "norm",
-        F.posexplode("buckets").alias("tbl", "bucket")).persist()
+        F.posexplode(F.array("b0", "b1")).alias("tbl", "bucket")).persist()
     q = bt.select(F.col("vec_id").alias("q_id"),
                   F.col("embedding").alias("q_emb"), F.col("tbl").alias("q_t"),
                   F.col("bucket").alias("q_bucket"), F.col("norm").alias("q_n"))

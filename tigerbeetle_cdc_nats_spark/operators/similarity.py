@@ -225,9 +225,12 @@ def lsh_buckets(embeddings: DataFrame, planes: list[list[float]],
 #: past it Spark logs ``Code grows beyond 64 KB`` and silently re-runs the
 #: WHOLE fused stage interpreted (~5x slower than compiled), the round-4
 #: judge's top finding. Empirically (Spark 4.1, dim=64 array<float>):
-#: 9 dots x 64 terms = 576 compiles, 17 x 64 = 1088 fails; 768 leaves
-#: headroom for the surrounding stage code.
-UNROLL_TERM_BUDGET = 768
+#: 9 dots x 64 terms = 576 compiles; 12 x 64 = 768 FAILS once the
+#: signature projection is fused into a self-join stage (round-7 x64
+#: soak: embedding_near_dup_adaptive at 11 planes + norm fell back
+#: interpreted and measured alpha 1.7 instead of ~1); 17 x 64 = 1088
+#: fails standalone. 576 is the highest measured-safe point.
+UNROLL_TERM_BUDGET = 576
 
 
 def signature_cols(df: DataFrame, tables: list[list[list[float]]],
