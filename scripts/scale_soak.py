@@ -94,10 +94,13 @@ EMB_OPS = [
     # per-cell prototypicality pruning (one cell-keyed window sort),
     # stored cell-partitioned IVF serving (DPP probe).
     "ivf_probe_recall", "prototype_pruning", "ivf_ann_indexed",
-    # round 7: the REGISTERED adaptive-geometry near-dup (clamp floor =
-    # the pinned 8 planes, widening past 65k vectors) — the in-registry
-    # answer to embedding_near_dup's SKIP_AT_64 entry.
+    # round 7: the REGISTERED adaptive-geometry near-dups (clamp floor =
+    # the pinned geometry, widening past 16k vectors) — the in-registry
+    # answers to the pinned forms' SKIP_AT_64 entries. These supersede
+    # the soak-local near_dup_adaptive/near_dup_multitable builders
+    # earlier rounds measured (identical computation past the floor).
     "embedding_near_dup_adaptive",
+    "embedding_near_dup_multitable_adaptive",
 ]
 #: events-table window/aggregation family (time-series scale risks:
 #: per-user window sorts, global percentile sorts, self-join rollups).
@@ -124,7 +127,10 @@ BASE_EVENTS = 100_000  # sf0.1 events rows
 #: in SCALE.md (semdedup: >600 s, killed; embedding_near_dup: 347 s).
 #: Re-timing them every round would stall the soak for an hour to learn
 #: nothing new — the scaled variants below them are the 64x story.
-SKIP_AT_64 = {"semdedup", "embedding_near_dup"}
+#: SOAK_NO_SKIP=1 re-measures them anyway (used once when the hyperplane
+#: draw changed in round 7).
+SKIP_AT_64 = (set() if os.environ.get("SOAK_NO_SKIP")
+              else {"semdedup", "embedding_near_dup"})
 
 
 def gen_corpus(spark, out_dir: str, mult: int) -> None:
@@ -257,84 +263,6 @@ def planted_drop_recall(drops, n_emb: int, drop_col: str) -> float:
     return round(found / planted, 4) if planted else 1.0
 
 
-def near_dup_adaptive(spark, sf_dir: str, n_emb: int):
-    """embedding_near_dup with corpus-scaled LSH geometry
-    (`planes_for_corpus`) instead of the registered query's pinned 8
-    planes — the scale path the operators expose for real corpora. The
-    soak runs BOTH so the report shows the fixed geometry degrading
-    super-linearly and the adaptive knob restoring ~linear cost."""
-    from tigerbeetle_cdc_nats_spark.operators import similarity as sim
-    from tigerbeetle_cdc_nats_spark.session import load_table
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    dim = sim.embedding_dim(sf_dir)
-    # target ~64/bucket: at x16 (32k vecs) this is 9 planes / 512 buckets.
-    # signature_cols (not lsh_buckets) so plane counts past the codegen
-    # term budget compute Arrow-side instead of falling back interpreted
-    # (the round-7 x64 measurement that recalibrated the budget).
-    planes = sim.hyperplanes(
-        sim.planes_for_corpus(n_emb, target_bucket=64), dim)
-    b = sim.signature_cols(emb, [planes], "embedding", dim,
-                           bucket_names=["bucket"],
-                           norm_name="norm").persist()
-    q = b.select(F.col("vec_id").alias("q_id"),
-                 F.col("embedding").alias("q_emb"),
-                 F.col("bucket").alias("q_bucket"), F.col("norm").alias("q_n"))
-    c = b.select(F.col("vec_id").alias("c_id"),
-                 F.col("embedding").alias("c_emb"),
-                 F.col("bucket").alias("c_bucket"), F.col("norm").alias("c_n"))
-    s = sim.cosine_sim_e6_prenorm(F.col("q_emb"), F.col("c_emb"),
-                                  F.col("q_n"), F.col("c_n"), None)
-    return (
-        q.join(c, (F.col("q_bucket") == F.col("c_bucket"))
-               & (F.col("q_id") < F.col("c_id")))
-        .select(F.col("q_id").alias("vec_a"), F.col("c_id").alias("vec_b"),
-                s.alias("sim_e6"))
-        .where(F.col("sim_e6") >= 400000)
-    )
-
-
-def near_dup_multitable(spark, sf_dir: str, n_emb: int):
-    """Adaptive-geometry near-dup with TWO independent LSH tables (distinct
-    hyperplane sets), candidate pairs unioned — the banding recall knob:
-    a true pair is missed only if it straddles a plane in BOTH tables
-    (miss^2), at 2x index cost. Soak-only variant; recall column should
-    sit at ~1.0 where the single-table run shows ~0.97-0.99."""
-    from tigerbeetle_cdc_nats_spark.operators import similarity as sim
-    from tigerbeetle_cdc_nats_spark.session import load_table
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    dim = sim.embedding_dim(sf_dir)
-    n_planes = sim.planes_for_corpus(n_emb, target_bucket=64)
-    both = sim.hyperplanes(2 * n_planes, dim)
-    tables = [both[:n_planes], both[n_planes:]]
-    # signature_cols: 2 tables + norm is always past the codegen term
-    # budget at adaptive plane counts — Arrow-side signatures, then the
-    # (tbl, bucket) melt over the two bucket columns.
-    b = sim.signature_cols(emb, tables, "embedding", dim,
-                           bucket_names=["b0", "b1"], norm_name="norm")
-    bt = b.select(
-        "vec_id", "embedding", "norm",
-        F.posexplode(F.array("b0", "b1")).alias("tbl", "bucket")).persist()
-    q = bt.select(F.col("vec_id").alias("q_id"),
-                  F.col("embedding").alias("q_emb"), F.col("tbl").alias("q_t"),
-                  F.col("bucket").alias("q_bucket"), F.col("norm").alias("q_n"))
-    c = bt.select(F.col("vec_id").alias("c_id"),
-                  F.col("embedding").alias("c_emb"), F.col("tbl").alias("c_t"),
-                  F.col("bucket").alias("c_bucket"), F.col("norm").alias("c_n"))
-    s = sim.cosine_sim_e6_prenorm(F.col("q_emb"), F.col("c_emb"),
-                                  F.col("q_n"), F.col("c_n"), None)
-    return (
-        q.join(c, (F.col("q_t") == F.col("c_t"))
-               & (F.col("q_bucket") == F.col("c_bucket"))
-               & (F.col("q_id") < F.col("c_id")))
-        .select(F.col("q_id").alias("vec_a"), F.col("c_id").alias("vec_b"),
-                s.alias("sim_e6"))
-        .where(F.col("sim_e6") >= 400000)
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-
-
 def semdedup_scaled_build(spark, sf_dir: str, n_emb: int):
     """Registered semdedup's ivf_assign front half + the corpus-scaled
     sub-bucketed pair scan from operators.similarity.semdedup_scaled."""
@@ -396,12 +324,9 @@ def main() -> None:
                 continue
             rf = {"embedding_near_dup": pair_rec,
                   "embedding_near_dup_adaptive": pair_rec,
+                  "embedding_near_dup_multitable_adaptive": pair_rec,
                   "semdedup": drop_rec}.get(name)
             timed(name, lambda: queries[name].fn(spark, out_dir), rf)
-        timed("near_dup_adaptive_geometry",
-              lambda: near_dup_adaptive(spark, out_dir, n_emb), pair_rec)
-        timed("near_dup_multitable",
-              lambda: near_dup_multitable(spark, out_dir, n_emb), pair_rec)
         timed("semdedup_scaled",
               lambda: semdedup_scaled_build(spark, out_dir, n_emb), drop_rec)
 

@@ -148,6 +148,21 @@ def test_adaptive_near_dup_matches_pinned_below_widening_point(spark, sf_dir):
     assert pinned == adaptive and len(pinned) >= 1
 
 
+def test_adaptive_multitable_matches_pinned_below_widening_point(spark,
+                                                                 sf_dir):
+    """Same clamp-floor property for the two-table variant: below 16,384
+    vectors the adaptive tables ARE _MT_TABLES, so pairs match the pinned
+    multitable query bit-for-bit."""
+    from tigerbeetle_cdc_nats_spark import registry
+
+    qs = registry.all_queries()
+    pinned = sorted(map(tuple, qs["embedding_near_dup_multitable"]
+                        .fn(spark, sf_dir).collect()))
+    adaptive = sorted(map(tuple, qs["embedding_near_dup_multitable_adaptive"]
+                          .fn(spark, sf_dir).collect()))
+    assert pinned == adaptive and len(pinned) >= 1
+
+
 def test_adaptive_near_dup_widens_past_clamp_floor():
     """planes_for_corpus at target 64 leaves the 8-plane floor exactly
     past 2^8 * 64 vectors — the corpus size where the pinned geometry

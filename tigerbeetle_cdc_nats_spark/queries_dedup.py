@@ -105,7 +105,10 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: annlsh v2 adding the stored ``norm`` column) can never silently serve
 #: a pre-change index through a backward-compat accessor forever.
 #: Unlisted kinds are layout v1 (their directories keep amortizing).
-_INDEX_LAYOUT_VERSION = {"annlsh": 2}
+#: annlsh v3: the hyperplane draw changed (decorrelated avalanche
+#: planes) — stored bucket ids from the v2 Weyl planes no longer match
+#: what probes compute.
+_INDEX_LAYOUT_VERSION = {"annlsh": 3}
 
 
 def stored_index_dir(kind: str, sf_dir: str,

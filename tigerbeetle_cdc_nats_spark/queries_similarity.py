@@ -1163,6 +1163,84 @@ def q_embedding_near_dup_multitable(spark: SparkSession,
 
 
 @register(
+    "embedding_near_dup_multitable_adaptive",
+    f"""WITH b AS (
+  SELECT vec_id, embedding, {_MT_B1} AS b1, {_MT_B2} AS b2 FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, b1 AS qb1, b2 AS qb2 FROM b),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb, b1 AS cb1, b2 AS cb2 FROM b),
+n AS (SELECT COUNT(*) AS n_vec FROM embeddings),
+pairs AS (
+  SELECT q_id, c_id, q_emb, c_emb
+  FROM q JOIN c ON qb1 = cb1 AND q_id < c_id
+  UNION
+  SELECT q_id, c_id, q_emb, c_emb
+  FROM q JOIN c ON qb2 = cb2 AND q_id < c_id
+)
+SELECT q_id AS vec_a, c_id AS vec_b, {_COS} AS sim_e6
+FROM pairs, n WHERE {_COS} >= 400000 AND n.n_vec <= 16384""",
+    doc="multi-table near-dup with corpus-scaled per-table geometry: "
+        "plane count per table from planes_for_corpus at target "
+        "population 64, clamp floor = the pinned two 8-plane tables "
+        "(identical to embedding_near_dup_multitable below the "
+        "16,384-vector widening point — every driver SF; the oracle "
+        "bakes the floor geometry and asserts the bound). The recall "
+        "knob (miss^2 via two independent tables) AND bounded pair "
+        "volume (~O(n*64) per table) in one query — the form a 100 TB "
+        "corpus runs",
+)
+def q_embedding_near_dup_multitable_adaptive(spark: SparkSession,
+                                             sf_dir: str) -> DataFrame:
+    """Adaptive two-table near-dup (the semdedup_scaled recipe applied
+    to the multitable recall knob).
+
+    Scale shape: per-table plane count grows ~log2(n/64) so per-table
+    bucket population — and with it candidate-pair volume — stays flat
+    as the corpus grows; signatures for both tables + the norm come from
+    ONE Arrow pass (always past the unroll budget at 2 tables); scoring
+    happens inside each table's join projection so the union/dedup
+    exchange carries 24-byte (id, id, sim) rows, never embeddings. At
+    the clamp floor the tables are exactly _MT_TABLES, so buckets,
+    pairs, and the static oracle match the pinned query bit-for-bit.
+    """
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _dim(sf_dir)
+    n_planes = max(8, sim.planes_for_corpus(emb.count(), target_bucket=64))
+    both = sim.hyperplanes(2 * n_planes, dim)
+    tables = (both[:n_planes], both[n_planes:])
+    b = sim.signature_cols(
+        emb.select("vec_id", "embedding"), [tables[0], tables[1]],
+        "embedding", dim, bucket_names=["b1", "b2"],
+        norm_name="norm").persist()
+
+    def side(prefix):
+        return b.select(F.col("vec_id").alias(f"{prefix}_id"),
+                        F.col("embedding").alias(f"{prefix}_emb"),
+                        F.col("b1").alias(f"{prefix}b1"),
+                        F.col("b2").alias(f"{prefix}b2"),
+                        F.col("norm").alias(f"{prefix}_n"))
+
+    q, c = side("q"), side("c")
+    lt = F.col("q_id") < F.col("c_id")
+    s = sim.cosine_sim_e6_prenorm("q_emb", "c_emb",
+                                  F.col("q_n"), F.col("c_n"), None)
+
+    def scored(qb, cb):
+        return (q.join(c, (F.col(qb) == F.col(cb)) & lt)
+                .select("q_id", "c_id", s.alias("sim_e6")))
+
+    return (
+        scored("qb1", "cb1").unionByName(scored("qb2", "cb2"))
+        .where(F.col("sim_e6") >= 400000)
+        .dropDuplicates(["q_id", "c_id"])
+        .select(F.col("q_id").alias("vec_a"),
+                F.col("c_id").alias("vec_b"), "sim_e6")
+    )
+
+
+@register(
     "hard_negative_mining",
     f"""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
            FROM embeddings WHERE vec_id IN {QUERY_IDS}),
