@@ -124,13 +124,17 @@ EVENT_OPS = [
 BASE_EVENTS = 100_000  # sf0.1 events rows
 
 #: Pinned-geometry ops whose x64 blowup is already measured and recorded
-#: in SCALE.md (semdedup: >600 s, killed; embedding_near_dup: 347 s).
-#: Re-timing them every round would stall the soak for an hour to learn
-#: nothing new — the scaled variants below them are the 64x story.
-#: SOAK_NO_SKIP=1 re-measures them anyway (used once when the hyperplane
-#: draw changed in round 7).
-SKIP_AT_64 = (set() if os.environ.get("SOAK_NO_SKIP")
-              else {"semdedup", "embedding_near_dup"})
+#: in SCALE.md (semdedup: >600 s, killed; embedding_near_dup: 347 s old
+#: plane draw / 156 s decorrelated draw — still quadratic by
+#: construction). Re-timing them every round would stall the soak for an
+#: hour to learn nothing new — the scaled variants are the 64x story.
+#: SOAK_NO_SKIP re-measures anyway: "1"/"all" unskips everything, else a
+#: comma list of names (used once when the hyperplane draw changed in
+#: round 7 — planes affect embedding_near_dup but not the IVF-cell
+#: semdedup, so only the former was worth re-timing).
+_NO_SKIP = os.environ.get("SOAK_NO_SKIP", "")
+SKIP_AT_64 = (set() if _NO_SKIP in ("1", "all")
+              else {"semdedup", "embedding_near_dup"} - set(_NO_SKIP.split(",")))
 
 
 def gen_corpus(spark, out_dir: str, mult: int) -> None:
@@ -357,10 +361,14 @@ def main() -> None:
     lo, hi = mults[0], mults[-1]
     report = {}
     for name, times in results.items():
-        alpha = (math.log(times[hi] / times[lo]) / math.log(hi / lo)
-                 if len(mults) > 1 else None)
+        # an op skipped at the largest size (SKIP_AT_64) has no times[hi]
+        # — fit alpha between the largest two sizes it actually ran
+        ran = sorted(times)
+        alpha = (math.log(times[ran[-1]] / times[ran[0]])
+                 / math.log(ran[-1] / ran[0]) if len(ran) > 1 else None)
         report[name] = {"times_s": times,
-                        "alpha": round(alpha, 3) if alpha else None}
+                        "alpha": round(alpha, 3) if alpha is not None
+                        else None}
         if name in recalls:
             report[name]["planted_recall"] = recalls[name]
     print(json.dumps({"base_docs": BASE_DOCS, "mults": mults,
