@@ -76,6 +76,9 @@ DOC_OPS = [
     # round 6 continuation: per-source dup marginals (index-served),
     # shared-phrase census (gram-keyed shuffle), banded edit distance.
     "dedup_rate_by_source", "boilerplate_ngrams", "edit_distance_dedup",
+    # round 7: intra-doc n-gram repetition census (gram explode + two
+    # doc-keyed aggregations).
+    "doc_repetition_stats",
     "curated_corpus_pipeline", "multi_epoch_shuffle",
     "media_feature_vectors", "quality_weighted_sample", "blocklist_kwic",
     "source_token_divergence",
@@ -101,6 +104,9 @@ EMB_OPS = [
     # earlier rounds measured (identical computation past the floor).
     "embedding_near_dup_adaptive",
     "embedding_near_dup_multitable_adaptive",
+    # round-7 continuation: per-cell quota sampling (one cell-keyed
+    # window sort over the shared Arrow IVF assignment).
+    "cluster_balanced_sample",
 ]
 #: events-table window/aggregation family (time-series scale risks:
 #: per-user window sorts, global percentile sorts, self-join rollups).

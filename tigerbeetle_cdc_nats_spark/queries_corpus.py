@@ -855,6 +855,59 @@ def q_gopher_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- intra-document n-gram repetition (Gopher repetition signals) ----------
+
+_REP_GRAM = ("tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)] || ' ' || "
+             "tk[CAST(i + 2 AS INT)]")
+
+
+@register(
+    "doc_repetition_stats",
+    f"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+g AS (
+  SELECT doc_id, {dd.sql_hash60(f'({_REP_GRAM})')} AS h
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+        FROM t WHERE len(tk) >= 3)
+),
+pc AS (SELECT doc_id, h, COUNT(*) AS c FROM g GROUP BY doc_id, h)
+SELECT doc_id,
+  CAST(SUM(c) AS BIGINT) AS total_grams,
+  CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_occurrences,
+  CAST((SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1000000) // SUM(c)
+       AS BIGINT) AS rep_e6
+FROM pc GROUP BY doc_id""",
+    doc="per-document word-3-gram repetition profile (the Gopher "
+        "duplicate-n-gram quality signals, Rae et al. 2021 A1.2): total / "
+        "distinct gram occurrences, occurrences belonging to repeated "
+        "grams, and the repeated fraction in e6 integer units — the "
+        "intra-doc complement of the corpus-level dedup family",
+)
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition census.
+
+    Scale shape: gram explode is a zero-join codegen'd projection
+    (dedup.gram_hash_rows — the same pass MinHash rides); both
+    aggregations key on doc_id(+gram hash), so the single shuffle is
+    doc-sized with map-side partials and nothing is corpus-global.
+    rep_e6 uses integer division (positive operands: Spark DIV and
+    DuckDB // agree) so the fraction is cross-engine exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ex = dd.gram_hash_rows(docs)
+    pc = ex.groupBy("doc_id", "h").agg(F.count("*").alias("c"))
+    dup = F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+    return (
+        pc.groupBy("doc_id")
+        .agg(F.sum("c").cast("bigint").alias("total_grams"),
+             F.count("*").cast("bigint").alias("distinct_grams"),
+             dup.cast("bigint").alias("dup_occurrences"))
+        .withColumn("rep_e6",
+                    F.expr("dup_occurrences * 1000000 DIV total_grams")
+                    .cast("bigint"))
+    )
+
+
 # --- cross-source near-dup overlap matrix ----------------------------------
 
 @register(

@@ -1961,6 +1961,54 @@ def q_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0)).cast("bigint").alias("dropped"))
 
 
+#: Per-cell quota for the cluster-balanced sample.
+CBS_K = 20
+_CBS_HKEY = "('cbs:' || CAST(vec_id AS VARCHAR))"
+
+
+@register(
+    "cluster_balanced_sample",
+    f"""WITH {_IVF_ASSIGN_SQL},
+r AS (SELECT vec_id, cell,
+        CAST(ROW_NUMBER() OVER (
+          PARTITION BY cell
+          ORDER BY CAST(('0x' || substr(md5{_CBS_HKEY}, 1, 15)) AS BIGINT),
+                   vec_id) AS BIGINT) AS cell_rank
+      FROM assigned)
+SELECT vec_id, cell, cell_rank FROM r WHERE cell_rank <= {CBS_K}""",
+    doc="cluster-balanced sampling: a deterministic hash-ordered quota of "
+        f"{CBS_K} vectors per IVF cell — the embedding-space analogue of "
+        "stratified_sample (equal representation per semantic cluster "
+        "instead of per metadata stratum), the standard counter to "
+        "head-cluster dominance when drawing eval or distillation sets "
+        "from a skewed corpus",
+)
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-ordered per-cell quota sample.
+
+    Scale shape: assignment is the shared map-side Arrow argmax (zero
+    shuffle); the only exchange is ONE window sort keyed by cell, and
+    the md5-derived order key makes the draw deterministic and
+    shuffle-free across engines (same recipe as training_shuffle_order).
+    Cell populations stay bounded under the scaled IVF geometry, so the
+    per-cell sort never concentrates on one task.
+    """
+    from pyspark.sql import Window, functions as F
+
+    from tigerbeetle_cdc_nats_spark.operators import dedup as dd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, centroid_vectors(emb), dim=_dim(sf_dir))
+    hk = dd.hash60(F.concat(F.lit("cbs:"), F.col("vec_id").cast("string")))
+    w = Window.partitionBy("cell").orderBy(F.col("_hk"), F.col("vec_id"))
+    return (
+        assigned.withColumn("_hk", hk)
+        .withColumn("cell_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("cell_rank") <= CBS_K)
+        .select("vec_id", "cell", "cell_rank")
+    )
+
+
 @register(
     "ivf_ann_indexed",
     f"""WITH {_IVF_ASSIGN_SQL},

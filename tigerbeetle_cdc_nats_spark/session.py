@@ -55,6 +55,16 @@ def configure(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Reading a stored index partitioned into hundreds of bucket/cell
+        # directories trips the default distributed file-listing job at
+        # >32 paths — 250+ scheduler round-trips of pure metadata overhead
+        # per session (measured: the first ann_lsh_indexed touch spent
+        # ~2 s in a 252-task listing job before any data moved). Listing
+        # a few thousand paths driver-side is microseconds on a local FS
+        # and still fine against an object store; past this threshold the
+        # distributed listing is genuinely the right tool.
+        spark.conf.set(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
     except Exception:
         pass  # non-settable on some deployments; defaults are fine
     return spark

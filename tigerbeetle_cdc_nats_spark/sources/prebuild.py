@@ -44,7 +44,7 @@ def ensure_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             return -1.0
 
     dim, planes = _dim(sf_dir), _planes(sf_dir)
-    return {
+    out = {
         "minhash": build("minhash", "documents",
                          lambda df, p: di.write_minhash_index(df, p)),
         "winnow": build("winnow", "documents",
@@ -55,3 +55,29 @@ def ensure_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "ivfcell": build("ivfcell", "embeddings",
                          lambda df, p: ai.write_ivf_index(df, p, dim=dim)),
     }
+    # Warm the file-listing metadata too: spark.read.parquet on a
+    # many-partition index builds its InMemoryFileIndex eagerly, and the
+    # FIRST listing of a few hundred bucket/shard directories costs
+    # seconds of pure driver/FS metadata work that the session's
+    # FileStatusCache then amortizes across every probe. A deployment
+    # serving thousands of probes per listing refresh runs warm — so the
+    # bench should time probes in that steady state, with the warm cost
+    # reported alongside the build cost instead of landing on whichever
+    # indexed query happens to run first.
+    def warm(kind: str, read) -> float:
+        try:
+            t0 = time.perf_counter()
+            read(stored_index_dir(kind, sf_dir,
+                                  table="documents" if kind in
+                                  ("minhash", "winnow") else "embeddings"))
+            return round(time.perf_counter() - t0, 4)
+        except Exception:
+            return -1.0
+
+    out["list_warm"] = {
+        "minhash": warm("minhash", lambda p: di.read_minhash_index(spark, p)),
+        "winnow": warm("winnow", lambda p: di.read_winnow_index(spark, p)),
+        "annlsh": warm("annlsh", lambda p: ai.read_ann_index(spark, p)),
+        "ivfcell": warm("ivfcell", lambda p: ai.read_ivf_index(spark, p)),
+    }
+    return out
