@@ -177,6 +177,9 @@ def test_end_to_end_corpus_rehearsal(spark, tmp_path):
             ann_rebuild, planes, dim=DIM)
         want_mh = di.read_minhash_index(spark, mh_rebuild).count()
         want_ann = ai.read_ann_index(spark, ann_rebuild).count()
+        # fresh budget: the from-scratch rebuilds above can eat most of
+        # the previous window when the host is loaded (full-suite run)
+        deadline = time.time() + 180
         wait_for(lambda: (di.read_minhash_index(spark, mh_idx).count()
                           == want_mh), deadline)
         wait_for(lambda: (ai.read_ann_index(spark, ann_idx).count()
