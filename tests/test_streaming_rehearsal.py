@@ -112,10 +112,10 @@ def test_end_to_end_corpus_rehearsal(spark, tmp_path):
         except Exception:
             return set()
 
-    def wait_for(pred, deadline):
+    def wait_for(pred, deadline, info=None):
         while time.time() < deadline and not pred():
             time.sleep(0.5)
-        assert pred()
+        assert pred(), (info() if info else "wait_for timeout")
 
     # prime the session pairs memo so maintenance has something to
     # invalidate (keyed by (appId, sf_dir) — any entry counts)
@@ -181,9 +181,16 @@ def test_end_to_end_corpus_rehearsal(spark, tmp_path):
         # the previous window when the host is loaded (full-suite run)
         deadline = time.time() + 180
         wait_for(lambda: (di.read_minhash_index(spark, mh_idx).count()
-                          == want_mh), deadline)
+                          == want_mh), deadline,
+                 info=lambda: f"mh maintained="
+                 f"{di.read_minhash_index(spark, mh_idx).count()} "
+                 f"want={want_mh} queries="
+                 f"{[ (s.name, s.status['message']) for s in spark.streams.active ]}")
         wait_for(lambda: (ai.read_ann_index(spark, ann_idx).count()
-                          == want_ann), deadline)
+                          == want_ann), deadline,
+                 info=lambda: f"ann maintained="
+                 f"{ai.read_ann_index(spark, ann_idx).count()} "
+                 f"want={want_ann}")
     finally:
         qm.stop()
         qa.stop()
