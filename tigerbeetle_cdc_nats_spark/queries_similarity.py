@@ -1310,8 +1310,36 @@ def near_dup_pairs_skewsafe(emb, dim: int, *, n_planes: int | None = None,
                         allp[n_planes + sec:])
     b = sim.signature_cols(emb.select("vec_id", "embedding"), [planes],
                            "embedding", dim, bucket_names=["bucket"],
-                           norm_name="norm")
+                           norm_name="norm").persist(
+        StorageLevel.MEMORY_AND_DISK)
     pop = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_pop"))
+    # Adaptive plan choice (the AQE spirit, decided on one bounded
+    # aggregate over the persisted signatures): when NO bucket exceeds
+    # the cap the residual machinery is provably a no-op — skip the
+    # centroid pass, the broadcast, and the second join entirely and
+    # run the plain bucket-equality scan. Results are identical either
+    # way (the cold path's sub keys are all -1), so the oracle never
+    # sees the difference; a cold corpus pays one tiny aggregate
+    # instead of empty-centroid plumbing.
+    max_pop = (pop.agg(F.max("_pop").alias("m")).first() or {"m": 0})["m"]
+    if not max_pop or max_pop <= cap:
+        q = b.select(F.col("vec_id").alias("q_id"),
+                     F.col("embedding").alias("q_emb"),
+                     F.col("bucket").alias("q_bucket"),
+                     F.col("norm").alias("q_n"))
+        c = b.select(F.col("vec_id").alias("c_id"),
+                     F.col("embedding").alias("c_emb"),
+                     F.col("bucket").alias("c_bucket"),
+                     F.col("norm").alias("c_n"))
+        s = sim.cosine_sim_e6_prenorm(F.col("q_emb"), F.col("c_emb"),
+                                      F.col("q_n"), F.col("c_n"), None)
+        return (
+            q.join(c, (F.col("q_bucket") == F.col("c_bucket"))
+                   & (F.col("q_id") < F.col("c_id")))
+            .select(F.col("q_id").alias("vec_a"),
+                    F.col("c_id").alias("vec_b"), s.alias("sim_e6"))
+            .where(F.col("sim_e6") >= 300000)
+        )
     hot = (b.join(F.broadcast(pop.where(F.col("_pop") > cap)), "bucket")
            .select("bucket", "embedding"))
     cent = bucket_centroids(hot)
