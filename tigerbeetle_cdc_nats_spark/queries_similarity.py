@@ -837,11 +837,14 @@ def q_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_a").alias("t_a"), F.col("doc_b").alias("t_b"))
     )
 
-    # Semantic side via the ADAPTIVE-geometry pair generator: identical
-    # pairs to the pinned 8-plane form at every driver SF (clamp floor),
-    # but the agreement audit no longer inherits embedding_near_dup's
-    # fixed-bucket quadratic when the corpus grows (SCALE.md x16 note).
-    e = (near_dup_pairs_adaptive(emb, emb.count(), _dim(sf_dir))
+    # Semantic side via the SKEW-SAFE pair generator with the adaptive
+    # primary count: identical pairs to the pinned 8-plane form at every
+    # driver SF (clamp floor + cold-path short circuit), but the
+    # agreement audit inherits neither embedding_near_dup's fixed-bucket
+    # quadratic under GROWTH nor the hot-bucket quadratic under CLUSTER
+    # skew (SCALE.md round-7 clustered soak) when the corpus scales.
+    e = (near_dup_pairs_skewsafe(emb, _dim(sf_dir),
+                                 corpus_size=emb.count())
          .select(F.col("vec_a").alias("e_a"), F.col("vec_b").alias("e_b")))
 
     j = t.join(e, (F.col("t_a") == F.col("e_a"))
