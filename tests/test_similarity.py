@@ -224,7 +224,7 @@ def test_skewsafe_near_dup_splits_hot_bucket(spark):
         bucket_centroids)
     pop = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_pop"))
     hot = (b.join(F.broadcast(pop.where(F.col("_pop") > HOT_CAP)), "bucket")
-           .select("bucket", "embedding"))
+           .select("bucket", "vec_id", "embedding"))
     n_cent = bucket_centroids(hot).count()
     assert n_cent >= 1
 

@@ -72,13 +72,17 @@ def q_ledger_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # HLL/KLL sketch internals differ per engine -> rows-only check
     doc="A5 approximate variants: HyperLogLog distinct + KLL-style quantile "
         "sketches — the 100 TB forms of COUNT(DISTINCT)/percentile (exact "
-        "twins are oracle-checked in distinct_event_count/value_percentiles)",
+        "twins are oracle-checked in distinct_event_count/value_percentiles). "
+        "Percentiles are emitted as scalar columns (not an array) so the "
+        "driver's pandas row canonicalizer can hash the result.",
 )
 def q_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_table(spark, sf_dir)
     return ev.agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.approx_count_distinct("event_id", rsd=0.01).alias("approx_events"),
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.percentile_approx("value", 0.9, 10000).alias("approx_p90"),
+        F.percentile_approx("value", 0.99, 10000).alias("approx_p99"),
         F.count("*").alias("n_events"),
     )

@@ -792,9 +792,19 @@ t AS (SELECT doc_a, doc_b FROM wsig WHERE {_EST_J} >= 0.5),
 eb AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
 qd AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket FROM eb),
 cd AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket AS c_bucket FROM eb),
+-- guards mirroring the *_adaptive oracles: the Spark side routes through
+-- near_dup_pairs_skewsafe (adaptive plane count, clamp floor 8 planes,
+-- hot-bucket residual split at HOT_CAP=256), whose pairs equal this
+-- pinned 8-plane join ONLY while the corpus is under the 16,384-vector
+-- widening point AND every bucket is cold; past either bound the oracle
+-- drops its semantic pairs so the divergence fails LOUDLY instead of
+-- silently under-counting (miss^2) relative to documented semantics
+n AS (SELECT COUNT(*) AS n_vec FROM embeddings),
+mp AS (SELECT MAX(c) AS maxpop
+       FROM (SELECT COUNT(*) AS c FROM eb GROUP BY bucket)),
 e AS (SELECT q_id AS doc_a, c_id AS doc_b
-      FROM qd JOIN cd ON q_bucket = c_bucket AND q_id < c_id
-      WHERE {_COS} >= 300000)
+      FROM qd JOIN cd ON q_bucket = c_bucket AND q_id < c_id, n, mp
+      WHERE {_COS} >= 300000 AND n.n_vec <= 16384 AND mp.maxpop <= 256)
 SELECT CASE WHEN t.doc_a IS NULL THEN 'semantic_only'
             WHEN e.doc_a IS NULL THEN 'text_only'
             ELSE 'both' END AS agreement_class,
@@ -1245,10 +1255,19 @@ def q_embedding_near_dup_multitable_adaptive(spark: SparkSession,
     )
 
 
-def bucket_centroids(members: DataFrame, key: str = "bucket") -> DataFrame:
+def bucket_centroids(members: DataFrame, key: str = "bucket",
+                     id_col: str = "vec_id") -> DataFrame:
     """Per-bucket centroid as array<long> of FLOOR(mean_i * 1e6) — the
     centroid_vectors recipe keyed by LSH bucket instead of label.
-    Output: (key, c_arr)."""
+    Output: (key, c_arr).
+
+    Accumulation order is PINNED: a sequential fold over members sorted
+    by ``id_col`` (numpy here, ``list_reduce(list(v ORDER BY vec_id))``
+    in the DuckDB oracle). numpy's pairwise ``sum`` vs an aggregate's
+    unspecified parallel order can differ by 1 ulp, and FLOOR(mean*1e6)
+    at a boundary would then flip a residual sub-bucket — and thus the
+    cross-engine candidate set — so both engines fold in the same order.
+    """
     import numpy as np
     import pandas as pd
 
@@ -1260,15 +1279,19 @@ def bucket_centroids(members: DataFrame, key: str = "bucket") -> DataFrame:
     ])
 
     def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
         mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        c = mat.sum(axis=0) / len(mat)
+        acc = np.zeros(mat.shape[1], dtype=np.float64)
+        for r in range(mat.shape[0]):  # sequential left fold, row order
+            acc = acc + mat[r]
+        c = acc / len(mat)
         return pd.DataFrame({
             key: [int(pdf[key].iloc[0])],
             "c_arr": [np.floor(c * 1_000_000).astype(np.int64).tolist()],
         })
 
-    return members.select(key, "embedding").groupBy(key).applyInPandas(
-        centroid, schema=schema)
+    return members.select(key, id_col, "embedding").groupBy(key) \
+        .applyInPandas(centroid, schema=schema)
 
 
 #: Skew-safe near-dup knobs: a bucket whose population exceeds HOT_CAP is
@@ -1344,7 +1367,7 @@ def near_dup_pairs_skewsafe(emb, dim: int, *, n_planes: int | None = None,
             .where(F.col("sim_e6") >= 300000)
         )
     hot = (b.join(F.broadcast(pop.where(F.col("_pop") > cap)), "bucket")
-           .select("bucket", "embedding"))
+           .select("bucket", "vec_id", "embedding"))
     cent = bucket_centroids(hot)
     scored_base = (
         b.join(F.broadcast(cent), "bucket", "left")
@@ -1352,14 +1375,23 @@ def near_dup_pairs_skewsafe(emb, dim: int, *, n_planes: int | None = None,
             F.col("c_arr").isNotNull(),
             F.zip_with("embedding", "c_arr",
                        lambda v, c: v.cast("double") - c / F.lit(1e6)))))
-    keyed = scored_base.select(
+    # Sub-bucket signatures through signature_cols so they get the
+    # budget-aware path — unrolled codegen under UNROLL_TERM_BUDGET, one
+    # Arrow pandas_udf past it — instead of the dim=None interpreted
+    # fold (CodegenFallback, ~10x; see the UNROLL notes) on exactly the
+    # hot rows the split exists to serve. Cold rows ride a zero residual
+    # and are masked back to the -1 sentinel; accumulation order is
+    # identical across the unrolled/Arrow/fold forms, so sub-bucket bits
+    # are unchanged.
+    zero_res = F.array(*[F.lit(0.0) for _ in range(dim)])
+    sigs = sim.signature_cols(
+        scored_base.withColumn("_resz", F.coalesce(F.col("_res"), zero_res)),
+        [sp1, sp2], "_resz", dim, bucket_names=["_rs1", "_rs2"])
+    hot_row = F.col("_res").isNotNull()
+    keyed = sigs.select(
         "vec_id", "embedding", "bucket", "norm",
-        F.when(F.col("_res").isNotNull(),
-               sim.bucket_col(sp1, "_res", None)).otherwise(F.lit(-1))
-        .alias("sub1"),
-        F.when(F.col("_res").isNotNull(),
-               sim.bucket_col(sp2, "_res", None)).otherwise(F.lit(-1))
-        .alias("sub2"),
+        F.when(hot_row, F.col("_rs1")).otherwise(F.lit(-1)).alias("sub1"),
+        F.when(hot_row, F.col("_rs2")).otherwise(F.lit(-1)).alias("sub2"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     def side(prefix):
@@ -1407,9 +1439,15 @@ _SKEW_COS = sim.sql_cosine_e6("q_emb", "c_emb")
     f"""WITH b AS (SELECT vec_id, embedding, {_SKEW_B} AS bucket FROM embeddings),
 pop AS (SELECT bucket, COUNT(*) AS pop FROM b GROUP BY bucket),
 cent AS (
+  -- accumulation order pinned to match the Spark side's sequential
+  -- numpy fold over vec_id order (see bucket_centroids): an
+  -- unspecified-order SUM can differ by 1 ulp and flip FLOOR(mean*1e6)
+  -- at a boundary, silently changing a residual sub-bucket
   SELECT bucket, i AS dim,
-    CAST(FLOOR(SUM(CAST(v AS DOUBLE)) / COUNT(*) * 1000000) AS BIGINT) AS c_e6
-  FROM (SELECT b.bucket, unnest(b.embedding) AS v,
+    CAST(FLOOR(list_reduce(list(CAST(v AS DOUBLE) ORDER BY vec_id),
+                           (a, b) -> a + b)
+               / COUNT(*) * 1000000) AS BIGINT) AS c_e6
+  FROM (SELECT b.vec_id, b.bucket, unnest(b.embedding) AS v,
                generate_subscripts(b.embedding, 1) AS i
         FROM b JOIN pop USING (bucket) WHERE pop.pop > {HOT_CAP})
   GROUP BY bucket, i),

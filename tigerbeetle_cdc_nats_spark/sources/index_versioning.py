@@ -94,11 +94,23 @@ def publish_version(path: str, write_fn, *, grace: int = 1) -> str:
         versions = _versions(path)
         nxt = (versions[-1] + 1) if versions else 1
         vdir = os.path.join(path, f"v{nxt}")
+        # Stage the snapshot in a dot-prefixed dir first: Spark's file
+        # listing ignores dot/underscore-prefixed paths, so a concurrent
+        # reader of a STILL-FLAT root (first compaction, no CURRENT yet
+        # — current_dir resolves to the root itself) never sees
+        # half-written v1/ leaf files mixed into the flat band=/shard=
+        # layout (Spark's "Conflicting directory structures" failure /
+        # double counting). The rename to v{nxt} is same-filesystem and
+        # happens only once the snapshot is complete, immediately before
+        # the CURRENT flip.
+        stage = os.path.join(path, f".v{nxt}.inprogress")
+        shutil.rmtree(stage, ignore_errors=True)  # stale crashed stage
         try:
-            write_fn(vdir)
+            write_fn(stage)
         except BaseException:
-            shutil.rmtree(vdir, ignore_errors=True)
+            shutil.rmtree(stage, ignore_errors=True)
             raise
+        os.rename(stage, vdir)
         tmp = os.path.join(path, CURRENT + ".tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(f"v{nxt}")
