@@ -131,7 +131,11 @@ def publish_version(path: str, write_fn, *, grace: int = 1) -> str:
                 full = os.path.join(path, n)
                 if os.path.isdir(full):
                     shutil.rmtree(full, ignore_errors=True)
-                else:
+                elif not n.startswith("."):
+                    # dot-prefixed FILES are maintenance markers owned by
+                    # the index writer (e.g. the streaming loops'
+                    # .last_batch replay detector) — never flat remnants;
+                    # dot-DIRS are crashed .v*.inprogress stages, cleaned
                     try:
                         os.remove(full)
                     except OSError:

@@ -131,6 +131,34 @@ def normalized_dedup_stream(docs: DataFrame, *,
     return out.dropDuplicates(["norm_h"])
 
 
+def _note_batch(index_path: str, batch_id: int) -> bool:
+    """Record ``batch_id`` in the index's ``.last_batch`` marker and
+    return True when it is a REPLAY (id <= the recorded high-water mark).
+
+    foreachBatch replays the last uncommitted batch after a restart;
+    that replay is the only in-stream event that appends duplicate rows,
+    so the maintenance loops compact immediately when one is detected.
+    The marker lives under the index's single-writer contract (same
+    owner as appends/compaction), written via tmp+replace so a crash
+    mid-write degrades to "marker missing" (treated as not-a-replay —
+    the every-N compaction still bounds growth)."""
+    import os
+
+    marker = os.path.join(index_path, ".last_batch")
+    last = None
+    try:
+        with open(marker, encoding="utf-8") as fh:
+            last = int(fh.read().strip())
+    except (OSError, ValueError):
+        pass
+    replayed = last is not None and batch_id <= last
+    tmp = marker + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(max(batch_id, last if last is not None else -1)))
+    os.replace(tmp, marker)
+    return replayed
+
+
 def maintain_minhash_index(docs: DataFrame, index_path: str, *,
                            checkpoint_dir: str,
                            trigger_seconds: float = 1.0,
@@ -158,7 +186,12 @@ def maintain_minhash_index(docs: DataFrame, index_path: str, *,
     after every N appended batches, bounding the growth an at-least-once
     replay storm can accumulate; compaction is idempotent, so a batch
     replayed ACROSS a compaction boundary is simply deduplicated again
-    at the next cycle.
+    at the next cycle. Additionally, a REPLAYED batch (batch_id <= the
+    last batch this index already absorbed, tracked in a ``.last_batch``
+    marker under the single-writer contract) compacts immediately after
+    its append — replay is the only event that creates duplicates, so
+    compacting on detection keeps the raw index equal to a from-scratch
+    rebuild as soon as the replay lands instead of up to N batches later.
     """
     import os
 
@@ -184,8 +217,9 @@ def maintain_minhash_index(docs: DataFrame, index_path: str, *,
                 invalidate_pairs_cache,
             )
             invalidate_pairs_cache()
-            if (compact_every and batch_id > 0
-                    and batch_id % compact_every == 0):
+            replayed = _note_batch(index_path, batch_id)
+            if replayed or (compact_every and batch_id > 0
+                            and batch_id % compact_every == 0):
                 di.compact_minhash_index(batch_df.sparkSession, index_path)
 
     return (docs.writeStream
@@ -211,15 +245,18 @@ def maintain_ann_index(vectors: DataFrame, index_path: str,
     c_id; pair scans drop duplicate pairs) are unaffected — same
     contract as the banded-index appends. ``compact_every=N`` bounds the
     accumulated duplicate rows exactly like the text-index knob
-    (sources/ann_index.compact_ann_index, idempotent atomic swap).
+    (sources/ann_index.compact_ann_index, idempotent atomic swap), and a
+    detected replay (batch_id <= the ``.last_batch`` marker) compacts
+    immediately — see _note_batch.
     """
     from tigerbeetle_cdc_nats_spark.sources import ann_index as ai
 
     def append_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():
             ai.append_ann_index(batch_df, index_path, planes, dim=dim)
-            if (compact_every and batch_id > 0
-                    and batch_id % compact_every == 0):
+            replayed = _note_batch(index_path, batch_id)
+            if replayed or (compact_every and batch_id > 0
+                            and batch_id % compact_every == 0):
                 ai.compact_ann_index(batch_df.sparkSession, index_path)
 
     return (vectors.writeStream
