@@ -133,48 +133,60 @@ def test_ivf_assign_degenerate_vectors_agree(spark):
     assert all(r[1] != 9 for r in a)  # zero-norm centroid never wins
 
 
-def test_adaptive_near_dup_matches_pinned_below_widening_point(spark, sf_dir):
-    """embedding_near_dup_adaptive's clamp floor IS the pinned 8-plane
-    geometry: below 16,384 vectors (every driver SF) the two queries must
-    return byte-identical pairs — the property that lets the adaptive
-    variant keep a static oracle while fixing the quadratic past it."""
+def _pinned_pairs(spark, sf_dir):
+    """The original pinned 8-plane near-dup — now a TEST FIXTURE
+    (near_dup_pairs_pinned), the bit-equality baseline every scale-safe
+    registered variant must reproduce at driver SFs."""
+    from tigerbeetle_cdc_nats_spark.operators import similarity as sim
+    from tigerbeetle_cdc_nats_spark.queries_similarity import (
+        near_dup_pairs_pinned)
+    from tigerbeetle_cdc_nats_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = sim.embedding_dim(sf_dir)
+    return sorted(map(tuple, near_dup_pairs_pinned(
+        emb, sim.hyperplanes(8, dim), dim).collect()))
+
+
+def test_registered_near_dups_match_pinned_below_widening_point(spark,
+                                                                sf_dir):
+    """Clamp floor == the pinned 8-plane geometry: below 16,384 vectors
+    (every driver SF) the registered unsuffixed query (now the skew-safe
+    production form), its adaptive twin, and the skew-safe form must all
+    return byte-identical pairs to the pinned fixture — the property
+    that lets every scale-safe variant keep the static oracle."""
     from tigerbeetle_cdc_nats_spark import registry
 
     qs = registry.all_queries()
-    pinned = sorted(map(tuple, qs["embedding_near_dup"]
-                        .fn(spark, sf_dir).collect()))
-    adaptive = sorted(map(tuple, qs["embedding_near_dup_adaptive"]
-                          .fn(spark, sf_dir).collect()))
-    assert pinned == adaptive and len(pinned) >= 1
+    pinned = _pinned_pairs(spark, sf_dir)
+    assert len(pinned) >= 1
+    for name in ("embedding_near_dup", "embedding_near_dup_adaptive",
+                 "embedding_near_dup_skewsafe"):
+        got = sorted(map(tuple, qs[name].fn(spark, sf_dir).collect()))
+        assert got == pinned, name
 
 
 def test_adaptive_multitable_matches_pinned_below_widening_point(spark,
                                                                  sf_dir):
     """Same clamp-floor property for the two-table variant: below 16,384
-    vectors the adaptive tables ARE _MT_TABLES, so pairs match the pinned
-    multitable query bit-for-bit."""
+    vectors the adaptive tables ARE _MT_TABLES, so both registered
+    multitable queries match the pinned-fixture form bit-for-bit."""
     from tigerbeetle_cdc_nats_spark import registry
+    from tigerbeetle_cdc_nats_spark.queries_similarity import (
+        _MT_TABLES, multitable_pairs)
+    from tigerbeetle_cdc_nats_spark.operators import similarity as sim
+    from tigerbeetle_cdc_nats_spark.session import load_table
 
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = sim.embedding_dim(sf_dir)
+    pinned = sorted(map(tuple, multitable_pairs(
+        emb, dim, _MT_TABLES).collect()))
+    assert len(pinned) >= 1
     qs = registry.all_queries()
-    pinned = sorted(map(tuple, qs["embedding_near_dup_multitable"]
-                        .fn(spark, sf_dir).collect()))
-    adaptive = sorted(map(tuple, qs["embedding_near_dup_multitable_adaptive"]
-                          .fn(spark, sf_dir).collect()))
-    assert pinned == adaptive and len(pinned) >= 1
-
-
-def test_skewsafe_near_dup_cold_path_matches_pinned(spark, sf_dir):
-    """Below HOT_CAP in every bucket (all driver SFs) the skew-safe query
-    must return exactly embedding_near_dup's pairs — the residual-split
-    machinery has to be a no-op on cold corpora."""
-    from tigerbeetle_cdc_nats_spark import registry
-
-    qs = registry.all_queries()
-    pinned = sorted(map(tuple, qs["embedding_near_dup"]
-                        .fn(spark, sf_dir).collect()))
-    skew = sorted(map(tuple, qs["embedding_near_dup_skewsafe"]
-                      .fn(spark, sf_dir).collect()))
-    assert pinned == skew and len(pinned) >= 1
+    for name in ("embedding_near_dup_multitable",
+                 "embedding_near_dup_multitable_adaptive"):
+        got = sorted(map(tuple, qs[name].fn(spark, sf_dir).collect()))
+        assert got == pinned, name
 
 
 def test_skewsafe_near_dup_splits_hot_bucket(spark):
