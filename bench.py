@@ -52,22 +52,32 @@ def main() -> None:
     from tigerbeetle_cdc_nats_spark.sources.prebuild import ensure_indexes
     index_build = ensure_indexes(spark, sf_dir)
 
-    total = 0.0
-    for name, q in sorted(queries.items()):
-        # min over repeats: the shared host shows ±2x wall-clock jitter
-        # between identical runs; the minimum is the least-noisy estimate.
-        best = None
-        try:
-            for _ in range(max(1, repeats)):
+    # min over repeats, arranged as REPEATS FULL ROUND-ROBIN PASSES over
+    # the registry rather than back-to-back runs per query: the shared
+    # host shows ±2x wall-clock jitter on ~10-minute timescales, so
+    # consecutive repeats of one query all land in the same load window
+    # and the per-query map inherits a rank-correlated bias (round-7
+    # bench: alphabetically-early queries absorbed ~30 s of startup-era
+    # host noise, Pearson -0.65 vs run position). Spreading the repeats
+    # across passes puts every query's best in a different window, so
+    # min() actually removes the noise instead of sampling it.
+    best: dict[str, float] = {}
+    for _pass in range(max(1, repeats)):
+        for name, q in sorted(queries.items()):
+            if name in errors:
+                continue
+            try:
                 t0 = time.perf_counter()
                 materialize(q.fn(spark, sf_dir))
                 dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-        except Exception as exc:  # one bad query must not zero the record
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            continue
-        timings[name] = round(best, 4)
-        total += best
+            except Exception as exc:  # one bad query must not zero the record
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                best.pop(name, None)
+                continue
+            if name not in best or dt < best[name]:
+                best[name] = dt
+    timings = {name: round(dt, 4) for name, dt in sorted(best.items())}
+    total = sum(best.values())
 
     out = {
         "metric": "total wall seconds for all registered queries (noop-materialized)",
