@@ -126,3 +126,69 @@ def test_appends_land_in_live_snapshot(spark, tmp_path):
     hits = {r["other_id"]
             for r in di.probe_minhash_index(spark, path, delta).collect()}
     assert {1, 2} <= hits
+
+
+def test_publish_stages_snapshot_in_hidden_dir(tmp_path):
+    """The snapshot must be WRITTEN into a dot-prefixed staging dir and
+    renamed to v{N} only when complete: during the first (flat -> v1)
+    migration a concurrent reader still resolves current_dir to the ROOT,
+    and Spark's recursive listing there would mix half-written v1/ leaf
+    files into the flat band=/shard= layout ('Conflicting directory
+    structures'). Dot-prefixed paths are invisible to Spark's listing."""
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    open(os.path.join(root, "part-flat.parquet"), "w").close()
+    seen = {}
+
+    def write_fn(target):
+        seen["target"] = os.path.basename(target)
+        seen["versioned_at_root"] = [
+            n for n in os.listdir(root)
+            if iv._VDIR.fullmatch(n) or (
+                not n.startswith(".") and n != "part-flat.parquet")]
+        os.makedirs(target)
+        open(os.path.join(target, "part-0.parquet"), "w").close()
+
+    vdir = iv.publish_version(root, write_fn)
+    # staged hidden, renamed only after write_fn completed
+    assert seen["target"].startswith(".")
+    assert seen["versioned_at_root"] == []
+    assert os.path.basename(vdir) == "v1"
+    assert os.path.isdir(vdir)
+    assert not [n for n in os.listdir(root) if n.endswith(".inprogress")]
+    assert iv.current_dir(root) == vdir
+
+
+def test_publish_failure_cleans_staging_dir(tmp_path):
+    root = str(tmp_path / "idx")
+
+    def boom(target):
+        os.makedirs(target)
+        raise RuntimeError("mid-write crash")
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="mid-write crash"):
+        iv.publish_version(root, boom)
+    assert not [n for n in os.listdir(root) if n.startswith(".v")]
+    assert iv.current_dir(root) == root  # pointer untouched
+
+
+def test_gc_preserves_maintenance_marker_files(tmp_path):
+    """Dot-prefixed FILES at the index root (e.g. the streaming loops'
+    .last_batch replay detector) must survive the flat-remnant GC that
+    runs once the flat files aged out of the grace window."""
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    open(os.path.join(root, ".last_batch"), "w").write("7")
+    open(os.path.join(root, "part-flat.parquet"), "w").close()
+
+    def write_fn(target):
+        os.makedirs(target)
+        open(os.path.join(target, "part-0.parquet"), "w").close()
+
+    iv.publish_version(root, write_fn)  # v1: flat becomes grace snapshot
+    iv.publish_version(root, write_fn)  # v2: flat remnants GC'd
+    names = os.listdir(root)
+    assert ".last_batch" in names
+    assert "part-flat.parquet" not in names
