@@ -129,18 +129,15 @@ EVENT_OPS = [
 ]
 BASE_EVENTS = 100_000  # sf0.1 events rows
 
-#: Pinned-geometry ops whose x64 blowup is already measured and recorded
-#: in SCALE.md (semdedup: >600 s, killed; embedding_near_dup: 347 s old
-#: plane draw / 156 s decorrelated draw — still quadratic by
-#: construction). Re-timing them every round would stall the soak for an
-#: hour to learn nothing new — the scaled variants are the 64x story.
-#: SOAK_NO_SKIP re-measures anyway: "1"/"all" unskips everything, else a
-#: comma list of names (used once when the hyperplane draw changed in
-#: round 7 — planes affect embedding_near_dup but not the IVF-cell
-#: semdedup, so only the former was worth re-timing).
-_NO_SKIP = os.environ.get("SOAK_NO_SKIP", "")
-SKIP_AT_64 = (set() if _NO_SKIP in ("1", "all")
-              else {"semdedup", "embedding_near_dup"} - set(_NO_SKIP.split(",")))
+#: Round 8 routed the unsuffixed ``embedding_near_dup`` /
+#: ``embedding_near_dup_multitable`` / ``semdedup`` to their scale-safe
+#: adaptive geometries, so no registered query is pinned-quadratic any
+#: more and nothing needs skipping at x64 (the old pinned forms' blowups
+#: — semdedup >600 s killed, embedding_near_dup 347 s/156 s — stay
+#: recorded in SCALE.md history as the motivation). SOAK_SKIP_AT_64
+#: (comma list) remains as an escape hatch for one-off runs.
+SKIP_AT_64 = set(filter(None,
+                        os.environ.get("SOAK_SKIP_AT_64", "").split(",")))
 
 
 def gen_corpus(spark, out_dir: str, mult: int) -> None:
