@@ -390,6 +390,11 @@ def main() -> None:
                       load_table(spark, out_dir, "embeddings"),
                       _sim.embedding_dim(out_dir),
                       corpus_size=n_emb), pair_rec)
+            # round 8: the REGISTERED unsuffixed name routes through the
+            # skew-safe generator — time it as users reach it
+            timed("near_dup_registered_clustered",
+                  lambda: queries["embedding_near_dup"]
+                  .fn(spark, out_dir), pair_rec)
         _report(results, recalls, mults)
         spark.stop()
         return
