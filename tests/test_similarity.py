@@ -253,3 +253,43 @@ def test_adaptive_near_dup_widens_past_clamp_floor():
     assert planes_for_corpus(32_000, target_bucket=64) == 9
     assert planes_for_corpus(128_000, target_bucket=64) == 11
     assert planes_for_corpus(10_000_000, target_bucket=64) == 18
+
+
+def test_skewsafe_residual_width_scales_with_hot_bucket(spark):
+    """Past 4096 members in one bucket the residual tables must WIDEN
+    (planes_for_corpus at target population 64) instead of letting
+    sub-bucket population grow linearly with cluster size — and the
+    planted near-identical pair must still be found through the wider
+    two-table union."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from tigerbeetle_cdc_nats_spark.operators import similarity as sim
+    from tigerbeetle_cdc_nats_spark.queries_similarity import (
+        near_dup_pairs_skewsafe)
+
+    dim, n = 16, 4500  # one cluster > 4096 -> sec widens 6 -> 7
+    assert sim.planes_for_corpus(n, target_bucket=64) == 7
+
+    def h(i, j):
+        x = ((i * 131 + j + 1) * 0x9E3779B97F4A7C15) % (1 << 64)
+        x ^= x >> 31
+        return ((x % 2001) - 1000) / 1000.0
+
+    center = np.array([h(424243, d) for d in range(dim)])
+    rows = []
+    for i in range(n):
+        v = center + np.array([h(i, d) for d in range(dim)]) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    v_last = list(rows[n - 2][1])
+    v_last[0] += 0.01
+    rows[n - 1] = (n - 1, v_last)
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType()))])
+    emb = spark.createDataFrame(rows, schema)
+
+    out = near_dup_pairs_skewsafe(emb, dim, n_planes=8)
+    got = {(r["vec_a"], r["vec_b"]) for r in out.collect()}
+    assert (n - 2, n - 1) in got, "planted pair lost by the wider split"

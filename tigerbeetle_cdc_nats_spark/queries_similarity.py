@@ -1315,16 +1315,20 @@ def bucket_centroids(members: DataFrame, key: str = "bucket",
 
 
 #: Skew-safe near-dup knobs: a bucket whose population exceeds HOT_CAP is
-#: split by TWO independent 6-plane SRP tables over the CENTROID RESIDUAL
+#: split by TWO independent SRP tables over the CENTROID RESIDUAL
 #: (v - bucket mean). Random hyperplanes cannot split a tight cluster —
 #: every member shares the same sign on (almost) every plane through the
 #: origin — but the cluster's RESIDUALS spread isotropically around its
-#: centroid, so residual planes split hot buckets into ~2^6 balanced
+#: centroid, so residual planes split hot buckets into balanced
 #: sub-buckets; a true near-dup pair's residual angle is small relative
 #: to the residual scale, and the two-table union (miss^2) buys the
 #: recall back. numpy-prototyped on a 16-cluster corpus with 5% of mass
 #: in one hot cluster: candidate pairs 364M -> 13.4M at 128k vectors
-#: (alpha 1.94 -> 1.09), planted recall 0.978.
+#: (alpha 1.94 -> 1.09), planted recall 0.978. SEC_PLANES is the FLOOR
+#: width of each residual table; the actual width scales with the
+#: measured hottest bucket (planes_for_corpus at target population 64 —
+#: the round-8 fix for sub-bucket population growing linearly with
+#: cluster size under a fixed width).
 HOT_CAP = 256
 SEC_PLANES = 6
 
@@ -1340,9 +1344,12 @@ def near_dup_pairs_skewsafe(emb, dim: int, *, n_planes: int | None = None,
     regardless of plane count, and its within-bucket pair volume is
     quadratic in cluster size. This variant splits any bucket over
     ``cap`` members with two independent SRP tables on the bucket-mean
-    residual (see HOT_CAP note). Cold buckets pay one broadcast-join
-    lookup and nothing else; the second scored join runs on hot rows
-    only. Output: (vec_a, vec_b, sim_e6), cosine >= 0.3, vec_a < vec_b.
+    residual (see HOT_CAP note), each ``max(sec,
+    planes_for_corpus(max_pop, 64))`` planes wide so expected sub-bucket
+    population stays ~64 however large the cluster. Cold buckets pay one
+    broadcast-join lookup and nothing else; the second scored join runs
+    on hot rows only. Output: (vec_a, vec_b, sim_e6), cosine >= 0.3,
+    vec_a < vec_b.
     """
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
@@ -1351,9 +1358,7 @@ def near_dup_pairs_skewsafe(emb, dim: int, *, n_planes: int | None = None,
         n_planes = max(len(PLANES),
                        sim.planes_for_corpus(corpus_size or emb.count(),
                                              target_bucket=64))
-    allp = sim.hyperplanes(n_planes + 2 * sec, dim)
-    planes, sp1, sp2 = (allp[:n_planes], allp[n_planes:n_planes + sec],
-                        allp[n_planes + sec:])
+    planes = sim.hyperplanes(n_planes, dim)
     b = sim.signature_cols(emb.select("vec_id", "embedding"), [planes],
                            "embedding", dim, bucket_names=["bucket"],
                            norm_name="norm").persist(
@@ -1386,6 +1391,18 @@ def near_dup_pairs_skewsafe(emb, dim: int, *, n_planes: int | None = None,
                     F.col("c_id").alias("vec_b"), s.alias("sim_e6"))
             .where(F.col("sim_e6") >= 300000)
         )
+    # Residual-table width scales with the MEASURED hottest bucket
+    # (round-8 clustered soak: with a FIXED 6-plane split, sub-bucket
+    # population — and so within-sub pair volume — grows linearly with
+    # cluster size, re-introducing alpha > 1 past ~100k clustered
+    # vectors). planes_for_corpus on max_pop holds expected sub
+    # population ~64 regardless of cluster size; the clamp floor keeps
+    # the documented SEC_PLANES geometry — and the oracle's baked
+    # 6-plane hot branch — exact for every bucket up to 64 * 2^6 = 4096
+    # members (the registered oracle asserts that bound loudly).
+    sec_n = max(sec, sim.planes_for_corpus(max_pop, target_bucket=64))
+    allp = sim.hyperplanes(n_planes + 2 * sec_n, dim)
+    sp1, sp2 = allp[n_planes:n_planes + sec_n], allp[n_planes + sec_n:]
     hot = (b.join(F.broadcast(pop.where(F.col("_pop") > cap)), "bucket")
            .select("bucket", "vec_id", "embedding"))
     cent = bucket_centroids(hot)
@@ -1496,18 +1513,25 @@ pairs AS (
   SELECT q_id, c_id, q_emb, c_emb
   FROM q JOIN c ON qb = cb AND qs2 = cs2 AND q_id < c_id
   WHERE qs2 >= 0 AND cs2 >= 0
-)
+),
+-- the Spark side widens the residual tables past 4096-member buckets
+-- (planes_for_corpus(max_pop, 64) > SEC_PLANES there); this oracle
+-- bakes the 6-plane floor, so it asserts the bound and fails loudly
+-- past it instead of silently comparing against stale residual geometry
+mp AS (SELECT MAX(pop) AS maxpop FROM pop)
 SELECT q_id AS vec_a, c_id AS vec_b, {_SKEW_COS} AS sim_e6
-FROM pairs WHERE {_SKEW_COS} >= 300000""",
+FROM pairs, mp WHERE {_SKEW_COS} >= 300000 AND mp.maxpop <= 4096""",
     doc="skew-safe embedding near-dup: buckets over 256 members are "
-        "split by two independent 6-plane SRP tables over the "
-        "bucket-centroid RESIDUAL — random planes cannot split a tight "
-        "cluster (all members share every plane sign) but its residuals "
-        "spread isotropically, so hot buckets sub-divide while true "
-        "pairs survive the two-table union (numpy-prototyped: 364M -> "
-        "13.4M candidates on a clustered 128k corpus, recall 0.978). "
-        "Cold buckets (every driver SF) behave exactly like "
-        "embedding_near_dup",
+        "split by two independent SRP tables over the bucket-centroid "
+        "RESIDUAL — random planes cannot split a tight cluster (all "
+        "members share every plane sign) but its residuals spread "
+        "isotropically, so hot buckets sub-divide while true pairs "
+        "survive the two-table union (numpy-prototyped: 364M -> 13.4M "
+        "candidates on a clustered 128k corpus, recall 0.978). The "
+        "residual-table width scales with the measured hottest bucket "
+        "(clamp floor 6 planes == this oracle up to 4096-member "
+        "buckets, bound asserted loudly). Cold buckets (every driver "
+        "SF) behave exactly like embedding_near_dup",
 )
 def q_embedding_near_dup_skewsafe(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
