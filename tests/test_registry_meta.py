@@ -78,3 +78,18 @@ def test_driver_sample_rotation_prefers_unsampled_queries():
     assert len(names) == len(reg)
     assert set(oracles) == {n for n, q in reg.items()
                             if q.oracle is not None}
+
+
+def test_no_nonscalar_output_columns(spark):
+    """The driver's pandas canonicalizer cannot factorize array/struct/map
+    cells (the r07 approx_distinct_sketch red row: 'unhashable type:
+    numpy.ndarray'); every registered query must emit scalar columns
+    only — long (id, index, value) form instead of arrays."""
+    bad = []
+    for name, q in sorted(registry.all_queries().items()):
+        df = q.fn(spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if t.startswith(("array", "struct", "map")):
+                bad.append((name, f.name, t))
+    assert bad == []
