@@ -29,12 +29,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return qs["cdc_incremental_scan"].fn(spark, SMOKE_SF_DIR)
 
 
-#: Queries already recorded in some prior round's CORRECTNESS artifact
-#: (union of CORRECTNESS_r01..r07 keys, 184 names). The driver samples
-#: the FIRST 50 registered queries each round; listing previously-
-#: sampled names LAST rotates never-recorded queries into each round's
-#: sample until the whole registry has a hard driver artifact (29
-#: remain after r07 -- this round's head-50 closes the gap).
+#: r01-r07 static snapshot of previously-sampled names, kept only as the
+#: FALLBACK ordering when the committed CORRECTNESS artifacts are
+#: unreadable (the live ordering is computed from them; see _record_age).
 _SAMPLED_IN_PRIOR_ROUNDS = frozenset({
     "ann_bucket_stats", "ann_lsh_cosine", "ann_lsh_indexed",
     "ann_multiprobe_cosine", "ann_multiprobe_indexed",
@@ -106,31 +103,63 @@ _SAMPLED_IN_PRIOR_ROUNDS = frozenset({
     "zorder_layout"
 })
 
-#: Recorded-but-stale names whose LAST driver row is red: the four
-#: r02 rows broken by that round's ts-drift harness bug (all green in
-#: r01 and in every local driver_sim since) plus approx_distinct_sketch,
-#: whose r07 row crashed the driver's canonicalizer on an ARRAY column
-#: (now emits scalar p50/p90/p99). Placed right after the never-recorded
-#: block so round 8 re-records them and no query's last artifact row
-#: stays red.
-_PRIORITY_RERECORD = (
-    "value_percentiles", "ledger_pivot", "skew_salted_counts",
-    "multires_rollup", "approx_distinct_sketch",
-)
+def _record_age() -> dict[str, int] | None:
+    """Per-query freshness from the committed ``CORRECTNESS_r*.json``
+    artifacts: name -> the latest round that recorded it, with a query
+    whose LATEST record is red (mismatch or a real error) demoted to 0
+    so it re-records next round. Returns None when no artifact is
+    readable (fresh checkout fallback)."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, tuple[int, bool]] = {}
+    found = False
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p, encoding="utf-8") as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        found = True
+        for name, rec in data.items():
+            if not isinstance(rec, dict):
+                continue
+            # "no_oracle" is the rows-only check working as designed,
+            # not a failure; anything else red demotes the record.
+            ok = (rec.get("rows_match") is not False
+                  and rec.get("schema_match") is not False
+                  and rec.get("hash_match") is not False
+                  and rec.get("err") in (None, "no_oracle"))
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, ok)
+    if not found:
+        return None
+    return {n: (rnd if ok else 0) for n, (rnd, ok) in latest.items()}
 
 
 def _rotated(items):
-    """Never-sampled queries first, then the stale-red re-records, then
-    the rest (registration order preserved within each group) so the
-    driver's fixed-size sample reaches new families and refreshes every
-    red artifact row."""
-    prio = {n: i for i, n in enumerate(_PRIORITY_RERECORD)}
-    fresh = [(n, q) for n, q in items if n not in _SAMPLED_IN_PRIOR_ROUNDS]
-    rerec = sorted(((n, q) for n, q in items if n in prio),
-                   key=lambda nq: prio[nq[0]])
-    rest = [(n, q) for n, q in items
-            if n in _SAMPLED_IN_PRIOR_ROUNDS and n not in prio]
-    return fresh + rerec + rest
+    """Stalest-artifact-first ordering (round-8 judge item #3): the
+    driver records the FIRST 50 ``queries()`` entries each round, so
+    listing never-recorded and red-last-record queries first (age 0),
+    then ascending latest-recorded round, refreshes every query's
+    CORRECTNESS artifact within ~registry_size/50 rounds instead of
+    letting early-round records age indefinitely. Registration order is
+    preserved within an age group (stable sort). Falls back to the
+    static r07 sampled-set split when no artifact is readable."""
+    items = list(items)
+    age = _record_age()
+    if age is None:
+        fresh = [(n, q) for n, q in items
+                 if n not in _SAMPLED_IN_PRIOR_ROUNDS]
+        rest = [(n, q) for n, q in items if n in _SAMPLED_IN_PRIOR_ROUNDS]
+        return fresh + rest
+    return sorted(items, key=lambda nq: age.get(nq[0], 0))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

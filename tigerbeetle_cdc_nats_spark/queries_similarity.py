@@ -176,14 +176,19 @@ c AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket AS c_bucket FROM b),
 -- with an 8-plane clamp floor + hot-bucket residual splitting at
 -- HOT_CAP=256 + cold-corpus short circuit); it equals this pinned
 -- 8-plane join ONLY under both bounds below, so past either the oracle
--- drops all pairs and the divergence fails LOUDLY (the *_adaptive
--- pattern) instead of a user silently getting different pairs
+-- emits ONLY the impossible (-1,-1,-1) sentinel (vec ids are >= 0, so
+-- it can never equal any real Spark result — not even an empty one,
+-- the silent case zero-rows-past-the-bound left open) and divergence
+-- fails LOUDLY instead of a user silently getting different pairs
 n AS (SELECT COUNT(*) AS n_vec FROM embeddings),
 mp AS (SELECT MAX(cnt) AS maxpop
        FROM (SELECT COUNT(*) AS cnt FROM b GROUP BY bucket))
 SELECT q_id AS vec_a, c_id AS vec_b, {_COS} AS sim_e6
 FROM q JOIN c ON q_bucket = c_bucket AND q_id < c_id, n, mp
-WHERE {_COS} >= 300000 AND n.n_vec <= 16384 AND mp.maxpop <= 256""",
+WHERE {_COS} >= 300000 AND n.n_vec <= 16384 AND mp.maxpop <= 256
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+FROM n, mp WHERE n.n_vec > 16384 OR mp.maxpop > 256""",
     doc="embedding-cosine near-dup (cosine >= 0.3 — calibrated 2.4 sigma "
         "above the synthetic corpus's random-cosine baseline): the "
         "UNSUFFIXED name now runs the scale-safe production geometry — "
@@ -301,7 +306,10 @@ c AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket AS c_bucket FROM b),
 n AS (SELECT COUNT(*) AS n_vec FROM embeddings)
 SELECT q_id AS vec_a, c_id AS vec_b, {_COS} AS sim_e6
 FROM q JOIN c ON q_bucket = c_bucket AND q_id < c_id, n
-WHERE {_COS} >= 300000 AND n.n_vec <= 16384""",
+WHERE {_COS} >= 300000 AND n.n_vec <= 16384
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+FROM n WHERE n.n_vec > 16384""",
     doc="embedding near-dup with corpus-scaled LSH geometry "
         "(planes_for_corpus at target population 64, clamp floor = the "
         "pinned 8 planes): identical to embedding_near_dup below the "
@@ -729,15 +737,19 @@ p AS (
     ON a.cell = b.cell AND a.vec_id < b.vec_id
 ),
 -- the Spark side widens to sub-bucketed composite cells past
--- SEMDEDUP_WIDEN_N vectors (10 fixed cells go quadratic there); the
--- bound makes the oracle drop all rows past it so the divergence fails
--- loudly instead of silently under-dropping
+-- SEMDEDUP_WIDEN_N vectors (10 fixed cells go quadratic there); past
+-- the bound the oracle emits ONLY the impossible (-1,-1,-1) sentinel
+-- (ids are >= 0) so divergence fails loudly even when the widened
+-- Spark side would also return zero rows
 n AS (SELECT COUNT(*) AS n_vec FROM embeddings),
 d AS (SELECT vec_a, vec_b, sim_e6 FROM p, n
       WHERE sim_e6 >= 400000 AND n.n_vec <= {SEMDEDUP_WIDEN_N})
 SELECT vec_b AS drop_id, MIN(vec_a) AS keep_id,
        CAST(MAX(sim_e6) AS BIGINT) AS max_sim_e6
-FROM d GROUP BY vec_b""",
+FROM d GROUP BY vec_b
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+FROM n WHERE n.n_vec > {SEMDEDUP_WIDEN_N}""",
     doc="SemDeDup (Abbas et al. 2023): semantic dedup inside k-means cells "
         "— cosine >= 0.4 within a vector's assigned cell marks the "
         "higher-id member dropped. The UNSUFFIXED name is scale-safe: "
@@ -838,7 +850,10 @@ SELECT CASE WHEN t.doc_a IS NULL THEN 'semantic_only'
        COUNT(*) AS n_pairs
 FROM t FULL OUTER JOIN e
   ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b
-GROUP BY 1"""
+GROUP BY 1
+UNION ALL
+SELECT 'OUT_OF_BOUNDS', CAST(-1 AS BIGINT)
+FROM n, mp WHERE n.n_vec > 16384 OR mp.maxpop > 256"""
 
 
 @register(
@@ -1207,7 +1222,10 @@ pairs AS (
   FROM q JOIN c ON qb2 = cb2 AND q_id < c_id
 )
 SELECT q_id AS vec_a, c_id AS vec_b, {_COS} AS sim_e6
-FROM pairs, n WHERE {_COS} >= 300000 AND n.n_vec <= 16384""",
+FROM pairs, n WHERE {_COS} >= 300000 AND n.n_vec <= 16384
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+FROM n WHERE n.n_vec > 16384""",
     doc="multi-table LSH near-dup: candidate pairs unioned from TWO "
         "independent hyperplane tables — a true pair is missed only when "
         "it straddles a plane in both tables (miss^2; SCALE.md measures "
@@ -1245,7 +1263,10 @@ pairs AS (
   FROM q JOIN c ON qb2 = cb2 AND q_id < c_id
 )
 SELECT q_id AS vec_a, c_id AS vec_b, {_COS} AS sim_e6
-FROM pairs, n WHERE {_COS} >= 300000 AND n.n_vec <= 16384""",
+FROM pairs, n WHERE {_COS} >= 300000 AND n.n_vec <= 16384
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+FROM n WHERE n.n_vec > 16384""",
     doc="multi-table near-dup with corpus-scaled per-table geometry: "
         "plane count per table from planes_for_corpus at target "
         "population 64, clamp floor = the pinned two 8-plane tables "
@@ -1303,7 +1324,7 @@ def bucket_centroids(members: DataFrame, key: str = "bucket",
         mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         acc = np.zeros(mat.shape[1], dtype=np.float64)
         for r in range(mat.shape[0]):  # sequential left fold, row order
-            acc = acc + mat[r]
+            acc += mat[r]  # in-place: same adds, no per-row allocation
         c = acc / len(mat)
         return pd.DataFrame({
             key: [int(pdf[key].iloc[0])],
@@ -1516,11 +1537,15 @@ pairs AS (
 ),
 -- the Spark side widens the residual tables past 4096-member buckets
 -- (planes_for_corpus(max_pop, 64) > SEC_PLANES there); this oracle
--- bakes the 6-plane floor, so it asserts the bound and fails loudly
--- past it instead of silently comparing against stale residual geometry
+-- bakes the 6-plane floor, so past the bound it emits ONLY the
+-- impossible (-1,-1,-1) sentinel instead of silently comparing against
+-- stale residual geometry (or matching an also-empty Spark result)
 mp AS (SELECT MAX(pop) AS maxpop FROM pop)
 SELECT q_id AS vec_a, c_id AS vec_b, {_SKEW_COS} AS sim_e6
-FROM pairs, mp WHERE {_SKEW_COS} >= 300000 AND mp.maxpop <= 4096""",
+FROM pairs, mp WHERE {_SKEW_COS} >= 300000 AND mp.maxpop <= 4096
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+FROM mp WHERE mp.maxpop > 4096""",
     doc="skew-safe embedding near-dup: buckets over 256 members are "
         "split by two independent SRP tables over the bucket-centroid "
         "RESIDUAL — random planes cannot split a tight cluster (all "

@@ -60,6 +60,16 @@ def index_ready(path: str) -> bool:
     return os.path.exists(os.path.join(current_dir(path), "_SUCCESS"))
 
 
+def _current_version(path: str) -> int | None:
+    """Version number named by ``CURRENT``, or None (flat/new layout)."""
+    try:
+        with open(os.path.join(path, CURRENT), encoding="utf-8") as fh:
+            m = _VDIR.fullmatch(fh.read().strip())
+    except OSError:
+        return None
+    return int(m.group(1)) if m else None
+
+
 def _versions(path: str) -> list[int]:
     try:
         names = os.listdir(path)
@@ -91,6 +101,19 @@ def publish_version(path: str, write_fn, *, grace: int = 1) -> str:
             f"{lock}? remove it only if no compactor is running)")
     try:
         os.close(fd)
+        # Orphan sweep: a crash between os.rename(stage, vN) and the
+        # CURRENT flip leaves a visible, never-published vN directory —
+        # in a still-flat root that is the exact mixed-layout hazard
+        # ("Conflicting directory structures") the dot-prefixed staging
+        # exists to prevent, lingering across the inter-publish gap.
+        # Any version NEWER than the published pointer (or any version
+        # at all when no pointer exists) was never visible to a reader
+        # via CURRENT, so it is safe to remove before staging.
+        cur = _current_version(path)
+        for v in _versions(path):
+            if cur is None or v > cur:
+                shutil.rmtree(os.path.join(path, f"v{v}"),
+                              ignore_errors=True)
         versions = _versions(path)
         nxt = (versions[-1] + 1) if versions else 1
         vdir = os.path.join(path, f"v{nxt}")

@@ -138,10 +138,15 @@ def _note_batch(index_path: str, batch_id: int) -> bool:
     foreachBatch replays the last uncommitted batch after a restart;
     that replay is the only in-stream event that appends duplicate rows,
     so the maintenance loops compact immediately when one is detected.
+    Called BEFORE the batch's append: a crash between marker write and
+    append only makes the re-run of that batch look like a replay, which
+    costs one harmless idempotent compaction — whereas marking AFTER the
+    append would leave a crash-between-append-and-marker replay
+    undetected, and with ``compact_every=None`` (replay detection as the
+    only compactor) the duplicate rows would never be compacted.
     The marker lives under the index's single-writer contract (same
     owner as appends/compaction), written via tmp+replace so a crash
-    mid-write degrades to "marker missing" (treated as not-a-replay —
-    the every-N compaction still bounds growth)."""
+    mid-write degrades to "marker missing" (treated as not-a-replay)."""
     import os
 
     marker = os.path.join(index_path, ".last_batch")
@@ -205,11 +210,17 @@ def maintain_minhash_index(docs: DataFrame, index_path: str, *,
 
             if os.path.exists(os.path.join(iv.current_dir(index_path),
                                            di._META)):
+                # marker BEFORE the append (see _note_batch): detection
+                # must survive a crash between append and marker write
+                replayed = _note_batch(index_path, batch_id)
                 di.append_minhash_index(batch_df, index_path)
             else:
+                # bootstrap is a full OVERWRITE (wipes the dir, marker
+                # included) and is idempotent under replay — note after
                 di.write_minhash_index(batch_df, index_path)
                 # _SUCCESS marker so batch readers trust the location
                 open(os.path.join(index_path, "_SUCCESS"), "a").close()
+                replayed = _note_batch(index_path, batch_id)
             # same-session batch consumers memoize the served pairs
             # table; a grown index must invalidate that snapshot or
             # their dedup verdicts freeze at the pre-append corpus
@@ -217,7 +228,6 @@ def maintain_minhash_index(docs: DataFrame, index_path: str, *,
                 invalidate_pairs_cache,
             )
             invalidate_pairs_cache()
-            replayed = _note_batch(index_path, batch_id)
             if replayed or (compact_every and batch_id > 0
                             and batch_id % compact_every == 0):
                 di.compact_minhash_index(batch_df.sparkSession, index_path)
@@ -253,8 +263,12 @@ def maintain_ann_index(vectors: DataFrame, index_path: str,
 
     def append_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():
-            ai.append_ann_index(batch_df, index_path, planes, dim=dim)
+            import os
+
+            # marker before the append — see _note_batch's crash contract
+            os.makedirs(index_path, exist_ok=True)
             replayed = _note_batch(index_path, batch_id)
+            ai.append_ann_index(batch_df, index_path, planes, dim=dim)
             if replayed or (compact_every and batch_id > 0
                             and batch_id % compact_every == 0):
                 ai.compact_ann_index(batch_df.sparkSession, index_path)
