@@ -55,6 +55,14 @@ def ensure_indexes(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "ivfcell": build("ivfcell", "embeddings",
                          lambda df, p: ai.write_ivf_index(df, p, dim=dim)),
     }
+    try:
+        # a warm pre-sidecar-era annlsh index gains its skew sidecar here
+        # so the near-dup serving path never recomputes the bucket census
+        ai.ensure_skew_sidecar(
+            spark, stored_index_dir("annlsh", sf_dir, table="embeddings"),
+            dim=dim)
+    except Exception:
+        pass  # unwritable scratch: serving falls back to the census job
     # Warm the file-listing metadata too: spark.read.parquet on a
     # many-partition index builds its InMemoryFileIndex eagerly, and the
     # FIRST listing of a few hundred bucket/shard directories costs
