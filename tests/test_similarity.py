@@ -293,3 +293,63 @@ def test_skewsafe_residual_width_scales_with_hot_bucket(spark):
     out = near_dup_pairs_skewsafe(emb, dim, n_planes=8)
     got = {(r["vec_a"], r["vec_b"]) for r in out.collect()}
     assert (n - 2, n - 1) in got, "planted pair lost by the wider split"
+
+
+def test_skewsafe_recurses_two_cluster_bucket(spark):
+    """A bucket holding TWO tight clusters defeats one residual level
+    (the bucket centroid is their midpoint, so each cluster shares every
+    residual plane sign and lands wholesale in one sub-bucket — the c64
+    clustered-soak failure). The recursive re-split must cut candidate
+    volume far below the one-level quadratic while keeping planted
+    near-identical pairs in BOTH clusters."""
+    import numpy as np
+
+    from pyspark.sql import functions as F, types as T
+
+    from tigerbeetle_cdc_nats_spark.operators import similarity as sim
+    from tigerbeetle_cdc_nats_spark.queries_similarity import (
+        near_dup_pairs_skewsafe)
+
+    dim = 16
+
+    def h(i, j):
+        x = ((i * 131 + j + 1) * 0x9E3779B97F4A7C15) % (1 << 64)
+        x ^= x >> 31
+        return ((x % 2001) - 1000) / 1000.0
+
+    # two cluster centers engineered to share every 8-plane sign:
+    # center B = 2 * center A (same direction, different radius)
+    center_a = np.array([h(777779, d) for d in range(dim)])
+    rows = []
+    for i in range(400):
+        c = center_a if i < 200 else 2.0 * center_a
+        v = c + np.array([h(i, d) for d in range(dim)]) * 0.02
+        rows.append((i, [float(x) for x in v]))
+    # planted near-identical pairs, one per cluster
+    for anchor in (198, 398):
+        v = list(rows[anchor][1])
+        v[0] += 0.005
+        rows[anchor + 1] = (anchor + 1, v)
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType()))])
+    emb = spark.createDataFrame(rows, schema)
+
+    # both clusters must actually share ONE primary bucket
+    planes = sim.hyperplanes(8, dim)
+    b = sim.lsh_buckets(emb, planes, dim=dim)
+    top = b.groupBy("bucket").count().agg(F.max("count")).first()[0]
+    # boundary noise may strand a few members; the bulk of both clusters
+    # must share ONE primary bucket for the fixture to bite
+    assert top >= 380, f"fixture must put both clusters in one bucket: {top}"
+
+    out = near_dup_pairs_skewsafe(emb, dim, n_planes=8, cap=64)
+    got = {(r["vec_a"], r["vec_b"]) for r in out.collect()}
+    assert (198, 199) in got, "planted pair lost in cluster A"
+    assert (398, 399) in got, "planted pair lost in cluster B"
+    # one-level split leaves each 200-member cluster whole in one sub
+    # (~2 * C(200,2) = 39,800 within-sub pairs); recursion must re-split
+    # so candidate volume collapses. Pairs out are a cost proxy: all
+    # within-cluster cosines clear 0.3 here, so fewer pairs == fewer
+    # candidates scored.
+    assert len(got) < 15_000, f"recursion did not re-split: {len(got)}"

@@ -1286,15 +1286,22 @@ def multitable_pairs(emb, dim: int, tables):
     # Score INSIDE each table's join projection so the union/dedup
     # exchange carries (id, id, sim) — 24-byte rows — instead of both
     # embedding arrays (~600 B/row; measured 38+ GB of shuffle spill at
-    # the x64 soak size, exhausting local disk). A pair landing in both
-    # tables is scored twice to the same deterministic value, so the
-    # pair-key dropDuplicates keeps identical results 25x cheaper.
-    def scored(qb, cb):
-        return (q.join(c, (F.col(qb) == F.col(cb)) & lt)
+    # the x64 soak size, exhausting local disk). Table 2 additionally
+    # requires b1 to DIFFER (disjoint probes, round-9): a pair landing
+    # in both tables was previously scored twice to the same
+    # deterministic value and deduped after — the inequality makes
+    # table 2 score only what table 1 missed, same pair set, scored
+    # once. dropDuplicates stays as a safety net (near-no-op now).
+    def scored(qb, cb, *, miss=None):
+        cond = (F.col(qb) == F.col(cb)) & lt
+        if miss is not None:
+            cond = cond & (F.col(miss[0]) != F.col(miss[1]))
+        return (q.join(c, cond)
                 .select("q_id", "c_id", s.alias("sim_e6")))
 
     return (
-        scored("qb1", "cb1").unionByName(scored("qb2", "cb2"))
+        scored("qb1", "cb1")
+        .unionByName(scored("qb2", "cb2", miss=("qb1", "cb1")))
         .where(F.col("sim_e6") >= 300000)
         .dropDuplicates(["q_id", "c_id"])
         .select(F.col("q_id").alias("vec_a"),
@@ -1443,20 +1450,23 @@ def bucket_centroids(members: DataFrame, key: str = "bucket",
 
 
 #: Skew-safe near-dup knobs: a bucket whose population exceeds HOT_CAP is
-#: split by TWO independent SRP tables over the CENTROID RESIDUAL
+#: split by THREE independent SRP tables over the CENTROID RESIDUAL
 #: (v - bucket mean). Random hyperplanes cannot split a tight cluster —
 #: every member shares the same sign on (almost) every plane through the
 #: origin — but the cluster's RESIDUALS spread isotropically around its
 #: centroid, so residual planes split hot buckets into balanced
 #: sub-buckets; a true near-dup pair's residual angle is small relative
-#: to the residual scale, and the two-table union (miss^2) buys the
-#: recall back. numpy-prototyped on a 16-cluster corpus with 5% of mass
-#: in one hot cluster: candidate pairs 364M -> 13.4M at 128k vectors
-#: (alpha 1.94 -> 1.09), planted recall 0.978. SEC_PLANES is the FLOOR
-#: width of each residual table; the actual width scales with the
-#: measured hottest bucket (planes_for_corpus at target population 64 —
-#: the round-8 fix for sub-bucket population growing linearly with
-#: cluster size under a fixed width).
+#: to the residual scale, and the three-table union (miss^3) buys the
+#: recall back (round-9: was two tables/miss^2 — the adaptive width fix
+#: widened tables 6 -> 7 planes at c64 and recall dipped 0.986 -> 0.981;
+#: the third table recovers it for hot-row-only cost). numpy-prototyped
+#: on a 16-cluster corpus with 5% of mass in one hot cluster: candidate
+#: pairs 364M -> 13.4M at 128k vectors (alpha 1.94 -> 1.09), planted
+#: recall 0.978. SEC_PLANES is the FLOOR width of each residual table;
+#: the actual width scales with the measured hottest bucket
+#: (planes_for_corpus at target population 64 — the round-8 fix for
+#: sub-bucket population growing linearly with cluster size under a
+#: fixed width).
 HOT_CAP = 256
 SEC_PLANES = 6
 
@@ -1548,8 +1558,10 @@ def _skewsafe_pairs_core(b, dim: int, n_planes: int, max_pop: int, *,
     # 6-plane hot branch — exact for every bucket up to 64 * 2^6 = 4096
     # members (the registered oracle asserts that bound loudly).
     sec_n = max(sec, sim.planes_for_corpus(max_pop, target_bucket=64))
-    allp = sim.hyperplanes(n_planes + 2 * sec_n, dim)
-    sp1, sp2 = allp[n_planes:n_planes + sec_n], allp[n_planes + sec_n:]
+    allp = sim.hyperplanes(n_planes + 3 * sec_n, dim)
+    sp1 = allp[n_planes:n_planes + sec_n]
+    sp2 = allp[n_planes + sec_n:n_planes + 2 * sec_n]
+    sp3 = allp[n_planes + 2 * sec_n:]
     if cent is None:
         if pop is None:
             pop = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_pop"))
@@ -1573,40 +1585,150 @@ def _skewsafe_pairs_core(b, dim: int, n_planes: int, max_pop: int, *,
     zero_res = F.array(*[F.lit(0.0) for _ in range(dim)])
     sigs = sim.signature_cols(
         scored_base.withColumn("_resz", F.coalesce(F.col("_res"), zero_res)),
-        [sp1, sp2], "_resz", dim, bucket_names=["_rs1", "_rs2"])
+        [sp1, sp2, sp3], "_resz", dim,
+        bucket_names=["_rs1", "_rs2", "_rs3"])
     hot_row = F.col("_res").isNotNull()
     keyed = sigs.select(
         "vec_id", "embedding", "bucket", "norm",
         F.when(hot_row, F.col("_rs1")).otherwise(F.lit(-1)).alias("sub1"),
         F.when(hot_row, F.col("_rs2")).otherwise(F.lit(-1)).alias("sub2"),
+        F.when(hot_row, F.col("_rs3")).otherwise(F.lit(-1)).alias("sub3"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
+    # ---- recursive re-split (round-9) -------------------------------
+    # One residual level cannot split a bucket holding TWO tight
+    # clusters: the bucket centroid is their midpoint, so each cluster's
+    # residuals all point the same way and share every residual-plane
+    # sign — each cluster lands wholesale in ONE sub-bucket again
+    # (measured on the c64 clustered soak: an 8.6k bucket = two clusters
+    # split 4884/2367, pair volume 8x the balanced ideal). Re-splitting
+    # an over-cap INTERSECTION cell (bucket, sub1, sub2, sub3) against
+    # its OWN centroid makes the residuals isotropic again (one cluster
+    # per cell), so a depth-2 split succeeds; depth recursion covers
+    # cluster hierarchies. Join keys grow one column per level and per
+    # table; rows whose cell is under cap carry -1 (matched wholesale
+    # within their parent group). The loop stops at depth cap or when
+    # the max cell population stops shrinking (an all-identical cluster
+    # has zero residuals — its pairs are irreducibly all true dups).
+    # The registered skewsafe oracle asserts max level-1 sub population
+    # <= cap, so within its bounds this loop provably never fires and
+    # the baked two-level SQL stays exact; past the bound the sentinel
+    # fires loudly. Deeper-level geometry (xxhash64 cell ids, fresh
+    # plane slices per level) therefore needs no DuckDB mirror.
+    keys = {t: ["bucket", f"sub{t}"] for t in (1, 2, 3)}
+    # depth-2 trigger censuses the EXPLICIT cell columns (not the hash)
+    # so it fires exactly when the oracle's maxsub bound does; deeper
+    # levels are past the oracle bound (sentinel) and may use the hash.
+    first_census = (keyed.where(F.col("sub1") >= 0)
+                    .groupBy("bucket", "sub1", "sub2", "sub3")
+                    .agg(F.count(F.lit(1)).alias("_p")))
+    cell = F.when(F.col("sub1") >= 0,
+                  F.xxhash64("bucket", "sub1", "sub2", "sub3"))
+    keyed = keyed.withColumn("_cell", cell)
+    prev_max = None
+    base_off = n_planes + 3 * sec_n
+    for depth in range(2, 6):
+        census = (first_census if depth == 2 else
+                  keyed.where(F.col("_cell").isNotNull())
+                  .groupBy("_cell").agg(F.count(F.lit(1)).alias("_p")))
+        cmax = (census.agg(F.max("_p").alias("m")).first()
+                or {"m": 0})["m"] or 0
+        if cmax <= cap or (prev_max is not None and cmax >= prev_max):
+            break
+        prev_max = cmax
+        sec_d = max(sec, sim.planes_for_corpus(cmax, target_bucket=64))
+        allp = sim.hyperplanes(base_off + 3 * sec_d, dim)
+        t1 = allp[base_off:base_off + sec_d]
+        t2 = allp[base_off + sec_d:base_off + 2 * sec_d]
+        t3 = allp[base_off + 2 * sec_d:]
+        base_off += 3 * sec_d
+        cpop = (keyed.where(F.col("_cell").isNotNull())
+                .groupBy("_cell").agg(F.count(F.lit(1)).alias("_p"))
+                .where(F.col("_p") > cap))
+        over = (keyed.join(F.broadcast(cpop), "_cell")
+                .select("_cell", "vec_id", "embedding"))
+        cent_d = bucket_centroids(over, key="_cell")
+        sb = (keyed.join(F.broadcast(cent_d), "_cell", "left")
+              .withColumn("_res", F.when(
+                  F.col("c_arr").isNotNull(),
+                  F.zip_with("embedding", "c_arr",
+                             lambda v, cc: v.cast("double")
+                             - cc / F.lit(1e6)))))
+        sig_d = sim.signature_cols(
+            sb.withColumn("_resz", F.coalesce(F.col("_res"), zero_res)),
+            [t1, t2, t3], "_resz", dim,
+            bucket_names=["_rd1", "_rd2", "_rd3"])
+        deep = F.col("_res").isNotNull()
+        new_cols = []
+        for t in (1, 2, 3):
+            name = f"sub{t}_l{depth}"
+            new_cols.append(F.when(deep, F.col(f"_rd{t}"))
+                            .otherwise(F.lit(-1)).alias(name))
+            keys[t].append(name)
+        keyed = sig_d.select(
+            "vec_id", "embedding", "bucket", "norm", *[f"sub{t}"
+                                                       for t in (1, 2, 3)],
+            *[kc for t in (1, 2, 3) for kc in keys[t][2:-1]],
+            *new_cols,
+            F.when(deep, F.xxhash64("_cell", *[f"_rd{t}"
+                                               for t in (1, 2, 3)]))
+            .alias("_cell"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    all_key_cols = sorted({kc for t in (1, 2, 3) for kc in keys[t]
+                           if kc != "bucket"})
+
     def side(prefix):
-        return keyed.select(F.col("vec_id").alias(f"{prefix}_id"),
-                            F.col("embedding").alias(f"{prefix}_emb"),
-                            F.col("bucket").alias(f"{prefix}b"),
-                            F.col("sub1").alias(f"{prefix}s1"),
-                            F.col("sub2").alias(f"{prefix}s2"),
-                            F.col("norm").alias(f"{prefix}_n"))
+        sel = [F.col("vec_id").alias(f"{prefix}_id"),
+               F.col("embedding").alias(f"{prefix}_emb"),
+               F.col("bucket").alias(f"{prefix}b"),
+               F.col("norm").alias(f"{prefix}_n")]
+        sel += [F.col(kc).alias(f"{prefix}_{kc}") for kc in all_key_cols]
+        return keyed.select(*sel)
 
     q, c = side("q"), side("c")
     lt = F.col("q_id") < F.col("c_id")
     s = sim.cosine_sim_e6_prenorm("q_emb", "c_emb",
                                   F.col("q_n"), F.col("c_n"), None)
+
+    def key_match(t):
+        m = None
+        for kc in keys[t][1:]:
+            eq = F.col(f"q_{kc}") == F.col(f"c_{kc}")
+            m = eq if m is None else m & eq
+        return m
+
+    def table_join(t):
+        cond = (F.col("qb") == F.col("cb")) & lt & key_match(t)
+        lhs, rhs = q, c
+        if t > 1:  # tables 2/3 carry hot rows only; cold pairs score once
+            lhs = q.where(F.col(f"q_sub{t}") >= 0)
+            rhs = c.where(F.col(f"c_sub{t}") >= 0)
+            # DISJOINT probes: a pair already found by an earlier table
+            # has that table's keys equal, so requiring some earlier key
+            # to DIFFER makes table t score only the pairs the earlier
+            # tables provably missed. On a tight cluster most pairs
+            # collide in all three tables — without this each was
+            # cosine-scored three times and deduped after (measured
+            # c16 soak: 21.8 s -> ~9 s). Key columns are never null
+            # (-1 sentinel), so the negation is three-valued-logic safe;
+            # the union is now exactly the same pair set, scored once.
+            for u in range(1, t):
+                cond = cond & ~key_match(u)
+        return (lhs.join(rhs, cond)
+                .select("q_id", "c_id", s.alias("sim_e6")))
+
     # table 1 carries cold buckets (sub1 = -1 on every member) AND the
-    # first hot split; table 2 is hot rows only — cold pairs are scored
-    # exactly once. Scoring inside each join projection keeps the
-    # union/dedup exchange slim (the multitable lesson).
-    s1 = (q.join(c, (F.col("qb") == F.col("cb"))
-                 & (F.col("qs1") == F.col("cs1")) & lt)
-          .select("q_id", "c_id", s.alias("sim_e6")))
-    s2 = (q.where(F.col("qs2") >= 0)
-          .join(c.where(F.col("cs2") >= 0),
-                (F.col("qb") == F.col("cb"))
-                & (F.col("qs2") == F.col("cs2")) & lt)
-          .select("q_id", "c_id", s.alias("sim_e6")))
+    # hot splits; tables 2 and 3 are hot rows only. Scoring inside each
+    # join projection keeps the union/dedup exchange slim (the
+    # multitable lesson). THREE residual tables (round-9: was two): a
+    # true pair inside a hot bucket is missed only when it straddles a
+    # residual plane in all three (miss^3) — the recall knob recovering
+    # the adaptive-width dip for hot-row-only cost; cold corpora pay
+    # nothing. dropDuplicates stays as a safety net but the disjoint
+    # probe conditions make it a near-no-op.
     return (
-        s1.unionByName(s2)
+        table_join(1).unionByName(table_join(2)).unionByName(table_join(3))
         .where(F.col("sim_e6") >= 300000)
         .dropDuplicates(["q_id", "c_id"])
         .select(F.col("q_id").alias("vec_a"),
@@ -1614,10 +1736,12 @@ def _skewsafe_pairs_core(b, dim: int, n_planes: int, max_pop: int, *,
     )
 
 
-_SKEW_ALL = sim.hyperplanes(8 + 2 * SEC_PLANES, _DIM)
+_SKEW_ALL = sim.hyperplanes(8 + 3 * SEC_PLANES, _DIM)
 _SKEW_B = sim.sql_bucket(_SKEW_ALL[:8])
 _SKEW_S1 = sim.sql_bucket(_SKEW_ALL[8:8 + SEC_PLANES], "res")
-_SKEW_S2 = sim.sql_bucket(_SKEW_ALL[8 + SEC_PLANES:], "res")
+_SKEW_S2 = sim.sql_bucket(_SKEW_ALL[8 + SEC_PLANES:8 + 2 * SEC_PLANES],
+                          "res")
+_SKEW_S3 = sim.sql_bucket(_SKEW_ALL[8 + 2 * SEC_PLANES:], "res")
 _SKEW_COS = sim.sql_cosine_e6("q_emb", "c_emb")
 
 
@@ -1650,12 +1774,13 @@ r AS (
 k AS (
   SELECT vec_id, embedding, bucket,
     CASE WHEN res IS NULL THEN -1 ELSE {_SKEW_S1} END AS sub1,
-    CASE WHEN res IS NULL THEN -1 ELSE {_SKEW_S2} END AS sub2
+    CASE WHEN res IS NULL THEN -1 ELSE {_SKEW_S2} END AS sub2,
+    CASE WHEN res IS NULL THEN -1 ELSE {_SKEW_S3} END AS sub3
   FROM r),
 q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS qb,
-             sub1 AS qs1, sub2 AS qs2 FROM k),
+             sub1 AS qs1, sub2 AS qs2, sub3 AS qs3 FROM k),
 c AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket AS cb,
-             sub1 AS cs1, sub2 AS cs2 FROM k),
+             sub1 AS cs1, sub2 AS cs2, sub3 AS cs3 FROM k),
 pairs AS (
   SELECT q_id, c_id, q_emb, c_emb
   FROM q JOIN c ON qb = cb AND qs1 = cs1 AND q_id < c_id
@@ -1663,29 +1788,43 @@ pairs AS (
   SELECT q_id, c_id, q_emb, c_emb
   FROM q JOIN c ON qb = cb AND qs2 = cs2 AND q_id < c_id
   WHERE qs2 >= 0 AND cs2 >= 0
+  UNION
+  SELECT q_id, c_id, q_emb, c_emb
+  FROM q JOIN c ON qb = cb AND qs3 = cs3 AND q_id < c_id
+  WHERE qs3 >= 0 AND cs3 >= 0
 ),
 -- the Spark side widens the residual tables past 4096-member buckets
--- (planes_for_corpus(max_pop, 64) > SEC_PLANES there); this oracle
--- bakes the 6-plane floor, so past the bound it emits ONLY the
--- impossible (-1,-1,-1) sentinel instead of silently comparing against
--- stale residual geometry (or matching an also-empty Spark result)
-mp AS (SELECT MAX(pop) AS maxpop FROM pop)
+-- (planes_for_corpus(max_pop, 64) > SEC_PLANES there) and RECURSES the
+-- split when an intersection cell (bucket, sub1, sub2, sub3) still
+-- exceeds {HOT_CAP} members (a bucket holding two tight clusters
+-- defeats one residual level — the bucket centroid is their midpoint);
+-- this oracle bakes the 6-plane single-level geometry, so past either
+-- bound it emits ONLY the impossible (-1,-1,-1) sentinel instead of
+-- silently comparing against stale geometry (or matching an also-empty
+-- Spark result). The maxsub census is EXACTLY the Spark side's
+-- recursion trigger, so within bounds the recursion provably no-ops
+mp AS (SELECT MAX(pop) AS maxpop FROM pop),
+msub AS (SELECT COALESCE(MAX(cnt), 0) AS maxsub FROM (
+  SELECT COUNT(*) AS cnt FROM k WHERE sub1 >= 0
+  GROUP BY bucket, sub1, sub2, sub3))
 SELECT q_id AS vec_a, c_id AS vec_b, {_SKEW_COS} AS sim_e6
-FROM pairs, mp WHERE {_SKEW_COS} >= 300000 AND mp.maxpop <= 4096
+FROM pairs, mp, msub
+WHERE {_SKEW_COS} >= 300000 AND mp.maxpop <= 4096
+  AND msub.maxsub <= {HOT_CAP}
 UNION ALL
 SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
-FROM mp WHERE mp.maxpop > 4096""",
+FROM mp, msub WHERE mp.maxpop > 4096 OR msub.maxsub > {HOT_CAP}""",
     doc="skew-safe embedding near-dup: buckets over 256 members are "
-        "split by two independent SRP tables over the bucket-centroid "
+        "split by THREE independent SRP tables over the bucket-centroid "
         "RESIDUAL — random planes cannot split a tight cluster (all "
         "members share every plane sign) but its residuals spread "
         "isotropically, so hot buckets sub-divide while true pairs "
-        "survive the two-table union (numpy-prototyped: 364M -> 13.4M "
-        "candidates on a clustered 128k corpus, recall 0.978). The "
-        "residual-table width scales with the measured hottest bucket "
-        "(clamp floor 6 planes == this oracle up to 4096-member "
-        "buckets, bound asserted loudly). Cold buckets (every driver "
-        "SF) behave exactly like embedding_near_dup",
+        "survive the three-table union (miss^3 — the round-9 recall "
+        "knob recovering the adaptive-width dip, 0.981 -> ~0.99 at "
+        "c64). The residual-table width scales with the measured "
+        "hottest bucket (clamp floor 6 planes == this oracle up to "
+        "4096-member buckets, bound asserted loudly). Cold buckets "
+        "(every driver SF) behave exactly like embedding_near_dup",
 )
 def q_embedding_near_dup_skewsafe(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
