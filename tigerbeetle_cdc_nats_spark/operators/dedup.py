@@ -434,10 +434,17 @@ def prefix_jaccard_pairs(docs: DataFrame, *, t_num: int = 1, t_den: int = 2,
              .persist(StorageLevel.MEMORY_AND_DISK))
     freq = grams.groupBy("h").agg(F.count("*").alias("f"))
     w = W.partitionBy("doc_id").orderBy("f", "h")
+    # gf is persisted because BOTH the prefix branch and the verify-side
+    # set build read it: deriving `sets` from gf (already doc_id-
+    # partitioned by the window exchange) lets the groupBy reuse that
+    # distribution — one fewer full-corpus shuffle than aggregating the
+    # raw grams again (round-9 plan audit of the registry's slowest
+    # query).
     gf = (grams.join(freq, "h")
           .select("doc_id", "h",
                   F.row_number().over(w).alias("pos"),
-                  F.count("*").over(W.partitionBy("doc_id")).alias("n")))
+                  F.count("*").over(W.partitionBy("doc_id")).alias("n"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     plen = F.col("n") - F.ceil(F.col("n") * t_num / t_den) + 1
     prefix = gf.where(F.col("pos") <= plen).select("doc_id", "h", "pos", "n")
     pa = prefix.select(F.col("doc_id").alias("doc_a"), "h",
@@ -454,9 +461,11 @@ def prefix_jaccard_pairs(docs: DataFrame, *, t_num: int = 1, t_den: int = 2,
                     & ((t_den + t_num) * ub
                        >= t_num * (F.col("na_p") + F.col("nb_p"))))
              .select("doc_a", "doc_b").distinct())
-    sets = grams.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("h")).alias("hs"),
-        F.count("*").alias("n"))
+    # array_intersect is order-insensitive, so the collected gram list
+    # needs no sort; n rides along from the window instead of a recount
+    sets = gf.groupBy("doc_id").agg(
+        F.collect_list("h").alias("hs"),
+        F.max("n").alias("n"))
     sa = sets.select(F.col("doc_id").alias("doc_a"),
                      F.col("hs").alias("ha"), F.col("n").alias("na"))
     sb = sets.select(F.col("doc_id").alias("doc_b"),
