@@ -96,6 +96,46 @@ def test_serving_runs_no_driver_action_with_sidecar(spark, tmp_path,
     assert df.columns == ["vec_a", "vec_b", "sim_e6"]
 
 
+def test_hot_serving_runs_no_driver_action_with_cell_census(
+        spark, tmp_path, monkeypatch):
+    """Round-9: the sidecar also persists the level-1 cell census max
+    (the depth-2 recursion trigger), so even HOT-corpus warm serving
+    plans with zero Spark jobs when the level-1 split suffices."""
+    path = str(tmp_path / "idx")
+    ai.write_ann_index(_corpus(spark, 200, hot=80), path, PLANES8, dim=DIM)
+    cap = 16
+    ai.write_skew_sidecar(spark, path, dim=DIM, cap=cap)
+    meta = ai.read_skew_meta(path)
+    assert meta["max_pop"] > cap
+    assert meta["n_planes"] == 8  # carried over from the build sidecar
+    # the near-identical cluster's residuals are noise -> the joint
+    # (sub1, sub2, sub3) cells are tiny; the trigger provably no-ops
+    assert 1 <= meta["max_cell_pop"] <= cap
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver action during index-served planning")
+
+    monkeypatch.setattr(DataFrame, "first", boom)
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    monkeypatch.setattr(DataFrame, "count", boom)
+    df = near_dup_pairs_from_index(spark, path, DIM, cap=cap)
+    monkeypatch.undo()
+    assert df.columns == ["vec_a", "vec_b", "sim_e6"]
+
+
+def test_stale_geometry_cell_census_ignored(spark, tmp_path):
+    """A sidecar written under a DIFFERENT cap/sec/n_planes must not
+    feed its cell census into serving: results stay identical to the
+    computed path because serving falls back to the per-query census."""
+    corpus = _corpus(spark, 200, hot=80)
+    path = str(tmp_path / "idx")
+    ai.write_ann_index(corpus, path, PLANES8, dim=DIM)
+    ai.write_skew_sidecar(spark, path, dim=DIM, cap=8)  # geometry cap=8
+    served = near_dup_pairs_from_index(spark, path, DIM, cap=16)
+    computed = near_dup_pairs_skewsafe(corpus, DIM, n_planes=8, cap=16)
+    assert _pairs(served) == _pairs(computed)
+
+
 def test_indexed_equals_computed_cold(spark, tmp_path):
     corpus = _corpus(spark, 200)
     path = str(tmp_path / "idx")

@@ -245,16 +245,31 @@ def near_dup_pairs_from_index(spark: SparkSession, path: str, dim: int, *,
                    ai.index_norm(idx, "embedding", dim).alias("norm"))
     meta = ai.read_skew_meta(path)
     cent = None
+    cell_max = None
     if meta is not None:
-        max_pop = int(meta["max_pop"])
+        max_pop = int(meta["max_pop"])  # cap-independent census summary
         if max_pop > cap:
-            cent = ai.read_skew_centroids(spark, path)
+            # the stored centroid table covers buckets over the cap the
+            # SIDECAR was written with — honor it only when that cap is
+            # this serving call's cap, else the hot-bucket SET differs
+            # and the residual keys would diverge from the computed
+            # path; a mismatch recomputes centroids in-plan instead.
+            if meta.get("cap") == cap:
+                cent = ai.read_skew_centroids(spark, path)
+                # same for the persisted level-1 cell census max (the
+                # depth-2 recursion trigger): geometry-specific, used
+                # only under the exact (cap, sec, n_planes) it was
+                # computed with.
+                if (meta.get("max_cell_pop") is not None
+                        and meta.get("sec", SEC_PLANES) == sec
+                        and meta.get("n_planes") == n_planes):
+                    cell_max = int(meta["max_cell_pop"])
     else:  # pre-sidecar index: census job fallback, computed once
         pop = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_pop"))
         max_pop = (pop.agg(F.max("_pop").alias("m")).first()
                    or {"m": 0})["m"] or 0
     return _skewsafe_pairs_core(b, dim, n_planes, max_pop, cent=cent,
-                                cap=cap, sec=sec)
+                                cap=cap, sec=sec, cell_max=cell_max)
 
 
 @register(
@@ -307,7 +322,8 @@ def q_embedding_near_dup_indexed(spark: SparkSession,
         if not iv.index_ready(path):
             ai.write_ann_index(emb, path, planes, dim=dim)
         else:
-            ai.ensure_skew_sidecar(spark, path, dim=dim)
+            ai.ensure_skew_sidecar(spark, path, dim=dim,
+                                   n_planes=len(planes))
         meta = ai.read_skew_meta(path)
         n = int(meta["n_rows"]) if meta else emb.count()
         adaptive = max(len(PLANES),
@@ -1515,9 +1531,72 @@ def near_dup_pairs_skewsafe(emb, dim: int, *, n_planes: int | None = None,
                                 cap=cap, sec=sec)
 
 
+def _level1_keyed(b, dim: int, n_planes: int, sec_n: int, cent):
+    """Level-1 residual sub-bucket keys for the hot branch: join the
+    hot-bucket centroids, compute the centroid residual, and derive the
+    three residual-table signatures (cold rows masked to the -1
+    sentinel). Shared by _skewsafe_pairs_core AND the ANN index's skew
+    sidecar writer (sources/ann_index.write_skew_sidecar), which
+    persists the level-1 cell census max so warm serving can skip the
+    recursion-trigger census job — extracting it guarantees the stored
+    census was computed with the exact geometry serving will use.
+    Returns the unpersisted keyed frame (vec_id, embedding, bucket,
+    norm, sub1, sub2, sub3)."""
+    from pyspark.sql import functions as F
+
+    allp = sim.hyperplanes(n_planes + 3 * sec_n, dim)
+    sp1 = allp[n_planes:n_planes + sec_n]
+    sp2 = allp[n_planes + sec_n:n_planes + 2 * sec_n]
+    sp3 = allp[n_planes + 2 * sec_n:]
+    scored_base = (
+        b.join(F.broadcast(cent), "bucket", "left")
+        .withColumn("_res", F.when(
+            F.col("c_arr").isNotNull(),
+            F.zip_with("embedding", "c_arr",
+                       lambda v, c: v.cast("double") - c / F.lit(1e6)))))
+    # Sub-bucket signatures through signature_cols so they get the
+    # budget-aware path — unrolled codegen under UNROLL_TERM_BUDGET, one
+    # Arrow pandas_udf past it — instead of the dim=None interpreted
+    # fold (CodegenFallback, ~10x; see the UNROLL notes) on exactly the
+    # hot rows the split exists to serve. Cold rows ride a zero residual
+    # and are masked back to the -1 sentinel; accumulation order is
+    # identical across the unrolled/Arrow/fold forms, so sub-bucket bits
+    # are unchanged.
+    zero_res = F.array(*[F.lit(0.0) for _ in range(dim)])
+    sigs = sim.signature_cols(
+        scored_base.withColumn("_resz", F.coalesce(F.col("_res"), zero_res)),
+        [sp1, sp2, sp3], "_resz", dim,
+        bucket_names=["_rs1", "_rs2", "_rs3"])
+    hot_row = F.col("_res").isNotNull()
+    return sigs.select(
+        "vec_id", "embedding", "bucket", "norm",
+        F.when(hot_row, F.col("_rs1")).otherwise(F.lit(-1)).alias("sub1"),
+        F.when(hot_row, F.col("_rs2")).otherwise(F.lit(-1)).alias("sub2"),
+        F.when(hot_row, F.col("_rs3")).otherwise(F.lit(-1)).alias("sub3"),
+    )
+
+
+def level1_cell_max(b, dim: int, n_planes: int, max_pop: int, cent, *,
+                    sec: int = SEC_PLANES) -> int:
+    """The hottest level-1 intersection cell's population — the exact
+    value _skewsafe_pairs_core's depth-2 recursion trigger would census
+    per query. An INDEX property (geometry is deterministic from
+    (n_planes, sec, cap, max_pop)), so the skew sidecar persists it and
+    warm serving skips the trigger job entirely."""
+    from pyspark.sql import functions as F
+
+    sec_n = max(sec, sim.planes_for_corpus(max_pop, target_bucket=64))
+    keyed = _level1_keyed(b, dim, n_planes, sec_n, cent)
+    row = (keyed.where(F.col("sub1") >= 0)
+           .groupBy("bucket", "sub1", "sub2", "sub3")
+           .agg(F.count(F.lit(1)).alias("_p"))
+           .agg(F.max("_p").alias("m")).first())
+    return int((row or {"m": 0})["m"] or 0)
+
+
 def _skewsafe_pairs_core(b, dim: int, n_planes: int, max_pop: int, *,
                          pop=None, cent=None, cap: int = HOT_CAP,
-                         sec: int = SEC_PLANES):
+                         sec: int = SEC_PLANES, cell_max: int | None = None):
     """Shared pair machinery behind the skew-safe near-dups: takes the
     bucketed+normed corpus ``b`` (vec_id, embedding, bucket, norm — a
     fresh signature pass or the stored ANN index) plus a known
@@ -1558,42 +1637,15 @@ def _skewsafe_pairs_core(b, dim: int, n_planes: int, max_pop: int, *,
     # 6-plane hot branch — exact for every bucket up to 64 * 2^6 = 4096
     # members (the registered oracle asserts that bound loudly).
     sec_n = max(sec, sim.planes_for_corpus(max_pop, target_bucket=64))
-    allp = sim.hyperplanes(n_planes + 3 * sec_n, dim)
-    sp1 = allp[n_planes:n_planes + sec_n]
-    sp2 = allp[n_planes + sec_n:n_planes + 2 * sec_n]
-    sp3 = allp[n_planes + 2 * sec_n:]
     if cent is None:
         if pop is None:
             pop = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_pop"))
         hot = (b.join(F.broadcast(pop.where(F.col("_pop") > cap)), "bucket")
                .select("bucket", "vec_id", "embedding"))
         cent = bucket_centroids(hot)
-    scored_base = (
-        b.join(F.broadcast(cent), "bucket", "left")
-        .withColumn("_res", F.when(
-            F.col("c_arr").isNotNull(),
-            F.zip_with("embedding", "c_arr",
-                       lambda v, c: v.cast("double") - c / F.lit(1e6)))))
-    # Sub-bucket signatures through signature_cols so they get the
-    # budget-aware path — unrolled codegen under UNROLL_TERM_BUDGET, one
-    # Arrow pandas_udf past it — instead of the dim=None interpreted
-    # fold (CodegenFallback, ~10x; see the UNROLL notes) on exactly the
-    # hot rows the split exists to serve. Cold rows ride a zero residual
-    # and are masked back to the -1 sentinel; accumulation order is
-    # identical across the unrolled/Arrow/fold forms, so sub-bucket bits
-    # are unchanged.
     zero_res = F.array(*[F.lit(0.0) for _ in range(dim)])
-    sigs = sim.signature_cols(
-        scored_base.withColumn("_resz", F.coalesce(F.col("_res"), zero_res)),
-        [sp1, sp2, sp3], "_resz", dim,
-        bucket_names=["_rs1", "_rs2", "_rs3"])
-    hot_row = F.col("_res").isNotNull()
-    keyed = sigs.select(
-        "vec_id", "embedding", "bucket", "norm",
-        F.when(hot_row, F.col("_rs1")).otherwise(F.lit(-1)).alias("sub1"),
-        F.when(hot_row, F.col("_rs2")).otherwise(F.lit(-1)).alias("sub2"),
-        F.when(hot_row, F.col("_rs3")).otherwise(F.lit(-1)).alias("sub3"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    keyed = _level1_keyed(b, dim, n_planes, sec_n, cent).persist(
+        StorageLevel.MEMORY_AND_DISK)
 
     # ---- recursive re-split (round-9) -------------------------------
     # One residual level cannot split a bucket holding TWO tight
@@ -1628,11 +1680,19 @@ def _skewsafe_pairs_core(b, dim: int, n_planes: int, max_pop: int, *,
     prev_max = None
     base_off = n_planes + 3 * sec_n
     for depth in range(2, 6):
-        census = (first_census if depth == 2 else
-                  keyed.where(F.col("_cell").isNotNull())
-                  .groupBy("_cell").agg(F.count(F.lit(1)).alias("_p")))
-        cmax = (census.agg(F.max("_p").alias("m")).first()
-                or {"m": 0})["m"] or 0
+        if depth == 2 and cell_max is not None:
+            # the stored ANN index's skew sidecar persisted the level-1
+            # cell census max (level1_cell_max with this exact geometry
+            # — see _level1_keyed), so warm serving skips the trigger
+            # job; cell_max <= cap breaks before ANY recursion work,
+            # identically to a fresh census saying the same thing.
+            cmax = cell_max
+        else:
+            census = (first_census if depth == 2 else
+                      keyed.where(F.col("_cell").isNotNull())
+                      .groupBy("_cell").agg(F.count(F.lit(1)).alias("_p")))
+            cmax = (census.agg(F.max("_p").alias("m")).first()
+                    or {"m": 0})["m"] or 0
         if cmax <= cap or (prev_max is not None and cmax >= prev_max):
             break
         prev_max = cmax

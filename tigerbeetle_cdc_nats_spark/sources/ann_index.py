@@ -44,7 +44,8 @@ def write_ann_index(embeddings: DataFrame, path: str,
                         bucket_names=["bucket"])
      .withColumn("norm", sim.norm_col(vec_col, dim))
      .write.mode(mode).partitionBy("bucket").parquet(dest))
-    write_skew_sidecar(embeddings.sparkSession, path, dim=dim)
+    write_skew_sidecar(embeddings.sparkSession, path, dim=dim,
+                       n_planes=len(planes))
 
 
 # -- Skew sidecar -------------------------------------------------------------
@@ -59,8 +60,11 @@ def write_ann_index(embeddings: DataFrame, path: str,
 # properties of the INDEX, not the query, so build/append/compaction
 # persist them next to the vectors:
 #
-# - ``_skew_meta.json``: {"max_pop", "n_rows", "cap"} — read driver-side
-#   with zero Spark jobs;
+# - ``_skew_meta.json``: {"max_pop", "n_rows", "cap", "sec", "n_planes",
+#   and — hot indexes with known geometry — "max_cell_pop", the level-1
+#   residual cell census max that the serving path's depth-2 recursion
+#   trigger would otherwise compute per query} — read driver-side with
+#   zero Spark jobs;
 # - ``_skew_centroids/``: parquet (bucket, c_arr), present iff some
 #   bucket exceeds the cap (bucket_centroids' pinned vec_id fold order,
 #   so stored == freshly-computed bit-for-bit).
@@ -79,38 +83,66 @@ _SKEW_CENTROIDS = "_skew_centroids"
 
 def write_skew_sidecar(spark: SparkSession, path: str, *,
                        dim: int | None = None,
-                       cap: int | None = None) -> None:
+                       cap: int | None = None,
+                       n_planes: int | None = None) -> None:
     """(Re)compute the bucket census over the live snapshot and persist
-    ``max_pop`` + hot-bucket centroids (see module comment above)."""
+    ``max_pop`` + hot-bucket centroids (see module comment above).
+
+    When the index is HOT (some bucket over ``cap``) and the build
+    geometry is known (``n_planes``), also persist ``max_cell_pop`` —
+    the hottest level-1 residual intersection cell's population,
+    computed through the exact shared geometry serving uses
+    (queries_similarity.level1_cell_max). That is the value the serving
+    path's depth-2 recursion trigger would otherwise census with a
+    per-query driver action; with it stored, warm hot-corpus serving
+    plans with ZERO Spark jobs just like the cold path."""
     import json
     import os
     import shutil
 
     from tigerbeetle_cdc_nats_spark.queries_similarity import (
         HOT_CAP,
+        SEC_PLANES,
         bucket_centroids,
+        level1_cell_max,
     )
 
     if cap is None:
         cap = HOT_CAP
     live = iv.current_dir(path)
     idx = read_ann_index(spark, path)
+    if n_planes is None:
+        # compaction doesn't know the plane set; carry it over from the
+        # previous sidecar generation (the plane set is fixed per index
+        # generation — the caller owns plane-set versioning).
+        prior = read_skew_meta(path)
+        n_planes = prior.get("n_planes") if prior else None
     pop = idx.groupBy("bucket").agg(F.count(F.lit(1)).alias("_pop"))
     row = pop.agg(F.max("_pop").alias("m"),
                   F.sum("_pop").alias("n")).first()
     max_pop = int(row["m"] or 0)
     n_rows = int(row["n"] or 0)
     cdir = os.path.join(live, _SKEW_CENTROIDS)
+    meta = {"max_pop": max_pop, "n_rows": n_rows, "cap": cap,
+            "sec": SEC_PLANES, "n_planes": n_planes}
     if max_pop > cap:
         hot = (idx.join(F.broadcast(pop.where(F.col("_pop") > cap)),
                         "bucket")
                .select("bucket", "vec_id", "embedding"))
-        bucket_centroids(hot).write.mode("overwrite").parquet(cdir)
+        cent = bucket_centroids(hot)
+        cent.write.mode("overwrite").parquet(cdir)
+        if n_planes is not None:
+            if dim is None:  # build-time-only probe; serving never pays it
+                dim = len(idx.select("embedding").first()[0])
+            b = idx.select("vec_id", "embedding", "bucket",
+                           index_norm(idx, "embedding", dim).alias("norm"))
+            meta["max_cell_pop"] = level1_cell_max(
+                b, dim, n_planes, max_pop, spark.read.parquet(cdir))
     else:
         shutil.rmtree(cdir, ignore_errors=True)  # stale hot-era sidecar
     tmp = os.path.join(live, _SKEW_META + ".tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump({"max_pop": max_pop, "n_rows": n_rows, "cap": cap}, fh)
+        json.dump(meta, fh)
     os.replace(tmp, os.path.join(live, _SKEW_META))
 
 
@@ -143,10 +175,11 @@ def read_skew_centroids(spark: SparkSession, path: str) -> DataFrame | None:
 
 
 def ensure_skew_sidecar(spark: SparkSession, path: str, *,
-                        dim: int | None = None) -> None:
+                        dim: int | None = None,
+                        n_planes: int | None = None) -> None:
     """Write the sidecar for a pre-sidecar index (no-op when present)."""
     if read_skew_meta(path) is None:
-        write_skew_sidecar(spark, path, dim=dim)
+        write_skew_sidecar(spark, path, dim=dim, n_planes=n_planes)
 
 
 def index_norm(idx: DataFrame, vec_col: str = "embedding",
@@ -196,6 +229,11 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
     partition column."""
     vecs = read_ann_index(spark, path).dropDuplicates(["vec_id", "bucket"])
     cols = [c for c in vecs.columns if c != "bucket"] + ["bucket"]
+    # capture the build geometry BEFORE the snapshot flip: the prior
+    # generation's sidecar is the only record of the plane count, and
+    # current_dir points at the fresh (meta-less) snapshot afterwards
+    prior = read_skew_meta(path)
+    n_planes = prior.get("n_planes") if prior else None
 
     def write(vdir: str) -> None:
         vecs.select(*cols).write.mode("overwrite").partitionBy(
@@ -205,7 +243,7 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
     spark.catalog.clearCache()
     # fresh snapshot -> fresh skew sidecar (compaction may have removed
     # replay duplicates, changing the census and hot-bucket centroids)
-    write_skew_sidecar(spark, path)
+    write_skew_sidecar(spark, path, n_planes=n_planes)
 
 
 # -- Stored IVF index --------------------------------------------------------
