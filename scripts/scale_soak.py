@@ -395,6 +395,18 @@ def main() -> None:
             timed("near_dup_registered_clustered",
                   lambda: queries["embedding_near_dup"]
                   .fn(spark, out_dir), pair_rec)
+            # round 9: WARM stored-index serving (geometry-keyed index +
+            # skew sidecar with max_cell_pop) — the index build runs
+            # OUTSIDE the timed section like the other stored-index
+            # soaks; the number is what a production query pays when
+            # the index is a maintained artifact.
+            if only is None or "near_dup_indexed_clustered" in only:
+                from tigerbeetle_cdc_nats_spark.queries_similarity import (
+                    ensure_near_dup_index)
+                ensure_near_dup_index(spark, out_dir)
+            timed("near_dup_indexed_clustered",
+                  lambda: queries["embedding_near_dup_indexed"]
+                  .fn(spark, out_dir), pair_rec)
         _report(results, recalls, mults)
         spark.stop()
         return

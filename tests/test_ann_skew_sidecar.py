@@ -163,6 +163,60 @@ def test_indexed_equals_computed_hot(spark, tmp_path):
     assert len(served_rows) > 0  # the hot cluster yields real pairs
 
 
+def test_widened_corpus_serves_from_geometry_keyed_index(spark, tmp_path):
+    """Past the 16,384-vector widening point the registered indexed
+    query must serve from a geometry-keyed stored index (round-9: it
+    used to fall back to recomputing signatures per query) and stay
+    bit-identical to the computed adaptive path."""
+    from tigerbeetle_cdc_nats_spark import registry
+    from tigerbeetle_cdc_nats_spark.operators import similarity as s2
+    from tigerbeetle_cdc_nats_spark.queries_dedup import stored_index_dir
+    from tigerbeetle_cdc_nats_spark.queries_similarity import (
+        ensure_near_dup_index)
+
+    n, dim = 16384 + 1024, 16
+    out = str(tmp_path / "corpus")
+    os.makedirs(out, exist_ok=True)
+    emb = (
+        spark.range(n).withColumnRenamed("id", "vec_id")
+        .select("vec_id", F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda d: ((F.pmod(F.hash(F.col("vec_id") * 67 + d),
+                               F.lit(2001)) - 1000) / 1000.0)
+            .cast("float")).alias("embedding")))
+    emb.repartition(8).write.parquet(os.path.join(out,
+                                                  "embeddings.parquet"))
+
+    adaptive = s2.planes_for_corpus(n, target_bucket=64)
+    assert adaptive > 8  # the widen branch must engage
+
+    path, n_planes = ensure_near_dup_index(spark, out)
+    assert n_planes == adaptive
+    assert path == stored_index_dir(f"annlshw{adaptive}", out,
+                                    table="embeddings")
+    assert ai.read_skew_meta(path)["n_planes"] == adaptive
+
+    qs = registry.all_queries()
+    served = qs["embedding_near_dup_indexed"].fn(spark, out)
+    computed = qs["embedding_near_dup"].fn(spark, out)
+
+    # order-insensitive (count, hash-sum) fingerprint: exceptAll over
+    # the dropDuplicates+union serving plan trips a Catalyst
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND in Spark 4.1, and collecting
+    # ~100k pairs twice is needless — identical multisets iff equal
+    def fingerprint(df):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("vec_a", "vec_b", "sim_e6")
+                  .cast("decimal(38,0)")).alias("h"),  # ANSI: no long sum
+        ).first()
+        return row["n"], row["h"]
+
+    n_served, h_served = fingerprint(served)
+    assert (n_served, h_served) == fingerprint(computed)
+    assert n_served > 0
+
+
 def test_registered_indexed_query_matches_unsuffixed(spark):
     from tigerbeetle_cdc_nats_spark import registry
 

@@ -49,6 +49,17 @@ def embedding_dim(sf_dir: str, default: int = EMBEDDING_DIM) -> int:
         import pyarrow.parquet as pq
 
         path = os.path.join(sf_dir, "embeddings.parquet")
+        if os.path.isdir(path):
+            # Spark writes a parquet DIRECTORY of part files; probe the
+            # first data file (pq.ParquetFile rejects directories, and
+            # the bare-except default would silently pin dim=64 on a
+            # directory-shaped corpus of any other width)
+            parts = sorted(f for f in os.listdir(path)
+                           if f.endswith(".parquet")
+                           and not f.startswith((".", "_")))
+            if not parts:
+                return default
+            path = os.path.join(path, parts[0])
         batch = next(pq.ParquetFile(path).iter_batches(batch_size=1))
         return len(batch.column("embedding")[0])
     except Exception:

@@ -272,6 +272,49 @@ def near_dup_pairs_from_index(spark: SparkSession, path: str, dim: int, *,
                                 cap=cap, sec=sec, cell_max=cell_max)
 
 
+def ensure_near_dup_index(spark: SparkSession,
+                          sf_dir: str) -> tuple[str, int]:
+    """Build-or-open the stored index ``embedding_near_dup_indexed``
+    serves from, returning ``(path, n_planes)``.
+
+    Corpora at or under the 16,384-vector widening point share the
+    8-plane ``annlsh`` index with the ANN probe queries. A WIDER corpus
+    needs the adaptive plane count (planes_for_corpus at target bucket
+    64) — serving it from the 8-plane artifact would silently change
+    the registered semantics, and recomputing signatures per query is
+    exactly what a 100 TB deployment cannot afford — so it gets its own
+    GEOMETRY-KEYED index kind (``annlshw{n_planes}``): same layout,
+    same sidecar, same maintenance ops, keyed so a corpus growth that
+    changes the adaptive width can never serve stale geometry (the
+    stored_index_dir fingerprint also rotates on any source change)."""
+    from tigerbeetle_cdc_nats_spark.queries_dedup import stored_index_dir
+    from tigerbeetle_cdc_nats_spark.sources import ann_index as ai
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim, planes = _dim(sf_dir), _planes(sf_dir)
+    path = stored_index_dir("annlsh", sf_dir, table="embeddings")
+    meta = ai.read_skew_meta(path) if iv.index_ready(path) else None
+    # parquet footer count when no sidecar knows n yet — metadata-only
+    n = int(meta["n_rows"]) if meta else emb.count()
+    adaptive = max(len(PLANES), sim.planes_for_corpus(n, target_bucket=64))
+    if adaptive == len(planes):
+        if not iv.index_ready(path):
+            ai.write_ann_index(emb, path, planes, dim=dim)
+        else:
+            ai.ensure_skew_sidecar(spark, path, dim=dim,
+                                   n_planes=len(planes))
+        return path, len(planes)
+    wpath = stored_index_dir(f"annlshw{adaptive}", sf_dir,
+                             table="embeddings")
+    if not iv.index_ready(wpath):
+        ai.write_ann_index(emb, wpath, sim.hyperplanes(adaptive, dim),
+                           dim=dim)
+    else:
+        ai.ensure_skew_sidecar(spark, wpath, dim=dim, n_planes=adaptive)
+    return wpath, adaptive
+
+
+
 @register(
     "embedding_near_dup_indexed",
     f"""WITH b AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
@@ -305,32 +348,21 @@ def q_embedding_near_dup_indexed(spark: SparkSession,
 
     Scale shape: the candidate scan reads the bucket-partitioned index
     (one equality self-join on the partition column); plan choice
-    (cold vs hot branch) comes from the sidecar's max_pop with ZERO
-    Spark jobs. The stored 8-plane geometry equals the adaptive
-    geometry's clamp floor for corpora up to 16,384 vectors (every
-    driver SF); past the widening point the stored geometry would no
-    longer match the registered semantics, so the query falls back to
-    the computed adaptive path instead of serving stale geometry.
+    (cold vs hot branch, recursion trigger) comes from the sidecar's
+    max_pop / max_cell_pop with ZERO Spark jobs. Corpora past the
+    16,384-vector widening point serve from a geometry-keyed index
+    built with the adaptive plane count (ensure_near_dup_index), so
+    warm serving never recomputes signatures at ANY corpus size;
+    results stay bit-identical to embedding_near_dup (shared
+    _skewsafe_pairs_core, same deterministic plane draw). Only an
+    unwritable scratch falls back to the computed path.
     """
-    from tigerbeetle_cdc_nats_spark.queries_dedup import stored_index_dir
-    from tigerbeetle_cdc_nats_spark.sources import ann_index as ai
-
     emb = load_table(spark, sf_dir, "embeddings")
-    dim, planes = _dim(sf_dir), _planes(sf_dir)
+    dim = _dim(sf_dir)
     try:
-        path = stored_index_dir("annlsh", sf_dir, table="embeddings")
-        if not iv.index_ready(path):
-            ai.write_ann_index(emb, path, planes, dim=dim)
-        else:
-            ai.ensure_skew_sidecar(spark, path, dim=dim,
-                                   n_planes=len(planes))
-        meta = ai.read_skew_meta(path)
-        n = int(meta["n_rows"]) if meta else emb.count()
-        adaptive = max(len(PLANES),
-                       sim.planes_for_corpus(n, target_bucket=64))
-        if adaptive == len(planes):
-            return near_dup_pairs_from_index(spark, path, dim,
-                                             n_planes=len(planes))
+        path, n_planes = ensure_near_dup_index(spark, sf_dir)
+        return near_dup_pairs_from_index(spark, path, dim,
+                                         n_planes=n_planes)
     except Exception:
         pass  # read-only scratch: identical result from the computed path
     return near_dup_pairs_skewsafe(emb, dim, corpus_size=emb.count())
