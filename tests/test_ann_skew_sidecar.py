@@ -163,6 +163,37 @@ def test_indexed_equals_computed_hot(spark, tmp_path):
     assert len(served_rows) > 0  # the hot cluster yields real pairs
 
 
+def test_maintained_index_serves_same_pairs_as_rebuild(spark, tmp_path):
+    """Lifecycle proof at the PAIR level: an index that lived through
+    build -> append -> crash-replay re-append -> compaction must serve
+    exactly the near-dup pairs of a from-scratch rebuild (the streaming
+    rehearsal asserts this at the bucket level; the skew sidecar adds
+    census/centroid state that must also survive the lifecycle)."""
+    corpus = _corpus(spark, 150, hot=60)
+    path = str(tmp_path / "maintained")
+    ai.write_ann_index(corpus.where(F.col("vec_id") < 100), path,
+                       PLANES8, dim=DIM)
+    delta = corpus.where(F.col("vec_id") >= 100)
+    ai.append_ann_index(delta, path, PLANES8, dim=DIM)
+    ai.append_ann_index(delta, path, PLANES8, dim=DIM)  # crash replay
+    ai.compact_ann_index(spark, path)
+    assert ai.read_skew_meta(path)["n_rows"] == 150
+
+    rebuild = str(tmp_path / "rebuild")
+    ai.write_ann_index(corpus, rebuild, PLANES8, dim=DIM)
+
+    cap = 16  # the 60-row cluster is hot at this cap
+    ai.write_skew_sidecar(spark, path, dim=DIM, cap=cap)
+    ai.write_skew_sidecar(spark, rebuild, dim=DIM, cap=cap)
+    maintained = _pairs(near_dup_pairs_from_index(spark, path, DIM,
+                                                  cap=cap))
+    fresh = _pairs(near_dup_pairs_from_index(spark, rebuild, DIM, cap=cap))
+    computed = _pairs(near_dup_pairs_skewsafe(corpus, DIM, n_planes=8,
+                                              cap=cap))
+    assert maintained == fresh == computed
+    assert len(maintained) > 0
+
+
 def test_widened_corpus_serves_from_geometry_keyed_index(spark, tmp_path):
     """Past the 16,384-vector widening point the registered indexed
     query must serve from a geometry-keyed stored index (round-9: it
