@@ -1614,9 +1614,21 @@ def level1_cell_max(b, dim: int, n_planes: int, max_pop: int, cent, *,
     value _skewsafe_pairs_core's depth-2 recursion trigger would census
     per query. An INDEX property (geometry is deterministic from
     (n_planes, sec, cap, max_pop)), so the skew sidecar persists it and
-    warm serving skips the trigger job entirely."""
+    warm serving skips the trigger job entirely.
+
+    Cells only exist for HOT-bucket rows (cold rows carry the -1
+    sentinel and are excluded by the census filter), so the pass runs
+    on the hot buckets only — an isin on the index's partition column,
+    file-level pruned, instead of a full-index scan at every
+    build/append/compaction of a mostly-cold 100 TB index. The hot
+    list is bounded (each hot bucket holds > cap members); past the
+    bound the unfiltered scan is the cheaper plan anyway."""
     from pyspark.sql import functions as F
 
+    hot_buckets = [r["bucket"] for r in
+                   cent.select("bucket").limit(4097).collect()]
+    if len(hot_buckets) <= 4096:
+        b = b.where(F.col("bucket").isin(hot_buckets))
     sec_n = max(sec, sim.planes_for_corpus(max_pop, target_bucket=64))
     keyed = _level1_keyed(b, dim, n_planes, sec_n, cent)
     row = (keyed.where(F.col("sub1") >= 0)
