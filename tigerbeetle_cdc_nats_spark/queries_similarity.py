@@ -244,6 +244,16 @@ def near_dup_pairs_from_index(spark: SparkSession, path: str, dim: int, *,
     b = idx.select("vec_id", "embedding", "bucket",
                    ai.index_norm(idx, "embedding", dim).alias("norm"))
     meta = ai.read_skew_meta(path)
+    if (meta is not None and int(meta["max_pop"]) > cap
+            and ai._bucket_dir_layout(iv.current_dir(path))):
+        # a bucket-DIRECTORY index clusters each hot bucket into one or
+        # two scan partitions, putting its whole pair volume on a single
+        # join task (broadcast probes have no shuffle for AQE to
+        # skew-split). One round-robin exchange restores the balanced
+        # row order the computed path gets for free; values unchanged.
+        # The geometry-keyed flat layout never needs this.
+        b = b.repartition(int(spark.conf.get("spark.sql.shuffle.partitions",
+                                             "32")))
     cent = None
     cell_max = None
     if meta is not None:
@@ -307,8 +317,13 @@ def ensure_near_dup_index(spark: SparkSession,
     wpath = stored_index_dir(f"annlshw{adaptive}", sf_dir,
                              table="embeddings")
     if not iv.index_ready(wpath):
+        # flat balanced layout: near-dup serving is this index's only
+        # consumer and it scans ALL buckets — per-bucket directories
+        # would cluster each hot bucket onto one or two scan partitions
+        # and put its whole pair volume on a single join task (see
+        # write_ann_index)
         ai.write_ann_index(emb, wpath, sim.hyperplanes(adaptive, dim),
-                           dim=dim)
+                           dim=dim, bucket_dirs=False)
     else:
         ai.ensure_skew_sidecar(spark, wpath, dim=dim, n_planes=adaptive)
     return wpath, adaptive
@@ -339,8 +354,10 @@ FROM n, mp WHERE n.n_vec > 16384 OR mp.maxpop > 256""",
         "runs NO per-query signature pass, NO census job, and NO "
         "centroid pass — the stored-artifact shape of production "
         "near-dup serving (round-8 judge item #4). Bit-identical "
-        "results to embedding_near_dup; falls back to the computed "
-        "path on an unwritable scratch or a widened corpus",
+        "results to embedding_near_dup; widened corpora serve from a "
+        "geometry-keyed index (annlshw{planes}) instead of recomputing "
+        "signatures; only an unwritable scratch falls back to the "
+        "computed path",
 )
 def q_embedding_near_dup_indexed(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
@@ -1724,12 +1741,18 @@ def _skewsafe_pairs_core(b, dim: int, n_planes: int, max_pop: int, *,
     prev_max = None
     base_off = n_planes + 3 * sec_n
     for depth in range(2, 6):
-        if depth == 2 and cell_max is not None:
+        if depth == 2 and cell_max is not None and cell_max <= cap:
             # the stored ANN index's skew sidecar persisted the level-1
             # cell census max (level1_cell_max with this exact geometry
             # — see _level1_keyed), so warm serving skips the trigger
-            # job; cell_max <= cap breaks before ANY recursion work,
-            # identically to a fresh census saying the same thing.
+            # job when it proves the recursion no-ops: <= cap breaks
+            # before ANY recursion work, identically to a fresh census
+            # saying the same thing. Past cap the census RUNS even
+            # though its value is known — the action doubles as the
+            # materialization barrier for the persisted level-1 keys,
+            # and skipping it leaves every recursion branch and final
+            # join re-deriving the signature chain from the raw scan
+            # (measured c64 clustered: 253 s vs 73 s computed).
             cmax = cell_max
         else:
             census = (first_census if depth == 2 else

@@ -26,24 +26,56 @@ from tigerbeetle_cdc_nats_spark.operators import similarity as sim
 from tigerbeetle_cdc_nats_spark.sources import index_versioning as iv
 
 
+def _bucket_dir_layout(live: str) -> bool:
+    """True when the live snapshot stores one directory per bucket."""
+    import os
+
+    try:
+        return any(e.startswith("bucket=") for e in os.listdir(live))
+    except OSError:
+        return True  # fresh path: the default layout
+
+
 def write_ann_index(embeddings: DataFrame, path: str,
                     planes: list[list[float]], *,
                     vec_col: str = "embedding", dim: int | None = None,
-                    mode: str = "overwrite") -> None:
-    """Bucket-partitioned index: one partition directory per LSH bucket.
+                    mode: str = "overwrite",
+                    bucket_dirs: bool = True) -> None:
+    """Stored LSH index in one of two layouts, chosen by consumer:
+
+    - ``bucket_dirs=True`` (default): one partition directory per LSH
+      bucket — file-level pruning for the probe queries (DPP/isin on
+      the partition column). The right layout when queries read a FEW
+      buckets.
+    - ``bucket_dirs=False``: balanced flat files with ``bucket`` as a
+      data column, rows in source order. The right layout when the
+      consumer scans ALL buckets (near-dup pair serving): per-bucket
+      directories buy no pruning there, and they CLUSTER each hot
+      bucket into one or two scan partitions, which concentrates the
+      hot bucket's entire pair volume on a single join task (measured
+      c64 clustered soak: 253 s vs 62 s computed — the broadcast-join
+      probe side has no shuffle for AQE skew-splitting to rescue).
+
     The vector norm is stored alongside (same folded accumulation the
     cosine uses, so FLOOR(cos*1e6) stays bit-identical) — probes read it
     instead of planning a dim-unrolled norm expression per query.
     Build/append/compaction also maintain the SKEW SIDECAR (bucket
     census + hot-bucket centroids, see write_skew_sidecar) so serving
-    never recomputes bucket populations per query."""
+    never recomputes bucket populations per query. Appends adopt the
+    live snapshot's existing layout regardless of the flag (a mixed
+    directory would corrupt partition discovery)."""
     # appends land in the LIVE snapshot (versioned layouts keep older
     # snapshots immutable); an overwrite build resets to a flat root
     dest = iv.current_dir(path) if mode == "append" else path
-    (sim.signature_cols(embeddings, [planes], vec_col, dim,
-                        bucket_names=["bucket"])
-     .withColumn("norm", sim.norm_col(vec_col, dim))
-     .write.mode(mode).partitionBy("bucket").parquet(dest))
+    if mode == "append":
+        bucket_dirs = _bucket_dir_layout(dest)
+    signed = (sim.signature_cols(embeddings, [planes], vec_col, dim,
+                                 bucket_names=["bucket"])
+              .withColumn("norm", sim.norm_col(vec_col, dim)))
+    w = signed.write.mode(mode)
+    if bucket_dirs:
+        w = w.partitionBy("bucket")
+    w.parquet(dest)
     write_skew_sidecar(embeddings.sparkSession, path, dim=dim,
                        n_planes=len(planes))
 
@@ -229,15 +261,19 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
     partition column."""
     vecs = read_ann_index(spark, path).dropDuplicates(["vec_id", "bucket"])
     cols = [c for c in vecs.columns if c != "bucket"] + ["bucket"]
-    # capture the build geometry BEFORE the snapshot flip: the prior
-    # generation's sidecar is the only record of the plane count, and
-    # current_dir points at the fresh (meta-less) snapshot afterwards
+    # capture the build geometry and LAYOUT before the snapshot flip:
+    # the prior generation's sidecar is the only record of the plane
+    # count, and current_dir points at the fresh (meta-less) snapshot
+    # afterwards
     prior = read_skew_meta(path)
     n_planes = prior.get("n_planes") if prior else None
+    bucket_dirs = _bucket_dir_layout(iv.current_dir(path))
 
     def write(vdir: str) -> None:
-        vecs.select(*cols).write.mode("overwrite").partitionBy(
-            "bucket").parquet(vdir)
+        w = vecs.select(*cols).write.mode("overwrite")
+        if bucket_dirs:
+            w = w.partitionBy("bucket")
+        w.parquet(vdir)
 
     iv.publish_version(path, write)
     spark.catalog.clearCache()
