@@ -107,6 +107,10 @@ EMB_OPS = [
     # round-7 continuation: per-cell quota sampling (one cell-keyed
     # window sort over the shared Arrow IVF assignment).
     "cluster_balanced_sample",
+    # round 9: WARM stored-index near-dup serving (geometry-keyed flat
+    # index + skew sidecar); its first timed call builds the index, so
+    # the min-over-repeats is the warm serving cost.
+    "embedding_near_dup_indexed",
 ]
 #: events-table window/aggregation family (time-series scale risks:
 #: per-user window sorts, global percentile sorts, self-join rollups).
@@ -447,6 +451,7 @@ def main() -> None:
             rf = {"embedding_near_dup": pair_rec,
                   "embedding_near_dup_adaptive": pair_rec,
                   "embedding_near_dup_multitable_adaptive": pair_rec,
+                  "embedding_near_dup_indexed": pair_rec,
                   "semdedup": drop_rec}.get(name)
             timed(name, lambda: queries[name].fn(spark, out_dir), rf)
         timed("semdedup_scaled",

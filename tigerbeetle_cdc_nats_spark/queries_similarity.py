@@ -1345,6 +1345,8 @@ def multitable_pairs(emb, dim: int, tables):
 
     q, c = side("q"), side("c")
     lt = F.col("q_id") < F.col("c_id")
+    # dim=None deliberately: the interpreted fold beats the unrolled
+    # codegen form 3x for per-PAIR scoring (see the cold branch's note)
     s = sim.cosine_sim_e6_prenorm("q_emb", "c_emb",
                                   F.col("q_n"), F.col("c_n"), None)
 
@@ -1679,7 +1681,15 @@ def _skewsafe_pairs_core(b, dim: int, n_planes: int, max_pop: int, *,
                      F.col("embedding").alias("c_emb"),
                      F.col("bucket").alias("c_bucket"),
                      F.col("norm").alias("c_n"))
-        s = sim.cosine_sim_e6_prenorm(F.col("q_emb"), F.col("c_emb"),
+        # dim=None (interpreted zip_with/aggregate fold) is the MEASURED
+        # faster form for the pair scorer: the unrolled 64-term codegen
+        # expression (dim=64) ran the c64 clustered soak 3x SLOWER
+        # (183 s vs 54 s) — per-candidate evaluation pays 128 bounds-
+        # checked array accesses in both the join condition and the
+        # projection, while the fold streams each array once. The
+        # UNROLL notes apply to the per-ROW signature projections, not
+        # the per-PAIR scorer.
+        s = sim.cosine_sim_e6_prenorm("q_emb", "c_emb",
                                       F.col("q_n"), F.col("c_n"), None)
         return (
             q.join(c, (F.col("q_bucket") == F.col("c_bucket"))
@@ -1815,6 +1825,8 @@ def _skewsafe_pairs_core(b, dim: int, n_planes: int, max_pop: int, *,
 
     q, c = side("q"), side("c")
     lt = F.col("q_id") < F.col("c_id")
+    # dim=None deliberately: the interpreted fold beats the unrolled
+    # codegen form 3x for per-PAIR scoring (see the cold branch's note)
     s = sim.cosine_sim_e6_prenorm("q_emb", "c_emb",
                                   F.col("q_n"), F.col("c_n"), None)
 
