@@ -163,24 +163,34 @@ def test_indexed_equals_computed_hot(spark, tmp_path):
     assert len(served_rows) > 0  # the hot cluster yields real pairs
 
 
-def test_maintained_index_serves_same_pairs_as_rebuild(spark, tmp_path):
+@pytest.mark.parametrize("bucket_dirs", [True, False],
+                         ids=["bucket-dirs", "flat"])
+def test_maintained_index_serves_same_pairs_as_rebuild(spark, tmp_path,
+                                                       bucket_dirs):
     """Lifecycle proof at the PAIR level: an index that lived through
     build -> append -> crash-replay re-append -> compaction must serve
     exactly the near-dup pairs of a from-scratch rebuild (the streaming
     rehearsal asserts this at the bucket level; the skew sidecar adds
-    census/centroid state that must also survive the lifecycle)."""
+    census/centroid state that must also survive the lifecycle). Both
+    layouts: per-bucket directories (probe indexes) and balanced flat
+    files (the geometry-keyed near-dup index) — appends and compaction
+    must DETECT and PRESERVE whichever layout the index was built
+    with."""
     corpus = _corpus(spark, 150, hot=60)
     path = str(tmp_path / "maintained")
     ai.write_ann_index(corpus.where(F.col("vec_id") < 100), path,
-                       PLANES8, dim=DIM)
+                       PLANES8, dim=DIM, bucket_dirs=bucket_dirs)
     delta = corpus.where(F.col("vec_id") >= 100)
     ai.append_ann_index(delta, path, PLANES8, dim=DIM)
     ai.append_ann_index(delta, path, PLANES8, dim=DIM)  # crash replay
     ai.compact_ann_index(spark, path)
     assert ai.read_skew_meta(path)["n_rows"] == 150
+    from tigerbeetle_cdc_nats_spark.sources import index_versioning as iv
+    assert ai._bucket_dir_layout(iv.current_dir(path)) is bucket_dirs
 
     rebuild = str(tmp_path / "rebuild")
-    ai.write_ann_index(corpus, rebuild, PLANES8, dim=DIM)
+    ai.write_ann_index(corpus, rebuild, PLANES8, dim=DIM,
+                       bucket_dirs=bucket_dirs)
 
     cap = 16  # the 60-row cluster is hot at this cap
     ai.write_skew_sidecar(spark, path, dim=DIM, cap=cap)

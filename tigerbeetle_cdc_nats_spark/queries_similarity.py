@@ -252,8 +252,12 @@ def near_dup_pairs_from_index(spark: SparkSession, path: str, dim: int, *,
         # skew-split). One round-robin exchange restores the balanced
         # row order the computed path gets for free; values unchanged.
         # The geometry-keyed flat layout never needs this.
-        b = b.repartition(int(spark.conf.get("spark.sql.shuffle.partitions",
-                                             "32")))
+        try:
+            n_part = int(spark.conf.get("spark.sql.shuffle.partitions",
+                                        "32"))
+        except (TypeError, ValueError):  # e.g. "auto" under AQE variants
+            n_part = 32
+        b = b.repartition(n_part)
     cent = None
     cell_max = None
     if meta is not None:
