@@ -297,8 +297,10 @@ def ensure_near_dup_index(spark: SparkSession,
     64) — serving it from the 8-plane artifact would silently change
     the registered semantics, and recomputing signatures per query is
     exactly what a 100 TB deployment cannot afford — so it gets its own
-    GEOMETRY-KEYED index kind (``annlshw{n_planes}``): same layout,
-    same sidecar, same maintenance ops, keyed so a corpus growth that
+    GEOMETRY-KEYED index kind (``annlshw{n_planes}``): same sidecar and
+    maintenance ops but a balanced FLAT layout (near-dup serving scans
+    all buckets, so per-bucket directories only cluster hot rows onto
+    one join task — see write_ann_index), keyed so a corpus growth that
     changes the adaptive width can never serve stale geometry (the
     stored_index_dir fingerprint also rotates on any source change)."""
     from tigerbeetle_cdc_nats_spark.queries_dedup import stored_index_dir
