@@ -85,6 +85,16 @@ def main() -> int:
               encoding="utf-8") as fh:
         json.dump(report, fh, indent=1, sort_keys=True)
         fh.write("\n")
+    # append-only history: a single agrees:false snapshot can't show
+    # whether the HOST oscillates (round-9: four attempts straddled
+    # ~15-min load windows — totals 183/155, 156/160, 161/136, 137/173
+    # — while the quiet-window totals matched the committed baseline);
+    # the history is the evidence that distinguishes that from a real
+    # regression.
+    with open(os.path.join(REPO, "BENCH_AGREEMENT_HISTORY.jsonl"), "a",
+              encoding="utf-8") as fh:
+        json.dump(report, fh, sort_keys=True)
+        fh.write("\n")
     if "--save-local" in sys.argv:
         # refresh the committed per-query map of record from the faster
         # of the two agreeing runs — no third full bench run needed
