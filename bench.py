@@ -26,6 +26,37 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def run_passes(spark, sf_dir: str, n_passes: int,
+               queries=None) -> tuple[list[dict[str, float]], dict[str, str]]:
+    """Run `n_passes` full round-robin passes over the registry and return
+    (per-pass {name: sec} timings, errors). Shared by main() (min over
+    passes) and scripts/bench_agreement.py (interleaved A/B sampling —
+    alternating passes land in the same host load windows, so the pairing
+    cancels the ~15-minute oscillation that back-to-back full runs
+    straddle)."""
+    queries = queries if queries is not None else registry.all_queries()
+    errors: dict[str, str] = {}
+    passes: list[dict[str, float]] = []
+    for _pass in range(max(1, n_passes)):
+        timings: dict[str, float] = {}
+        for name, q in sorted(queries.items()):
+            if name in errors:
+                continue
+            try:
+                t0 = time.perf_counter()
+                materialize(q.fn(spark, sf_dir))
+                timings[name] = time.perf_counter() - t0
+            except Exception as exc:  # one bad query must not zero the record
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        passes.append(timings)
+    # drop late-failing queries from earlier passes so every pass covers
+    # the same key set
+    for t in passes:
+        for name in errors:
+            t.pop(name, None)
+    return passes, errors
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
@@ -61,19 +92,11 @@ def main() -> None:
     # host noise, Pearson -0.65 vs run position). Spreading the repeats
     # across passes puts every query's best in a different window, so
     # min() actually removes the noise instead of sampling it.
+    passes, errors2 = run_passes(spark, sf_dir, repeats, queries)
+    errors.update(errors2)
     best: dict[str, float] = {}
-    for _pass in range(max(1, repeats)):
-        for name, q in sorted(queries.items()):
-            if name in errors:
-                continue
-            try:
-                t0 = time.perf_counter()
-                materialize(q.fn(spark, sf_dir))
-                dt = time.perf_counter() - t0
-            except Exception as exc:  # one bad query must not zero the record
-                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-                best.pop(name, None)
-                continue
+    for t in passes:
+        for name, dt in t.items():
             if name not in best or dt < best[name]:
                 best[name] = dt
     timings = {name: round(dt, 4) for name, dt in sorted(best.items())}

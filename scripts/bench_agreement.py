@@ -1,23 +1,29 @@
 #!/usr/bin/env python
-"""Bench methodology agreement check (round-8 judge item #5).
+"""Bench methodology agreement check (round-8 judge item #5, reworked
+round 10 per the round-9 verdict).
 
-Round 7's per-query map carried a position-correlated host-noise bias
-(Pearson -0.65 between a query's alphabetical run position and its
-r08/r07 ratio — early names absorbed ~30 s of startup-era noise);
-round 8 fixed bench.py to run full round-robin passes with
-min-per-query. This script PROVES the fix holds at HEAD, so a future
-host regression is distinguishable from methodology drift: it runs
-bench.py twice back-to-back and asserts
+Rounds 8-9 ran bench.py TWICE back-to-back and compared totals; on a host
+oscillating in ~15-minute load windows that methodology cannot converge —
+each ~13-minute run lands in a different window, so six consecutive
+attempts failed (deltas 2.5-26.6%) on identical code. The fix is the
+pairing, not the host: this version runs ONE harness invocation of
+2*BENCH_REPEATS full round-robin passes and assigns alternating passes to
+sample A and sample B (A B A B A B). Adjacent passes see the same load
+windows, so the oscillation term cancels out of the A-vs-B comparison
+while the samples stay statistically independent per query (min over
+disjoint pass sets). Asserts:
 
-- total wall-seconds agree within 3%;
-- the per-query ratio (run2/run1) is position-UNCORRELATED
+- total wall-seconds of A and B agree within 3%;
+- the per-query ratio (B/A) is position-UNCORRELATED
   (|Pearson r| < 0.3 vs alphabetical run position).
 
-Writes BENCH_AGREEMENT.json next to BENCH_LOCAL.json and exits non-zero
-on disagreement. Usage:
+Writes BENCH_AGREEMENT.json, appends BENCH_AGREEMENT_HISTORY.jsonl, and
+exits non-zero on disagreement. With --save-local AND agreement, refreshes
+BENCH_LOCAL.json from the pooled (min over all passes) per-query map — a
+failed run never rewrites the map of record (round-9 advisor item).
 
-    python scripts/bench_agreement.py            # sf0.1, 2 full runs
-    SPARK_GRAFT_SF_DIR=... BENCH_REPEATS=1 python scripts/bench_agreement.py
+    python scripts/bench_agreement.py [--save-local]
+    SPARK_GRAFT_SF_DIR=... BENCH_REPEATS=2 python scripts/bench_agreement.py
 """
 
 from __future__ import annotations
@@ -25,25 +31,15 @@ from __future__ import annotations
 import json
 import math
 import os
-import subprocess
+import re
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 TOTAL_TOLERANCE = 0.03
 POSITION_R_BOUND = 0.3
-
-
-def run_bench() -> dict:
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True, text=True, check=True, cwd=REPO)
-    # bench prints ONE JSON line last on stdout
-    for line in reversed(out.stdout.strip().splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError("bench.py printed no JSON line")
 
 
 def pearson(xs: list[float], ys: list[float]) -> float:
@@ -55,15 +51,44 @@ def pearson(xs: list[float], ys: list[float]) -> float:
     return cov / (vx * vy) if vx and vy else 0.0
 
 
-def main() -> int:
-    r1, r2 = run_bench(), run_bench()
-    t1, t2 = float(r1["value"]), float(r2["value"])
-    delta = abs(t1 - t2) / min(t1, t2)
+def min_over(passes: list[dict[str, float]]) -> dict[str, float]:
+    best: dict[str, float] = {}
+    for t in passes:
+        for name, dt in t.items():
+            if name not in best or dt < best[name]:
+                best[name] = dt
+    return best
 
-    common = sorted(set(r1["queries"]) & set(r2["queries"]))
+
+def main() -> int:
+    import bench
+    from tigerbeetle_cdc_nats_spark.session import get_spark
+    from tigerbeetle_cdc_nats_spark.sources.prebuild import ensure_indexes
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = get_spark(app_name="bench-agreement")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    # same warmup + stored-index prebuild as bench.main(): the numbers
+    # must measure warm serving, not one-time build cost
+    t0 = time.perf_counter()
+    index_build = ensure_indexes(spark, sf_dir)
+    warm_s = time.perf_counter() - t0
+
+    passes, errors = bench.run_passes(spark, sf_dir, 2 * max(1, repeats))
+    run_a = min_over(passes[0::2])
+    run_b = min_over(passes[1::2])
+
+    t1, t2 = sum(run_a.values()), sum(run_b.values())
+    delta = abs(t1 - t2) / min(t1, t2) if min(t1, t2) else 1.0
+
+    common = sorted(set(run_a) & set(run_b))
     ratios, positions = [], []
     for pos, name in enumerate(common):
-        a, b = r1["queries"][name], r2["queries"][name]
+        a, b = run_a[name], run_b[name]
         if a > 0:
             ratios.append(b / a)
             positions.append(float(pos))
@@ -71,6 +96,8 @@ def main() -> int:
 
     ok = delta <= TOTAL_TOLERANCE and abs(r_pos) <= POSITION_R_BOUND
     report = {
+        "method": "interleaved A/B passes, one invocation",
+        "passes": 2 * max(1, repeats),
         "total_run1_s": round(t1, 3),
         "total_run2_s": round(t2, 3),
         "total_delta_pct": round(delta * 100, 3),
@@ -78,32 +105,45 @@ def main() -> int:
         "pearson_ratio_vs_position": round(r_pos, 4),
         "position_r_bound": POSITION_R_BOUND,
         "n_queries": len(common),
-        "sf": r1.get("sf"),
+        "warmup_and_index_build_s": round(warm_s, 3),
+        "sf": sf,
         "agrees": ok,
     }
+    if errors:
+        report["errors"] = errors
     with open(os.path.join(REPO, "BENCH_AGREEMENT.json"), "w",
               encoding="utf-8") as fh:
         json.dump(report, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    # append-only history: a single agrees:false snapshot can't show
-    # whether the HOST oscillates (round-9: four attempts straddled
-    # ~15-min load windows — totals 183/155, 156/160, 161/136, 137/173
-    # — while the quiet-window totals matched the committed baseline);
-    # the history is the evidence that distinguishes that from a real
-    # regression.
+    # append-only history: the six round-9 back-to-back failures are the
+    # evidence the host oscillates; this run's entry shows whether the
+    # interleaved pairing removed that term on the same host.
     with open(os.path.join(REPO, "BENCH_AGREEMENT_HISTORY.jsonl"), "a",
               encoding="utf-8") as fh:
         json.dump(report, fh, sort_keys=True)
         fh.write("\n")
-    if "--save-local" in sys.argv:
-        # refresh the committed per-query map of record from the faster
-        # of the two agreeing runs — no third full bench run needed
-        best = r1 if t1 <= t2 else r2
+    if ok and "--save-local" in sys.argv:
+        # refresh the committed map of record from the pooled min across
+        # ALL passes (the best noise-removed estimate); gated on agreement
+        # so a disagreeing, noise-biased pair can never replace it
+        pooled = min_over(passes)
+        out = {
+            "metric": ("total wall seconds for all registered queries "
+                       "(noop-materialized)"),
+            "value": round(sum(pooled.values()), 4),
+            "unit": "sec",
+            "queries": {k: round(v, 4) for k, v in sorted(pooled.items())},
+            "index_build": index_build,
+            "sf": sf,
+        }
+        if errors:
+            out["errors"] = errors
         with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w",
                   encoding="utf-8") as fh:
-            json.dump(best, fh)
+            json.dump(out, fh, indent=1, sort_keys=True)
             fh.write("\n")
     print(json.dumps(report))
+    spark.stop()
     return 0 if ok else 1
 
 

@@ -123,6 +123,37 @@ def test_hot_serving_runs_no_driver_action_with_cell_census(
     assert df.columns == ["vec_a", "vec_b", "sim_e6"]
 
 
+def test_ensure_upgrades_stale_sidecar_generation(spark, tmp_path):
+    """Round-9 advisor item: a pre-round-9 sidecar (meta lacking
+    n_planes / max_cell_pop on a hot index) must be treated as stale by
+    ensure_skew_sidecar and rewritten — not kept forever, silently
+    re-paying the per-query census job warm serving claims to avoid."""
+    import json
+
+    from tigerbeetle_cdc_nats_spark.sources import index_versioning as iv
+
+    path = str(tmp_path / "idx")
+    ai.write_ann_index(_corpus(spark, 200, hot=80), path, PLANES8, dim=DIM)
+    cap = 16
+    ai.write_skew_sidecar(spark, path, dim=DIM, cap=cap)
+    meta = ai.read_skew_meta(path)
+    assert meta["max_pop"] > cap and "max_cell_pop" in meta
+    # simulate the pre-round-9 generation: strip the round-9 fields
+    old = {k: v for k, v in meta.items()
+           if k not in ("n_planes", "max_cell_pop")}
+    mpath = os.path.join(iv.current_dir(path), "_skew_meta.json")
+    with open(mpath, "w", encoding="utf-8") as fh:
+        json.dump(old, fh)
+    ai.ensure_skew_sidecar(spark, path, dim=DIM, n_planes=8)
+    upgraded = ai.read_skew_meta(path)
+    assert upgraded["n_planes"] == 8
+    assert "max_cell_pop" in upgraded
+    # ...and a CURRENT meta is left untouched (still a no-op)
+    before = os.path.getmtime(mpath)
+    ai.ensure_skew_sidecar(spark, path, dim=DIM, n_planes=8)
+    assert os.path.getmtime(mpath) == before
+
+
 def test_stale_geometry_cell_census_ignored(spark, tmp_path):
     """A sidecar written under a DIFFERENT cap/sec/n_planes must not
     feed its cell census into serving: results stay identical to the

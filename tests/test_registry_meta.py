@@ -38,12 +38,12 @@ def test_oracles_reference_only_registered_views():
             assert "/root/" not in q.oracle, name
 
 
-def test_every_query_nonempty_at_smoke_sf(spark):
+def test_every_query_nonempty_at_smoke_sf(spark, sf_dir):
     """The driver smoke-checks entry() for >=0 rows; we hold ourselves to
     >=1 row for every registered query at sf0.001 (an accidentally-empty
     result would vacuously 'match' a broken oracle)."""
     for name, q in sorted(registry.all_queries().items()):
-        n = q.fn(spark, "/root/testdata/sf0.001").count()
+        n = q.fn(spark, sf_dir).count()
         assert n >= 1, f"{name} returned 0 rows at smoke SF"
 
 

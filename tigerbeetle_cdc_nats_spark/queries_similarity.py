@@ -310,7 +310,10 @@ def ensure_near_dup_index(spark: SparkSession,
     dim, planes = _dim(sf_dir), _planes(sf_dir)
     path = stored_index_dir("annlsh", sf_dir, table="embeddings")
     meta = ai.read_skew_meta(path) if iv.index_ready(path) else None
-    # parquet footer count when no sidecar knows n yet — metadata-only
+    # no sidecar knows n yet -> one count() scan job; a build-path-only
+    # cost paid once per index generation, never by warm serving (with
+    # parquet aggregate pushdown off — Spark's default — count(*) is a
+    # real scan, not a footer read)
     n = int(meta["n_rows"]) if meta else emb.count()
     adaptive = max(len(PLANES), sim.planes_for_corpus(n, target_bucket=64))
     if adaptive == len(planes):

@@ -209,9 +209,25 @@ def read_skew_centroids(spark: SparkSession, path: str) -> DataFrame | None:
 def ensure_skew_sidecar(spark: SparkSession, path: str, *,
                         dim: int | None = None,
                         n_planes: int | None = None) -> None:
-    """Write the sidecar for a pre-sidecar index (no-op when present)."""
-    if read_skew_meta(path) is None:
+    """Write the sidecar for a pre-sidecar index; ALSO upgrade a stale
+    sidecar generation (round-9 advisor item): a pre-round-9 meta lacks
+    ``n_planes``, and a hot index whose meta lacks ``max_cell_pop``
+    keeps paying the per-query depth-2 census job that the stored value
+    exists to eliminate. No-op only when the meta is current."""
+    meta = read_skew_meta(path)
+    if meta is None:
         write_skew_sidecar(spark, path, dim=dim, n_planes=n_planes)
+        return
+    known_planes = n_planes if n_planes is not None else meta.get("n_planes")
+    stale = (n_planes is not None and meta.get("n_planes") is None) or (
+        known_planes is not None
+        and meta.get("max_pop", 0) > meta.get("cap", 0)
+        and "max_cell_pop" not in meta)
+    if stale:
+        # keep the stale generation's cap: the upgrade adds the missing
+        # round-9 fields, it must not silently change the hot-bucket set
+        write_skew_sidecar(spark, path, dim=dim, cap=meta.get("cap"),
+                           n_planes=known_planes)
 
 
 def index_norm(idx: DataFrame, vec_col: str = "embedding",
