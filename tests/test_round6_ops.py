@@ -137,3 +137,18 @@ def test_ivf_probe_recall_monotone_in_nprobe(spark):
     for r in rows.values():
         assert 0 <= r["n_hits"] <= 25
         assert r["recall_e6"] == (1_000_000 * r["n_hits"]) // 25
+
+
+def test_mad_outliers_histogram_equals_rank_based(spark):
+    """Round-10 scale fix: the registered mad_outliers computes its exact
+    medians from the value-histogram CDF (one map-side-combinable shuffle
+    of the raw rows); the pre-round-10 rank-based form survives as the
+    bit-equality fixture. The ts tie-break in the rank form never changes
+    WHICH value sits at the median rank, so the two are exactly equal."""
+    from tigerbeetle_cdc_nats_spark.queries_relational import (
+        mad_outliers_rank_based)
+
+    got = sorted(map(tuple, _run(spark, "mad_outliers").collect()))
+    ref = sorted(map(tuple,
+                     mad_outliers_rank_based(spark, SF_DIR).collect()))
+    assert got == ref and len(got) >= 1
