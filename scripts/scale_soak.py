@@ -411,6 +411,16 @@ def main() -> None:
             timed("near_dup_indexed_clustered",
                   lambda: queries["embedding_near_dup_indexed"]
                   .fn(spark, out_dir), pair_rec)
+            # round 10: the |docs|-sized VERDICT over the same stored
+            # index — wall time must decouple from the pair volume
+            # (the c64 point's ~18.6M pairs never exist in this plan;
+            # hot buckets take the early-exit ascending scan). Recall
+            # scores the planted every-50th dup ids marked dropped.
+            verdict_rec = lambda df: planted_drop_recall(
+                df.where(F.col("is_kept") == 0), n_emb, "vec_id")
+            timed("dedup_verdict_clustered",
+                  lambda: queries["embedding_dedup_verdict"]
+                  .fn(spark, out_dir), verdict_rec)
         _report(results, recalls, mults)
         spark.stop()
         return

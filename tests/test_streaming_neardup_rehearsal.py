@@ -1,0 +1,136 @@
+"""Streaming maintenance rehearsal for the geometry-keyed near-dup index
+(round-9 judge item #2): the ``annlshw``-style index behind
+embedding_near_dup_indexed / embedding_dedup_verdict is now maintained
+per micro-batch (streaming/corpus.maintain_near_dup_index), so warm
+serving answers from an at-most-one-trigger-stale snapshot instead of
+whatever ensure_near_dup_index last built at serve time. This drives the
+full lifecycle — bootstrap -> appends -> stop -> crash-replay re-append
+-> restart -> compaction — and pins the SERVED pairs and the doc-level
+verdict bit-equal to a from-scratch rebuild AND to the computed path.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F, types as T
+
+from tigerbeetle_cdc_nats_spark.operators import similarity as sim
+from tigerbeetle_cdc_nats_spark.queries_similarity import (
+    near_dup_pairs_from_index,
+    near_dup_pairs_skewsafe,
+    near_dup_verdict_from_index,
+)
+from tigerbeetle_cdc_nats_spark.sources import ann_index as ai
+from tigerbeetle_cdc_nats_spark.sources import index_versioning as iv
+from tigerbeetle_cdc_nats_spark.streaming import corpus as sc
+
+DIM = 8
+PLANES8 = sim.hyperplanes(8, DIM)
+VEC_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+])
+
+
+def _vectors(spark, lo: int, hi: int, *, hot: int = 40):
+    """Deterministic id-derived vectors; ids < hot form a tight cluster
+    (the hot-bucket shape the skew sidecar exists for)."""
+    base = spark.range(lo, hi).withColumnRenamed("id", "vec_id")
+    comp = F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda d: F.when(F.col("vec_id") < hot,
+                         1.0 + (F.pmod(F.hash(F.col("vec_id") * 31 + d),
+                                       F.lit(100))) / 5000.0)
+        .otherwise((F.pmod(F.hash(F.col("vec_id") * 67 + d),
+                           F.lit(2001)) - 1000) / 1000.0).cast("float"))
+    return base.select("vec_id", comp.alias("embedding"))
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_near_dup_index_streaming_lifecycle(spark, tmp_path):
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "nd_idx")
+    chk = str(tmp_path / "chk")
+    os.makedirs(src)
+
+    def run_maintenance(compact_every=None):
+        stream = (spark.readStream.schema(VEC_SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = sc.maintain_near_dup_index(
+            stream, idx, PLANES8, checkpoint_dir=chk, dim=DIM,
+            trigger_seconds=0.2, compact_every=compact_every)
+        return q
+
+    def indexed_ids():
+        try:
+            return {r["vec_id"] for r in ai.read_ann_index(spark, idx)
+                    .select("vec_id").distinct().collect()}
+        except Exception:
+            return set()
+
+    def wait_for(pred, deadline):
+        while time.time() < deadline and not pred():
+            time.sleep(0.5)
+        assert pred(), "wait_for timeout"
+
+    # ---- phase 1: bootstrap + appends ----
+    _vectors(spark, 0, 60).coalesce(1).write.mode("append").parquet(src)
+    _vectors(spark, 60, 100).coalesce(1).write.mode("append").parquet(src)
+    q = run_maintenance()
+    try:
+        wait_for(lambda: indexed_ids() == set(range(100)),
+                 time.time() + 120)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    # bootstrap chose the near-dup layout (balanced flat, not bucket dirs)
+    assert ai._bucket_dir_layout(iv.current_dir(idx)) is False
+    meta = ai.read_skew_meta(idx)
+    assert meta is not None and meta["n_rows"] == 100
+    assert meta["n_planes"] == 8  # sidecar rode along with the appends
+
+    # ---- phase 2: crash-replay while the stream is DOWN — an
+    # uncommitted batch re-appends rows the index already holds ----
+    ai.append_ann_index(_vectors(spark, 60, 100), idx, PLANES8, dim=DIM)
+    assert ai.read_skew_meta(idx)["n_rows"] == 140  # dups visible (+40)
+
+    # ---- phase 3: more ingest + restart; compaction drops the dups ----
+    _vectors(spark, 100, 150).coalesce(1).write.mode("append").parquet(src)
+    q = run_maintenance(compact_every=1)
+    try:
+        wait_for(lambda: indexed_ids() == set(range(150)),
+                 time.time() + 120)
+        wait_for(lambda: (ai.read_skew_meta(idx) or {}).get("n_rows")
+                 == 150, time.time() + 120)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    assert ai._bucket_dir_layout(iv.current_dir(idx)) is False
+
+    # ---- equality: maintained == from-scratch rebuild == computed ----
+    corpus = _vectors(spark, 0, 150)
+    rebuild = str(tmp_path / "rebuild")
+    ai.write_ann_index(corpus, rebuild, PLANES8, dim=DIM,
+                       bucket_dirs=False)
+    maintained_pairs = _rows(near_dup_pairs_from_index(spark, idx, DIM))
+    assert maintained_pairs == _rows(
+        near_dup_pairs_from_index(spark, rebuild, DIM))
+    assert maintained_pairs == _rows(
+        near_dup_pairs_skewsafe(corpus, DIM, n_planes=8))
+    assert len(maintained_pairs) > 0  # the hot cluster yields real pairs
+
+    # hot-branch serving over the MAINTAINED index: re-census at a cap
+    # that makes the 40-row cluster hot, then pin the doc-level verdict
+    cap = 16
+    ai.write_skew_sidecar(spark, idx, dim=DIM, cap=cap)
+    ai.write_skew_sidecar(spark, rebuild, dim=DIM, cap=cap)
+    assert ai.read_skew_meta(idx)["max_pop"] > cap
+    got = _rows(near_dup_verdict_from_index(spark, idx, DIM, cap=cap))
+    assert got == _rows(near_dup_verdict_from_index(spark, rebuild, DIM,
+                                                    cap=cap))
+    assert len(got) == 150  # |docs|-sized verdict over maintained data

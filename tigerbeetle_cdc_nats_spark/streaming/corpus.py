@@ -278,3 +278,78 @@ def maintain_ann_index(vectors: DataFrame, index_path: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(processingTime=f"{trigger_seconds} seconds")
             .start())
+
+
+def _ann_index_bootstrapped(live: str) -> bool:
+    """True once the live snapshot holds vector data (bucket partition
+    dirs or flat parquet parts) — markers alone don't count."""
+    import os
+
+    try:
+        return any(e.startswith(("bucket=", "part-")) or
+                   e.endswith(".parquet") for e in os.listdir(live))
+    except OSError:
+        return False
+
+
+def maintain_near_dup_index(vectors: DataFrame, index_path: str,
+                            planes, *, checkpoint_dir: str, dim: int,
+                            trigger_seconds: float = 1.0,
+                            compact_every: int | None = None):
+    """Continuously maintain the GEOMETRY-KEYED near-dup index
+    (``annlshw{planes}``) that embedding_near_dup_indexed and
+    embedding_dedup_verdict serve from — closing the round-9 freshness
+    gap where that index was built or refreshed only by
+    ensure_near_dup_index at serve time, so continuous ingest served
+    stale snapshots until something re-opened the index.
+
+    Differences from maintain_ann_index (the probe-index twin):
+
+    - bootstrap writes the balanced FLAT layout (``bucket_dirs=False``)
+      explicitly — near-dup serving scans ALL buckets, where per-bucket
+      directories cluster each hot bucket onto one join task (the
+      measured 361 s vs 49 s c64 lesson pinned at
+      sources/ann_index.write_ann_index); later appends adopt the
+      stored layout;
+    - every append refreshes the SKEW SIDECAR (census max_pop +
+      hot-bucket centroids + level-1 cell max — write_ann_index does
+      this on both build and append paths), so warm serving keeps its
+      zero-Spark-jobs plan choice against the maintained index, never
+      a stale census.
+
+    The plane set is CALLER-owned (one geometry generation per index —
+    deriving planes per batch would split the index into incompatible
+    bucketings); crossing a planes_for_corpus boundary is an index
+    REBUILD under the lifecycle contract, not a maintenance event
+    (queries_similarity.ensure_near_dup_index sweeps the superseded
+    geometry dir). Replay detection + compaction follow _note_batch's
+    crash contract exactly like the other maintainers.
+    """
+    import os
+
+    from tigerbeetle_cdc_nats_spark.sources import ann_index as ai
+    from tigerbeetle_cdc_nats_spark.sources import index_versioning as iv
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        os.makedirs(index_path, exist_ok=True)
+        if _ann_index_bootstrapped(iv.current_dir(index_path)):
+            # marker BEFORE the append — see _note_batch's crash contract
+            replayed = _note_batch(index_path, batch_id)
+            ai.append_ann_index(batch_df, index_path, planes, dim=dim)
+        else:
+            # bootstrap is a full overwrite (wipes markers) — note after
+            ai.write_ann_index(batch_df, index_path, planes, dim=dim,
+                               bucket_dirs=False)
+            open(os.path.join(index_path, "_SUCCESS"), "a").close()
+            replayed = _note_batch(index_path, batch_id)
+        if replayed or (compact_every and batch_id > 0
+                        and batch_id % compact_every == 0):
+            ai.compact_ann_index(batch_df.sparkSession, index_path)
+
+    return (vectors.writeStream
+            .foreachBatch(append_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start())
