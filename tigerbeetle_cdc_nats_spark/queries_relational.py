@@ -2288,9 +2288,14 @@ def q_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the pair join is keyed on l_orderkey, so its cost is
     sum-over-orders of C(basket_size, 2) — linear when baskets are
-    bounded (TPC-H ~4 lines/order; a degenerate mega-basket is
-    skew-salting territory). Group and total counts are tiny aggregates
-    broadcast into the final lift projection.
+    bounded (TPC-H ~4 lines/order). The mega-basket guard is STRUCTURAL
+    (round-10): the pre-join ``distinct()`` over (order, pgrp) caps every
+    order at |pgrp domain| = 50 rows, so a degenerate 10k-line order
+    contributes at most C(50, 2) = 1225 pairs — no salting needed, and
+    the distinct's own shuffle hashes on BOTH columns so the mega
+    order's raw lines spread across tasks (pinned by
+    tests/test_part_cooccurrence_skew.py). Group and total counts are
+    tiny aggregates broadcast into the final lift projection.
     """
     li = (load_table(spark, sf_dir, "lineitem")
           .select("l_orderkey", (F.col("l_partkey") % 50).alias("pgrp"))
