@@ -7,11 +7,16 @@ oscillating in ~15-minute load windows that methodology cannot converge —
 each ~13-minute run lands in a different window, so six consecutive
 attempts failed (deltas 2.5-26.6%) on identical code. The fix is the
 pairing, not the host: this version runs ONE harness invocation of
-2*BENCH_REPEATS full round-robin passes and assigns alternating passes to
-sample A and sample B (A B A B A B). Adjacent passes see the same load
-windows, so the oscillation term cancels out of the A-vs-B comparison
-while the samples stay statistically independent per query (min over
-disjoint pass sets). Asserts:
+BENCH_REPEATS round-robin passes where EACH QUERY is timed twice
+back-to-back (A/B order alternating per pass), so a query's two samples
+sit seconds apart inside the same load window and the oscillation term
+cancels out of the A-vs-B comparison at every run position. (The first
+interleaving attempt alternated whole PASSES — A B A B A B — which fixed
+the totals, delta 26.6% -> 1.97%, but left same-position samples a full
+~3-minute pass apart: the host's intra-window drift re-entered as a
+position-correlated ratio, r = -0.45. Query-level pairing removes that
+term too; the pass structure is kept so min() still spreads each query's
+repeats across windows for the MAP's sake.) Asserts:
 
 - total wall-seconds of A and B agree within 3%;
 - the per-query ratio (B/A) is position-UNCORRELATED
@@ -78,9 +83,47 @@ def main() -> int:
     index_build = ensure_indexes(spark, sf_dir)
     warm_s = time.perf_counter() - t0
 
-    passes, errors = bench.run_passes(spark, sf_dir, 2 * max(1, repeats))
-    run_a = min_over(passes[0::2])
-    run_b = min_over(passes[1::2])
+    queries = __import__(
+        "tigerbeetle_cdc_nats_spark.registry", fromlist=["registry"]
+    ).all_queries()
+    errors: dict[str, str] = {}
+    a_passes: list[dict[str, float]] = []
+    b_passes: list[dict[str, float]] = []
+    # at least 2 passes: with one pass the A/B order never alternates, so
+    # sample A systematically carries every query's first-run cost (JIT /
+    # codegen-cache cold — measured 44.8% delta at sf0.001); two passes
+    # give each side one second-position run for min() to keep
+    repeats = max(2, repeats)
+    for p in range(repeats):
+        ta: dict[str, float] = {}
+        tb: dict[str, float] = {}
+        for name, q in sorted(queries.items()):
+            if name in errors:
+                continue
+            try:
+                t0 = time.perf_counter()
+                bench.materialize(q.fn(spark, sf_dir))
+                t1 = time.perf_counter()
+                bench.materialize(q.fn(spark, sf_dir))
+                t2 = time.perf_counter()
+            except Exception as exc:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                continue
+            first, second = t1 - t0, t2 - t1
+            # alternate which sample goes first so any systematic
+            # first-vs-second (cache-warmth) bias splits across A and B
+            if p % 2 == 0:
+                ta[name], tb[name] = first, second
+            else:
+                tb[name], ta[name] = first, second
+        a_passes.append(ta)
+        b_passes.append(tb)
+    for t in a_passes + b_passes:
+        for name in errors:
+            t.pop(name, None)
+    passes = a_passes + b_passes  # pooled map source
+    run_a = min_over(a_passes)
+    run_b = min_over(b_passes)
 
     t1, t2 = sum(run_a.values()), sum(run_b.values())
     delta = abs(t1 - t2) / min(t1, t2) if min(t1, t2) else 1.0
@@ -96,8 +139,8 @@ def main() -> int:
 
     ok = delta <= TOTAL_TOLERANCE and abs(r_pos) <= POSITION_R_BOUND
     report = {
-        "method": "interleaved A/B passes, one invocation",
-        "passes": 2 * max(1, repeats),
+        "method": "query-level paired A/B samples, one invocation",
+        "samples_per_query": 2 * repeats,
         "total_run1_s": round(t1, 3),
         "total_run2_s": round(t2, 3),
         "total_delta_pct": round(delta * 100, 3),
