@@ -619,26 +619,32 @@ def near_dup_verdict_from_index(spark: SparkSession, path: str, dim: int, *,
                     F.col("_rep").isNull().cast("long").alias("is_kept")))
 
 
-@register(
-    "embedding_dedup_verdict",
-    f"""WITH b AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
+#: Shared verdict CTE chain (embedding_dedup_verdict + its stats rollup):
+#: one-step greedy keep-first-by-id — a doc is dropped iff some SMALLER
+#: same-bucket doc is a near-dup (cosine >= 0.3 under the pinned 8-plane
+#: geometry), and its representative is the smallest such neighbor. Same
+#: bounds + sentinel discipline as embedding_near_dup: past either bound
+#: the oracle emits only the impossible row instead of silently matching.
+_VERDICT_CTES = f"""b AS (SELECT vec_id, embedding, {_BUCKET} AS bucket FROM embeddings),
 q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket FROM b),
 c AS (SELECT vec_id AS c_id, embedding AS c_emb, bucket AS c_bucket FROM b),
 n AS (SELECT COUNT(*) AS n_vec FROM embeddings),
 mp AS (SELECT MAX(cnt) AS maxpop
        FROM (SELECT COUNT(*) AS cnt FROM b GROUP BY bucket)),
--- one-step greedy keep-first-by-id: a doc is dropped iff some SMALLER
--- same-bucket doc is a near-dup (cosine >= 0.3 under the pinned 8-plane
--- geometry), and its representative is the smallest such neighbor. Same
--- bounds + sentinel discipline as embedding_near_dup: past either bound
--- the oracle emits only the impossible row instead of silently matching
 m AS (SELECT c_id AS vec_id, MIN(q_id) AS rep
       FROM q JOIN c ON q_bucket = c_bucket AND q_id < c_id
       WHERE {_COS} >= 300000
-      GROUP BY c_id)
-SELECT b.vec_id, COALESCE(m.rep, b.vec_id) AS rep_id,
-       CAST(m.rep IS NULL AS BIGINT) AS is_kept
-FROM b LEFT JOIN m USING (vec_id), n, mp
+      GROUP BY c_id),
+v AS (SELECT b.vec_id, COALESCE(m.rep, b.vec_id) AS rep_id,
+             CAST(m.rep IS NULL AS BIGINT) AS is_kept
+      FROM b LEFT JOIN m USING (vec_id))"""
+
+
+@register(
+    "embedding_dedup_verdict",
+    f"""WITH {_VERDICT_CTES}
+SELECT v.vec_id, v.rep_id, v.is_kept
+FROM v, n, mp
 WHERE n.n_vec <= 16384 AND mp.maxpop <= 256
 UNION ALL
 SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
@@ -676,6 +682,62 @@ def q_embedding_dedup_verdict(spark: SparkSession,
     ids = emb.select("vec_id")
     pairs = near_dup_pairs_skewsafe(emb, dim, corpus_size=emb.count())
     return _verdict_from_pairs(ids, pairs)
+
+
+@register(
+    "dedup_verdict_stats",
+    f"""WITH {_VERDICT_CTES},
+s AS (SELECT COUNT(*) AS n_docs,
+             CAST(SUM(is_kept) AS BIGINT) AS n_kept,
+             CAST(SUM(1 - is_kept) AS BIGINT) AS n_dropped,
+             COUNT(DISTINCT CASE WHEN is_kept = 0 THEN rep_id END)
+               AS n_reps
+      FROM v),
+f AS (SELECT COALESCE(MAX(cnt), CAST(0 AS BIGINT)) AS max_rep_fanout
+      FROM (SELECT COUNT(*) AS cnt FROM v WHERE is_kept = 0
+            GROUP BY rep_id))
+SELECT s.n_docs, s.n_kept, s.n_dropped,
+       CAST((s.n_dropped * 1000000) // s.n_docs AS BIGINT) AS dup_rate_e6,
+       s.n_reps, CAST(f.max_rep_fanout AS BIGINT) AS max_rep_fanout
+FROM s, f, n, mp
+WHERE n.n_vec <= 16384 AND mp.maxpop <= 256
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+FROM n, mp WHERE n.n_vec > 16384 OR mp.maxpop > 256""",
+    doc="dedup-run observability: the one-row summary a pipeline logs "
+        "per dedup pass — corpus size, kept/dropped counts, integer-e6 "
+        "dup rate, distinct representatives, and the largest single-"
+        "representative fan-out — aggregated from the |docs|-sized "
+        "verdict, so the stats inherit its decoupled-from-pair-volume "
+        "plan (the pair list never exists here either)",
+)
+def q_dedup_verdict_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row rollup of embedding_dedup_verdict.
+
+    Scale shape: two |docs|-input aggregates over the verdict (a global
+    count/sum and a rep-keyed fan-out census whose output is |reps|
+    rows), composed by broadcasts of 1-row aggregates — nothing here
+    exceeds the verdict plan's own cost envelope.
+    """
+    from pyspark.sql import functions as F
+
+    v = q_embedding_dedup_verdict(spark, sf_dir)
+    s = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_kept").cast("long").alias("n_kept"),
+        F.sum(1 - F.col("is_kept")).cast("long").alias("n_dropped"),
+        F.countDistinct(F.when(F.col("is_kept") == 0, F.col("rep_id")))
+        .cast("long").alias("n_reps"))
+    fan = (v.where(F.col("is_kept") == 0)
+           .groupBy("rep_id").agg(F.count(F.lit(1)).alias("cnt"))
+           .agg(F.coalesce(F.max("cnt"), F.lit(0)).cast("long")
+                .alias("max_rep_fanout")))
+    return (s.join(F.broadcast(fan))
+            .select("n_docs", "n_kept", "n_dropped",
+                    F.expr("(n_dropped * 1000000) div n_docs")
+                    .cast("long").alias("dup_rate_e6"),
+                    "n_reps", "max_rep_fanout"))
 
 
 def near_dup_pairs_pinned(emb, planes, dim: int):
