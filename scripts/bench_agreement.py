@@ -7,9 +7,10 @@ oscillating in ~15-minute load windows that methodology cannot converge —
 each ~13-minute run lands in a different window, so six consecutive
 attempts failed (deltas 2.5-26.6%) on identical code. The fix is the
 pairing, not the host: this version runs ONE harness invocation of
-BENCH_REPEATS round-robin passes where EACH QUERY is timed twice
-back-to-back (A/B order alternating per pass), so a query's two samples
-sit seconds apart inside the same load window and the oscillation term
+BENCH_REPEATS round-robin passes where EACH QUERY is timed three times
+back-to-back — a discarded warmup plus the A and B samples (order
+alternating per even-count pass) — so a query's two compared samples sit
+seconds apart inside the same load window and the oscillation term
 cancels out of the A-vs-B comparison at every run position. (The first
 interleaving attempt alternated whole PASSES — A B A B A B — which fixed
 the totals, delta 26.6% -> 1.97%, but left same-position samples a full
@@ -89,14 +90,23 @@ def main() -> int:
     errors: dict[str, str] = {}
     a_passes: list[dict[str, float]] = []
     b_passes: list[dict[str, float]] = []
-    # at least 2 passes: with one pass the A/B order never alternates, so
-    # sample A systematically carries every query's first-run cost (JIT /
-    # codegen-cache cold — measured 44.8% delta at sf0.001); two passes
-    # give each side one second-position run for min() to keep
+    warm_passes: list[dict[str, float]] = []
+    # Each pass times THREE consecutive runs per query and DISCARDS the
+    # first from the A/B comparison: the first run of a back-to-back
+    # group systematically carries the per-plan warmup (janino codegen
+    # cache, JVM JIT of the generated classes, shuffle-file page cache)
+    # — measured 44.8% A-vs-B delta at sf0.001 with naked pairs, and
+    # 14.3% at sf0.1 when a loaded first pass pushed every min() into
+    # one pass and the fixed first-position role surfaced. The two
+    # retained runs are both warm; alternating which of them is A per
+    # pass (over an EVEN pass count, so the roles balance exactly)
+    # removes the residual second-vs-third asymmetry too.
     repeats = max(2, repeats)
+    repeats += repeats % 2
     for p in range(repeats):
         ta: dict[str, float] = {}
         tb: dict[str, float] = {}
+        tw: dict[str, float] = {}
         for name, q in sorted(queries.items()):
             if name in errors:
                 continue
@@ -106,22 +116,24 @@ def main() -> int:
                 t1 = time.perf_counter()
                 bench.materialize(q.fn(spark, sf_dir))
                 t2 = time.perf_counter()
+                bench.materialize(q.fn(spark, sf_dir))
+                t3 = time.perf_counter()
             except Exception as exc:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 continue
-            first, second = t1 - t0, t2 - t1
-            # alternate which sample goes first so any systematic
-            # first-vs-second (cache-warmth) bias splits across A and B
+            tw[name] = t1 - t0  # warmup: pooled into the map, not A/B
+            second, third = t2 - t1, t3 - t2
             if p % 2 == 0:
-                ta[name], tb[name] = first, second
+                ta[name], tb[name] = second, third
             else:
-                tb[name], ta[name] = first, second
+                tb[name], ta[name] = second, third
         a_passes.append(ta)
         b_passes.append(tb)
-    for t in a_passes + b_passes:
+        warm_passes.append(tw)
+    for t in a_passes + b_passes + warm_passes:
         for name in errors:
             t.pop(name, None)
-    passes = a_passes + b_passes  # pooled map source
+    passes = a_passes + b_passes + warm_passes  # pooled map source
     run_a = min_over(a_passes)
     run_b = min_over(b_passes)
 
@@ -140,7 +152,7 @@ def main() -> int:
     ok = delta <= TOTAL_TOLERANCE and abs(r_pos) <= POSITION_R_BOUND
     report = {
         "method": "query-level paired A/B samples, one invocation",
-        "samples_per_query": 2 * repeats,
+        "samples_per_query": 3 * repeats,
         "total_run1_s": round(t1, 3),
         "total_run2_s": round(t2, 3),
         "total_delta_pct": round(delta * 100, 3),
