@@ -111,6 +111,9 @@ EMB_OPS = [
     # index + skew sidecar); its first timed call builds the index, so
     # the min-over-repeats is the warm serving cost.
     "embedding_near_dup_indexed",
+    # round 10: the |docs|-sized dedup verdict + its one-row rollup
+    # (early-exit hot-bucket scan; wall decoupled from pair volume).
+    "embedding_dedup_verdict", "dedup_verdict_stats",
 ]
 #: events-table window/aggregation family (time-series scale risks:
 #: per-user window sorts, global percentile sorts, self-join rollups).
