@@ -223,6 +223,12 @@ def test_end_to_end_corpus_rehearsal(spark, tmp_path):
     assert os.path.exists(os.path.join(mh_idx, iv.CURRENT))
     assert os.path.exists(os.path.join(ann_idx, iv.CURRENT))
 
+    # round 10: the streaming-built PROBE index must carry the
+    # bucket-DIRECTORY layout (file-level pruning for probes) — the
+    # bootstrap used to layout-detect against a dir holding only the
+    # .last_batch marker and silently adopt the flat layout
+    assert ai._bucket_dir_layout(iv.current_dir(ann_idx)) is True
+
     # ---- the verdict: SERVED candidates == batch recompute ----
     served = sorted(map(tuple, di.minhash_pairs_from_index(
         di.read_minhash_index(spark, mh_idx)).collect()))

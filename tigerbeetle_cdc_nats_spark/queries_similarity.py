@@ -467,6 +467,18 @@ def q_embedding_near_dup_indexed(spark: SparkSession,
 VERDICT_SCAN_CAP = 32768
 
 
+def _assemble_verdict(ids: DataFrame, rep: DataFrame) -> DataFrame:
+    """Left-join the (vec_id, _rep) drop table onto the full doc list:
+    docs without a smaller matching neighbor keep themselves."""
+    from pyspark.sql import functions as F
+
+    return (ids.join(rep, "vec_id", "left")
+            .select("vec_id",
+                    F.coalesce("_rep", "vec_id").cast("long")
+                    .alias("rep_id"),
+                    F.col("_rep").isNull().cast("long").alias("is_kept")))
+
+
 def _verdict_from_pairs(ids: DataFrame, pairs: DataFrame) -> DataFrame:
     """(vec_id, rep_id, is_kept) from a (vec_a < vec_b, sim_e6) pair set:
     the one-step greedy keep-first-by-id rule — a doc is dropped iff some
@@ -480,11 +492,7 @@ def _verdict_from_pairs(ids: DataFrame, pairs: DataFrame) -> DataFrame:
 
     rep = (pairs.groupBy(F.col("vec_b").alias("vec_id"))
            .agg(F.min("vec_a").alias("_rep")))
-    return (ids.join(rep, "vec_id", "left")
-            .select("vec_id",
-                    F.coalesce("_rep", "vec_id").cast("long")
-                    .alias("rep_id"),
-                    F.col("_rep").isNull().cast("long").alias("is_kept")))
+    return _assemble_verdict(ids, rep)
 
 
 def _verdict_hot_scan(hot: DataFrame, dim: int) -> DataFrame:
@@ -611,12 +619,7 @@ def near_dup_verdict_from_index(spark: SparkSession, path: str, dim: int, *,
     cold_rep = (cold_pairs.groupBy(F.col("vec_b").alias("vec_id"))
                 .agg(F.min("vec_a").alias("_rep")))
     hot_rep = _verdict_hot_scan(hot, dim).where(F.col("_rep") >= 0)
-    rep = cold_rep.unionByName(hot_rep)
-    return (ids.join(rep, "vec_id", "left")
-            .select("vec_id",
-                    F.coalesce("_rep", "vec_id").cast("long")
-                    .alias("rep_id"),
-                    F.col("_rep").isNull().cast("long").alias("is_kept")))
+    return _assemble_verdict(ids, cold_rep.unionByName(hot_rep))
 
 
 #: Shared verdict CTE chain (embedding_dedup_verdict + its stats rollup):

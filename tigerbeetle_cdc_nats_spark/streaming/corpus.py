@@ -260,15 +260,28 @@ def maintain_ann_index(vectors: DataFrame, index_path: str,
     immediately — see _note_batch.
     """
     from tigerbeetle_cdc_nats_spark.sources import ann_index as ai
+    from tigerbeetle_cdc_nats_spark.sources import index_versioning as iv
 
     def append_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():
             import os
 
-            # marker before the append — see _note_batch's crash contract
             os.makedirs(index_path, exist_ok=True)
-            replayed = _note_batch(index_path, batch_id)
-            ai.append_ann_index(batch_df, index_path, planes, dim=dim)
+            if _ann_index_bootstrapped(iv.current_dir(index_path)):
+                # marker before the append — see _note_batch's contract
+                replayed = _note_batch(index_path, batch_id)
+                ai.append_ann_index(batch_df, index_path, planes, dim=dim)
+            else:
+                # explicit bucket-DIRECTORY bootstrap: probe serving
+                # prunes on the partition column, and append-time layout
+                # detection on a dir holding only the .last_batch marker
+                # would otherwise silently adopt the flat layout (losing
+                # file-level pruning for every later probe). Overwrite
+                # wipes markers, so note after.
+                ai.write_ann_index(batch_df, index_path, planes, dim=dim,
+                                   bucket_dirs=True)
+                open(os.path.join(index_path, "_SUCCESS"), "a").close()
+                replayed = _note_batch(index_path, batch_id)
             if replayed or (compact_every and batch_id > 0
                             and batch_id % compact_every == 0):
                 ai.compact_ann_index(batch_df.sparkSession, index_path)
