@@ -190,6 +190,14 @@ def main() -> int:
             "queries": {k: round(v, 4) for k, v in sorted(pooled.items())},
             "index_build": index_build,
             "sf": sf,
+            # provenance: this map pools min over MORE samples than
+            # bench.py's min-over-BENCH_REPEATS, so round-over-round
+            # comparisons must check these fields match (round-10
+            # advice) — a 3-sample map and a 9-sample map are not
+            # directly comparable.
+            "method": "bench_agreement pooled min over all passes, "
+                      "agreement-gated",
+            "samples_per_query": len(passes),
         }
         if errors:
             out["errors"] = errors

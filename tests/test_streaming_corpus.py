@@ -495,3 +495,24 @@ def test_ann_maintenance_auto_compaction(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination(60)
+
+
+def test_note_batch_missing_marker_is_suspected_replay(tmp_path):
+    """Crash window between the bootstrap overwrite and its marker write
+    (round-10 advice): the replayed first batch re-enters via the APPEND
+    path with no ``.last_batch`` present, so the append-path call must
+    treat the missing marker as a suspected replay — otherwise its
+    duplicate rows never compact when compact_every=None."""
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx)
+    # bootstrap path (suspect_if_missing=False): fresh dir, not a replay
+    assert sc._note_batch(idx, 0) is False
+    # normal append: marker present, higher id -> not a replay
+    assert sc._note_batch(idx, 1, suspect_if_missing=True) is False
+    # true replay: same id re-delivered
+    assert sc._note_batch(idx, 1, suspect_if_missing=True) is True
+    # crash window: marker lost after data landed -> suspected replay
+    os.remove(os.path.join(idx, ".last_batch"))
+    assert sc._note_batch(idx, 2, suspect_if_missing=True) is True
+    # ...and the marker is restored by that call
+    assert sc._note_batch(idx, 3, suspect_if_missing=True) is False

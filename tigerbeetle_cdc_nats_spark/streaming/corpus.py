@@ -131,7 +131,8 @@ def normalized_dedup_stream(docs: DataFrame, *,
     return out.dropDuplicates(["norm_h"])
 
 
-def _note_batch(index_path: str, batch_id: int) -> bool:
+def _note_batch(index_path: str, batch_id: int, *,
+                suspect_if_missing: bool = False) -> bool:
     """Record ``batch_id`` in the index's ``.last_batch`` marker and
     return True when it is a REPLAY (id <= the recorded high-water mark).
 
@@ -144,9 +145,20 @@ def _note_batch(index_path: str, batch_id: int) -> bool:
     append would leave a crash-between-append-and-marker replay
     undetected, and with ``compact_every=None`` (replay detection as the
     only compactor) the duplicate rows would never be compacted.
-    The marker lives under the index's single-writer contract (same
-    owner as appends/compaction), written via tmp+replace so a crash
-    mid-write degrades to "marker missing" (treated as not-a-replay)."""
+
+    ``suspect_if_missing=True`` (the APPEND paths, where index data is
+    present by precondition) additionally treats a MISSING marker as a
+    suspected replay: the bootstrap overwrite wipes the directory and
+    re-writes the marker only after its data lands, so "data present,
+    no marker" is exactly the crash-between-bootstrap-write-and-marker
+    window — the replayed first batch would otherwise re-enter via the
+    append path undetected and its duplicate rows never compact
+    (round-10 advice). The bootstrap paths pass False: a marker is
+    never present right after the wipe, and the overwrite itself is
+    replay-idempotent. The marker lives under the index's single-writer
+    contract (same owner as appends/compaction), written via
+    tmp+replace so a crash mid-write degrades to "marker missing"
+    (compacted-on-suspicion by the next append)."""
     import os
 
     marker = os.path.join(index_path, ".last_batch")
@@ -156,7 +168,8 @@ def _note_batch(index_path: str, batch_id: int) -> bool:
             last = int(fh.read().strip())
     except (OSError, ValueError):
         pass
-    replayed = last is not None and batch_id <= last
+    replayed = ((last is not None and batch_id <= last)
+                or (last is None and suspect_if_missing))
     tmp = marker + ".tmp"
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(str(max(batch_id, last if last is not None else -1)))
@@ -211,8 +224,11 @@ def maintain_minhash_index(docs: DataFrame, index_path: str, *,
             if os.path.exists(os.path.join(iv.current_dir(index_path),
                                            di._META)):
                 # marker BEFORE the append (see _note_batch): detection
-                # must survive a crash between append and marker write
-                replayed = _note_batch(index_path, batch_id)
+                # must survive a crash between append and marker write;
+                # a MISSING marker here means the bootstrap crashed
+                # before noting -> suspected replay, compact
+                replayed = _note_batch(index_path, batch_id,
+                                       suspect_if_missing=True)
                 di.append_minhash_index(batch_df, index_path)
             else:
                 # bootstrap is a full OVERWRITE (wipes the dir, marker
@@ -268,8 +284,11 @@ def maintain_ann_index(vectors: DataFrame, index_path: str,
 
             os.makedirs(index_path, exist_ok=True)
             if _ann_index_bootstrapped(iv.current_dir(index_path)):
-                # marker before the append — see _note_batch's contract
-                replayed = _note_batch(index_path, batch_id)
+                # marker before the append — see _note_batch's
+                # contract; missing marker = bootstrap crashed before
+                # noting -> suspected replay
+                replayed = _note_batch(index_path, batch_id,
+                                       suspect_if_missing=True)
                 ai.append_ann_index(batch_df, index_path, planes, dim=dim)
             else:
                 # explicit bucket-DIRECTORY bootstrap: probe serving
@@ -348,8 +367,11 @@ def maintain_near_dup_index(vectors: DataFrame, index_path: str,
             return
         os.makedirs(index_path, exist_ok=True)
         if _ann_index_bootstrapped(iv.current_dir(index_path)):
-            # marker BEFORE the append — see _note_batch's crash contract
-            replayed = _note_batch(index_path, batch_id)
+            # marker BEFORE the append — see _note_batch's crash
+            # contract; missing marker = bootstrap crashed before
+            # noting -> suspected replay
+            replayed = _note_batch(index_path, batch_id,
+                                   suspect_if_missing=True)
             ai.append_ann_index(batch_df, index_path, planes, dim=dim)
         else:
             # bootstrap is a full overwrite (wipes markers) — note after
