@@ -1,0 +1,105 @@
+"""text_dedup_verdict tier tests (round-11): the three exact tiers
+(cold min-fold join, hot early-exit scan, mega grid-salted join) must be
+bit-equal to the brute-force pair fold and to each other, and the
+verdict must tolerate replayed duplicate index rows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tigerbeetle_cdc_nats_spark.operators import dedup as dd
+from tigerbeetle_cdc_nats_spark.queries_dedup import (
+    DUP_CLUSTER_THRESHOLD,
+    text_verdict_from_banded,
+)
+
+VOCAB = ("key agg row scan slow fast table value part hash merge batch "
+         "spark line sort window query big small stream").split()
+
+
+def _docs(spark, n: int, *, dup_every: int = 10):
+    """Synthetic docs: every ``dup_every``-th doc re-derives its
+    predecessor's words plus one edit (the scale-soak recipe) — a
+    planted near-dup whose signatures agree on ~all slots."""
+    rows = []
+    for i in range(n):
+        src = i - 1 if (i % dup_every == 0 and i > 0) else i
+        words = [VOCAB[(src * 131 + j) % len(VOCAB)]
+                 for j in range(40 + src % 13)]
+        text = " ".join(words) + (" edit" if src != i else "")
+        rows.append((i, text))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _banded(spark, n: int):
+    return dd.banded_buckets(dd.minhash_signatures(_docs(spark, n)))
+
+
+def _expected(ids, banded):
+    """Reference: fold the full est-scored pair list (the registered
+    minhash_dedup pair definition) at the 0.5 threshold."""
+    rep = (dd.pairs_est_from_banded(banded)
+           .where(F.col("est_jaccard") >= DUP_CLUSTER_THRESHOLD)
+           .groupBy(F.col("doc_b").alias("doc_id"))
+           .agg(F.min("doc_a").alias("_rep")))
+    return (ids.join(rep, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("_rep", F.col("doc_id")).cast("long")
+                    .alias("rep_id"),
+                    F.col("_rep").isNull().cast("long").alias("is_kept")))
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_all_tiers_bit_equal(spark):
+    """Forcing every bucket through each tier must give the same verdict
+    as the brute-force pair fold — the tiers are plan choices, never
+    semantic choices."""
+    banded = _banded(spark, 150).persist()
+    ids = spark.range(150).withColumnRenamed("id", "doc_id")
+    want = _rows(_expected(ids, banded))
+    assert want  # sanity: planted dups exist and some docs are dropped
+    assert any(r[2] == 0 for r in want)
+    # cold-only: cap above every bucket population
+    assert _rows(text_verdict_from_banded(
+        ids, banded, cap=10**9)) == want
+    # hot-scan-only: every non-empty bucket is "hot"
+    assert _rows(text_verdict_from_banded(
+        ids, banded, cap=0, scan_cap=10**9)) == want
+    # mega-only: every bucket with >1 doc takes the grid-salted join
+    assert _rows(text_verdict_from_banded(
+        ids, banded, cap=0, scan_cap=1)) == want
+    # production defaults (mixed tiers on this corpus)
+    assert _rows(text_verdict_from_banded(ids, banded)) == want
+    banded.unpersist()
+
+
+def test_replayed_duplicate_rows_do_not_change_verdict(spark):
+    """Duplicate banded rows (a replayed streaming append before
+    compaction) must not change any tier's verdict — in particular a
+    doc must never match its own replayed copy in the hot scan and
+    become its own dropped representative."""
+    banded = _banded(spark, 80).persist()
+    ids = spark.range(80).withColumnRenamed("id", "doc_id")
+    doubled = banded.unionByName(banded)
+    want = _rows(_expected(ids, banded))
+    for caps in ({"cap": 10**9}, {"cap": 0, "scan_cap": 10**9},
+                 {"cap": 0, "scan_cap": 1}):
+        assert _rows(text_verdict_from_banded(ids, doubled,
+                                              **caps)) == want
+    banded.unpersist()
+
+
+def test_verdict_is_docs_sized_and_covers_unsigned_docs(spark):
+    """One row per doc, including docs with empty shingle sets (never
+    enter the index) — those are kept with themselves as rep."""
+    docs = _docs(spark, 60).unionByName(spark.createDataFrame(
+        [(1000, ""), (1001, "   ")], "doc_id long, text string"))
+    banded = dd.banded_buckets(dd.minhash_signatures(docs))
+    got = text_verdict_from_banded(docs.select("doc_id"), banded)
+    rows = {r["doc_id"]: r for r in got.collect()}
+    assert len(rows) == 62
+    for d in (1000, 1001):
+        assert rows[d]["is_kept"] == 1 and rows[d]["rep_id"] == d

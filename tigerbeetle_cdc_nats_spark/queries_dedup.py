@@ -1326,3 +1326,237 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((1000000 * n_dup_docs) DIV n_docs AS BIGINT)")
         .alias("dup_frac_e6"),
     )
+
+
+# -- text dedup VERDICT (round-11) -------------------------------------------
+#
+# The |docs|-sized per-doc keep/drop decision over the MinHash LSH dup
+# graph — the text twin of queries_similarity.embedding_dedup_verdict
+# (round-10 headline), so a 100 TB curation run consumes one row per doc
+# instead of the candidate-pair list. Unlike the embedding verdict, EVERY
+# tier here is exact (signature agreement is 16 integer compares, ~60x
+# cheaper than a dim-64 float dot), so there is no recall-lossy mega
+# fallback and no oracle sentinel: the degenerate mega bucket takes a
+# grid-salted equi-join that distributes its quadratic pair volume over
+# ceil(pop/scan_cap) tasks instead of risking one unbounded task.
+
+#: band-bucket population at or under which the plain min-fold join runs.
+TEXT_VERDICT_CAP = 256
+#: population at or under which a hot bucket takes the early-exit scan;
+#: past it the grid-salted exact join distributes the bucket.
+TEXT_VERDICT_SCAN_CAP = 65536
+#: signature agreements (of MINHASH_K) at or above which a candidate pair
+#: is a dup edge: agree/K >= DUP_CLUSTER_THRESHOLD, integer on both
+#: engines so the gate is exact.
+TEXT_DUP_AGREE = int(dd.MINHASH_K * DUP_CLUSTER_THRESHOLD)
+
+
+def _sig_agree_ok() -> F.Column:
+    """Dup-edge gate over projected (sig_a, sig_b) columns: at least
+    TEXT_DUP_AGREE of the MINHASH_K signature slots agree."""
+    return F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                      lambda x, y: x == y),
+                           lambda v: v)) >= TEXT_DUP_AGREE
+
+
+def _text_pairs_projected(a: DataFrame, b: DataFrame,
+                          extra_keys: list[str] | None = None) -> DataFrame:
+    """(a_id < b_id) candidate projection over two aliased banded sides,
+    joined on (band, bucket [, extra_keys]) — shared by the cold and
+    mega tiers so their expressions are identical."""
+    keys = ["band", "bucket"] + (extra_keys or [])
+    cond = None
+    for k in keys:
+        c = F.col(f"a.{k}") == F.col(f"b.{k}")
+        cond = c if cond is None else (cond & c)
+    return (a.alias("a").join(b.alias("b"),
+                              cond & (F.col("a.doc_id")
+                                      < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("a_id"),
+                    F.col("b.doc_id").alias("b_id"),
+                    F.col("a.sig").alias("sig_a"),
+                    F.col("b.sig").alias("sig_b")))
+
+
+def _text_rep_fold(pairs: DataFrame) -> DataFrame:
+    """min() fold of a candidate projection into per-doc smallest dup
+    neighbor. NO dropDuplicates anywhere: the min aggregate folds
+    map-side where pairs are generated, so only |docs| partials ever
+    shuffle and the pair list is never materialized (the same argument
+    as queries_similarity._verdict_from_pairs; duplicate banded rows
+    from replayed appends only produce duplicate pairs, which cannot
+    change a min)."""
+    return (pairs.where(_sig_agree_ok())
+            .groupBy(F.col("b_id").alias("doc_id"))
+            .agg(F.min("a_id").alias("_rep")))
+
+
+def _text_verdict_hot_scan(hot: DataFrame) -> DataFrame:
+    """Early-exit per-(band, bucket) verdict scan for HOT buckets: docs
+    scan their smaller neighbors in ASCENDING doc_id order, chunk by
+    doubling chunk, stopping at the FIRST >= TEXT_DUP_AGREE hit — which
+    by construction IS that bucket's minimum matching neighbor. A
+    boilerplate/near-identical cluster (the only realistic corpus shape
+    that overfills a 2-minhash band bucket) hits in the first chunk, so
+    the bucket costs O(pop x chunk x K) instead of its O(pop^2 x K)
+    pair volume — the same decoupling the embedding verdict's
+    _verdict_hot_scan measured (c64: 6.3 s vs 49 s). Duplicate doc_id
+    rows (replayed index appends before compaction) are dropped inside
+    the scan: a doc must never match its own replayed copy and become
+    its own representative. Returns (doc_id, _rep) with _rep = -1 for
+    no-hit docs."""
+    import numpy as np
+    import pandas as pd
+
+    agree = TEXT_DUP_AGREE
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = (pdf.drop_duplicates("doc_id")
+               .sort_values("doc_id"))
+        ids = pdf["doc_id"].to_numpy()
+        n = len(ids)
+        reps = np.full(n, -1, dtype=np.int64)
+        if n > 1:
+            sigs = np.stack(pdf["sig"].to_numpy()).astype(np.int64)
+            for i in range(1, n):
+                si = sigs[i]
+                start, chunk = 0, 256
+                while start < i:
+                    end = min(i, start + chunk)
+                    hits = np.nonzero(
+                        (sigs[start:end] == si).sum(axis=1) >= agree)[0]
+                    if hits.size:
+                        reps[i] = ids[start + hits[0]]
+                        break
+                    start, chunk = end, chunk * 2
+        return pd.DataFrame({"doc_id": ids, "_rep": reps})
+
+    return (hot.select("band", "bucket", "doc_id", "sig")
+            .groupBy("band", "bucket")
+            .applyInPandas(scan, "doc_id long, _rep long"))
+
+
+def _text_verdict_mega(mega: DataFrame, pops: DataFrame,
+                       scan_cap: int) -> DataFrame:
+    """EXACT grid-salted fold for degenerate mega buckets (pop >
+    scan_cap): the probe side keeps one salt = hash(doc_id) mod s, the
+    build side replicates s = ceil(pop/scan_cap) ways, and the join key
+    grows to (band, bucket, salt) — the bucket's quadratic pair volume
+    is unchanged but distributed over s tasks instead of one, and the
+    min() fold still consumes pairs map-side. This is why the text
+    verdict needs no recall-lossy fallback tier (contrast
+    near_dup_verdict_from_index's residual-split mega branch, where the
+    dim-wide float scoring makes O(pop^2) unaffordable)."""
+    sized = mega.join(F.broadcast(pops), ["band", "bucket"])
+    n_split = F.greatest(
+        F.lit(1), F.ceil(F.col("_pop") / F.lit(scan_cap))).cast("int")
+    a = sized.select(
+        "band", "bucket", "doc_id", "sig",
+        F.pmod(F.xxhash64("doc_id"), n_split).cast("int").alias("salt"))
+    b = sized.select(
+        "band", "bucket", "doc_id", "sig",
+        F.explode(F.sequence(F.lit(0), n_split - 1)).alias("salt"))
+    return _text_rep_fold(_text_pairs_projected(a, b,
+                                                extra_keys=["salt"]))
+
+
+def text_verdict_from_banded(ids: DataFrame, banded: DataFrame, *,
+                             cap: int = TEXT_VERDICT_CAP,
+                             scan_cap: int = TEXT_VERDICT_SCAN_CAP
+                             ) -> DataFrame:
+    """(doc_id, rep_id, is_kept) one-step greedy keep-first-by-id verdict
+    over the banded LSH rows: a doc is dropped iff some SMALLER doc
+    shares a band bucket with >= TEXT_DUP_AGREE signature agreements,
+    and its representative is the smallest such neighbor.
+
+    All three tiers are one lazy plan — no driver-side branch decision
+    is needed because every tier is exact and an empty tier costs
+    nothing (zero groups / zero join rows):
+
+    - cold buckets (pop <= cap): bucket-equality self-join folded
+      map-side into min() partials;
+    - hot buckets (cap < pop <= scan_cap): one early-exit Arrow scan
+      task per bucket;
+    - mega buckets (pop > scan_cap): grid-salted exact join.
+
+    A doc's candidates can span tiers across its MINHASH_BANDS buckets,
+    so tier outputs union into one final |docs|-bounded min."""
+    pops = (banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_pop")))
+    hotset = pops.where(F.col("_pop") > cap)
+    scanset = hotset.where(F.col("_pop") <= scan_cap)
+    megaset = hotset.where(F.col("_pop") > scan_cap)
+    keys = ["band", "bucket"]
+    cold = banded.join(F.broadcast(hotset.select(*keys)), keys,
+                       "left_anti")
+    hot = banded.join(F.broadcast(scanset.select(*keys)), keys,
+                      "left_semi")
+    mega = banded.join(F.broadcast(megaset.select(*keys)), keys,
+                       "left_semi")
+    rep = (_text_rep_fold(_text_pairs_projected(cold, cold))
+           .unionByName(_text_verdict_hot_scan(hot)
+                        .where(F.col("_rep") >= 0))
+           .unionByName(_text_verdict_mega(mega, megaset, scan_cap))
+           .groupBy("doc_id").agg(F.min("_rep").alias("_rep")))
+    return (ids.join(rep, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("_rep", F.col("doc_id")).cast("long")
+                    .alias("rep_id"),
+                    F.col("_rep").isNull().cast("long").alias("is_kept")))
+
+
+#: Shared verdict CTE chain for the oracle (text_dedup_verdict + the
+#: corpus-level composition): pair projection -> min-fold -> left join
+#: onto the full doc list. Integer agreement gate on both engines.
+_TEXT_VERDICT_CTES = f"""tp AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sig AS sig_a, b.sig AS sig_b
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+tm AS (
+  SELECT b_id AS doc_id, MIN(a_id) AS rep
+  FROM tp
+  WHERE len(list_filter(range(1, {dd.MINHASH_K + 1}),
+            i -> sig_a[CAST(i AS INT)] = sig_b[CAST(i AS INT)]))
+        >= {TEXT_DUP_AGREE}
+  GROUP BY b_id
+),
+tv AS (
+  SELECT d.doc_id, CAST(COALESCE(tm.rep, d.doc_id) AS BIGINT) AS rep_id,
+         CAST(tm.rep IS NULL AS BIGINT) AS is_kept
+  FROM documents d LEFT JOIN tm USING (doc_id)
+)"""
+
+
+@register(
+    "text_dedup_verdict",
+    f"""WITH {_MINHASH_CTES},
+{_TEXT_VERDICT_CTES}
+SELECT doc_id, rep_id, is_kept FROM tv""",
+    doc="doc-level text-dedup VERDICT over the stored MinHash banded "
+        "index: per-doc keep/drop + representative (one-step greedy "
+        "keep-first-by-id over the est_jaccard >= 0.5 LSH dup graph), "
+        "|docs|-sized output — the text twin of embedding_dedup_verdict. "
+        "EXACT at every scale: cold buckets fold pairs into map-side "
+        "min() partials, hot buckets take an early-exit ascending scan "
+        "(first hit IS the min matching neighbor), degenerate mega "
+        "buckets distribute via a grid-salted equi-join — no recall-"
+        "lossy tier, so no oracle sentinel",
+)
+def q_text_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|docs|-sized text dedup verdict (see text_verdict_from_banded).
+
+    Scale shape: the banded rows come from the stored (band, shard)-
+    partitioned MinHash index (corpus_banded: build-once, in-session
+    fallback BIT-IDENTICAL by construction — both paths share
+    dd.banded_buckets, unlike the embedding verdict's divergent hot
+    fallback); tier choice is data-dependent per bucket inside ONE lazy
+    plan, and no tier materializes, shuffles, or returns a pair list.
+    Docs with empty shingle sets never enter the index and are kept by
+    the left join. Duplicate banded rows from replayed streaming
+    appends cannot change any min() and are dropped inside the hot
+    scan, so the verdict is replay-tolerant between compactions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return text_verdict_from_banded(docs.select("doc_id"),
+                                    corpus_banded(spark, sf_dir))
