@@ -140,7 +140,19 @@ def _record_age() -> dict[str, int] | None:
                 latest[name] = (rnd, ok)
     if not found:
         return None
-    return {n: (rnd if ok else 0) for n, (rnd, ok) in latest.items()}
+    ages = {n: (rnd if ok else 0) for n, (rnd, ok) in latest.items()}
+    for n in _SEMANTICS_CHANGED:
+        ages.pop(n, None)  # recorded artifact predates the new semantics
+    return ages
+
+
+#: Queries whose REGISTERED semantics changed after their latest green
+#: CORRECTNESS record: their artifact reflects the old definition, so
+#: they must re-record immediately (age 0) instead of aging out on the
+#: normal rotation. Round 11: training_data_pipeline's dedup stage now
+#: consumes corpus_dedup_verdict (exact + MinHash + embedding) instead
+#: of the exact-hash-only window.
+_SEMANTICS_CHANGED = frozenset({"training_data_pipeline"})
 
 
 def _rotated(items):
