@@ -546,7 +546,11 @@ def _verdict_hot_scan(hot: DataFrame, dim: int) -> DataFrame:
     import pandas as pd
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id")
+        # drop replayed duplicate index rows (streaming appends between
+        # compactions): a vec must never match its own duplicate copy
+        # and become its own dropped representative — the pair paths are
+        # naturally immune (vec_a < vec_b excludes self-pairs)
+        pdf = pdf.drop_duplicates("vec_id").sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
         n = len(ids)
         reps = np.full(n, -1, dtype=np.int64)
@@ -613,7 +617,13 @@ def near_dup_verdict_from_index(spark: SparkSession, path: str, dim: int, *,
     idx = ai.read_ann_index(spark, path)
     b = idx.select("vec_id", "embedding", "bucket",
                    ai.index_norm(idx, "embedding", dim).alias("norm"))
-    ids = b.select("vec_id")
+    # the id list comes from the INDEX here (unlike the computed path's
+    # clean source table), and a stream-maintained snapshot can carry
+    # replayed duplicate rows between compactions — distinct() keeps the
+    # verdict |docs|-sized; the exchange lands on the same vec_id
+    # partitioning the assembly join needs, so it adds no extra shuffle
+    # stage beyond the aggregate itself
+    ids = b.select("vec_id").distinct()
     meta = ai.read_skew_meta(path)
     cent = None
     if meta is not None:
