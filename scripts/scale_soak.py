@@ -82,6 +82,11 @@ DOC_OPS = [
     "curated_corpus_pipeline", "multi_epoch_shuffle",
     "media_feature_vectors", "quality_weighted_sample", "blocklist_kwic",
     "source_token_divergence",
+    # round 11: the |docs|-sized text verdict + the composed corpus
+    # verdict (exact + minhash + embedding by stage precedence) and its
+    # attribution rollup; training_data_pipeline (above) now consumes
+    # the composed verdict, so its time tracks these.
+    "text_dedup_verdict", "corpus_dedup_verdict", "corpus_verdict_stats",
 ]
 EMB_OPS = [
     "knn_bruteforce_cosine", "ann_lsh_cosine", "embedding_near_dup",
@@ -339,10 +344,53 @@ def gen_clustered_embeddings(spark, out_dir: str, mult: int,
     emb.repartition(8).write.mode("overwrite").parquet(emb_path)
 
 
+def gen_clustered_documents(spark, out_dir: str, mult: int,
+                            hot_frac: float = 0.05) -> None:
+    """Clustered DOCUMENT corpus: ``hot_frac`` of all docs are
+    near-identical boilerplate — every hot doc re-derives doc 0's word
+    list and appends one doc-unique tail token, so their MinHash
+    signatures agree on ~all slots and the whole cluster lands wholesale
+    in ONE bucket per band (the realistic failure mode for banded LSH:
+    candidate volume ~ bands x C(hot, 2)). The remainder follows the
+    uniform recipe including the every-50th planted near-dup."""
+    docs_path = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(docs_path):
+        return
+    n_docs = BASE_DOCS * mult
+    n_hot = int(n_docs * hot_frac)
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    base = (
+        spark.range(n_docs).withColumnRenamed("id", "doc_id")
+        .withColumn("src_id", F.when(F.col("doc_id") < n_hot, F.lit(0))
+                    .otherwise(F.when(
+                        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") > 0),
+                        F.col("doc_id") - 1).otherwise(F.col("doc_id"))))
+        .withColumn("n_words", F.pmod(F.hash("src_id"), F.lit(21)) + 40)
+    )
+    words = F.transform(
+        F.sequence(F.lit(1), F.col("n_words")),
+        lambda j: F.element_at(
+            vocab, (F.pmod(F.hash(F.col("src_id") * 131 + j), F.lit(40))
+                    + 1).cast("int")))
+    joined = F.array_join(words, " ")
+    text = (F.when(F.col("doc_id") < n_hot,
+                   F.concat(joined, F.lit(" v"),
+                            F.pmod(F.col("doc_id"), F.lit(997))))
+            .when(F.col("doc_id") == F.col("src_id"), joined)
+            .otherwise(F.concat(joined, F.lit(" edit"))))
+    docs = base.withColumn("text", text).select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.concat(F.lit("src"),
+                 F.pmod(F.hash("doc_id"), F.lit(20))).alias("source"),
+        F.length("text").cast("long").alias("n_chars"))
+    docs.repartition(32).write.mode("overwrite").parquet(docs_path)
+
+
 def main() -> None:
     mults = [int(a) for a in sys.argv[1:] if not a.startswith("-")] or [1, 4, 16]
     emb_only = "--emb-only" in sys.argv
     clustered = "--clustered" in sys.argv
+    clustered_docs = "--clustered-docs" in sys.argv
     only: set[str] | None = None
     for a in sys.argv[1:]:
         if a.startswith("--only="):
@@ -351,6 +399,71 @@ def main() -> None:
     queries = registry.all_queries()
     results: dict[str, dict[int, float]] = {}
     recalls: dict[str, dict[int, float]] = {}
+
+    if clustered_docs:
+        # clustered-DOCUMENT mode (round 11): the text verdict on a
+        # boilerplate-hot corpus — wall time must decouple from the
+        # banded candidate-pair volume the way the embedding verdict's
+        # clustered soak proved (hot buckets take the early-exit
+        # signature scan; the pair product is timed at the small sizes
+        # for contrast and skipped where it would materialize ~1e9 rows)
+        from tigerbeetle_cdc_nats_spark.queries_dedup import corpus_banded
+        from tigerbeetle_cdc_nats_spark.sources import dedup_index as di
+
+        for mult in mults:
+            out_dir = f"/tmp/scale/cd{mult}"
+            os.makedirs(out_dir, exist_ok=True)
+            gen_clustered_documents(spark, out_dir, mult)
+            repeats = int(os.environ.get("SOAK_REPEATS", "1"))
+            n_docs = BASE_DOCS * mult
+            n_hot = int(n_docs * 0.05)
+
+            def timed(name, build, recall_fn=None):
+                if only is not None and name not in only:
+                    return
+                best = None
+                for _ in range(max(1, repeats)):
+                    t0 = time.perf_counter()
+                    build().write.format("noop").mode("overwrite").save()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                results.setdefault(name, {})[mult] = round(best, 3)
+                r = ""
+                if recall_fn:
+                    rec = recall_fn(build())
+                    recalls.setdefault(name, {})[mult] = rec
+                    r = f"  recall={rec}"
+                print(f"cd{mult:<2} {name:<28} {best:7.2f}s{r}",
+                      file=sys.stderr)
+
+            # stored banded index built OUTSIDE the timed section (the
+            # maintained-artifact serving shape, like every indexed soak)
+            banded = corpus_banded(spark, out_dir)
+            # candidate volume from the band census — the number the
+            # verdict's wall time must NOT track (pairs never exist in
+            # its plan, so the census is the only way to see them)
+            vol = (queries["minhash_band_stats"].fn(spark, out_dir)
+                   .agg(F.sum("n_candidate_pairs")).first()[0])
+            print(f"cd{mult:<2} candidate pair volume: {vol:,}",
+                  file=sys.stderr)
+
+            def hot_drop_recall(df):
+                d = df.where((F.col("doc_id") > 0)
+                             & (F.col("doc_id") < n_hot))
+                n = d.count()
+                if not n:
+                    return None
+                return round(d.where(F.col("is_kept") == 0).count() / n, 3)
+
+            timed("text_verdict_clustered",
+                  lambda: queries["text_dedup_verdict"].fn(spark, out_dir),
+                  hot_drop_recall)
+            if mult <= 16:  # the pair PRODUCT for contrast; ~1e9 rows at 64
+                timed("minhash_pairs_clustered",
+                      lambda: di.minhash_pairs_from_index(banded))
+        _report(results, recalls, mults)
+        spark.stop()
+        return
 
     if clustered:
         # clustered-corpus mode: the near-dup family only, on the

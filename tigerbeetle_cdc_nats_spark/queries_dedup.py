@@ -1436,24 +1436,24 @@ def _text_verdict_hot_scan(hot: DataFrame) -> DataFrame:
             .applyInPandas(scan, "doc_id long, _rep long"))
 
 
-def _text_verdict_mega(mega: DataFrame, pops: DataFrame,
+def _text_verdict_mega(sized_mega: DataFrame,
                        scan_cap: int) -> DataFrame:
     """EXACT grid-salted fold for degenerate mega buckets (pop >
-    scan_cap): the probe side keeps one salt = hash(doc_id) mod s, the
-    build side replicates s = ceil(pop/scan_cap) ways, and the join key
-    grows to (band, bucket, salt) — the bucket's quadratic pair volume
-    is unchanged but distributed over s tasks instead of one, and the
-    min() fold still consumes pairs map-side. This is why the text
-    verdict needs no recall-lossy fallback tier (contrast
-    near_dup_verdict_from_index's residual-split mega branch, where the
-    dim-wide float scoring makes O(pop^2) unaffordable)."""
-    sized = mega.join(F.broadcast(pops), ["band", "bucket"])
+    scan_cap; rows arrive carrying their census ``_pop``): the probe
+    side keeps one salt = hash(doc_id) mod s, the build side replicates
+    s = ceil(pop/scan_cap) ways, and the join key grows to (band,
+    bucket, salt) — the bucket's quadratic pair volume is unchanged but
+    distributed over s tasks instead of one, and the min() fold still
+    consumes pairs map-side. This is why the text verdict needs no
+    recall-lossy fallback tier (contrast near_dup_verdict_from_index's
+    residual-split mega branch, where the dim-wide float scoring makes
+    O(pop^2) unaffordable)."""
     n_split = F.greatest(
         F.lit(1), F.ceil(F.col("_pop") / F.lit(scan_cap))).cast("int")
-    a = sized.select(
+    a = sized_mega.select(
         "band", "bucket", "doc_id", "sig",
         F.pmod(F.xxhash64("doc_id"), n_split).cast("int").alias("salt"))
-    b = sized.select(
+    b = sized_mega.select(
         "band", "bucket", "doc_id", "sig",
         F.explode(F.sequence(F.lit(0), n_split - 1)).alias("salt"))
     return _text_rep_fold(_text_pairs_projected(a, b,
@@ -1462,42 +1462,60 @@ def _text_verdict_mega(mega: DataFrame, pops: DataFrame,
 
 def text_verdict_from_banded(ids: DataFrame, banded: DataFrame, *,
                              cap: int = TEXT_VERDICT_CAP,
-                             scan_cap: int = TEXT_VERDICT_SCAN_CAP
-                             ) -> DataFrame:
+                             scan_cap: int = TEXT_VERDICT_SCAN_CAP,
+                             max_pop: int | None = None) -> DataFrame:
     """(doc_id, rep_id, is_kept) one-step greedy keep-first-by-id verdict
     over the banded LSH rows: a doc is dropped iff some SMALLER doc
     shares a band bucket with >= TEXT_DUP_AGREE signature agreements,
     and its representative is the smallest such neighbor.
 
-    All three tiers are one lazy plan — no driver-side branch decision
-    is needed because every tier is exact and an empty tier costs
-    nothing (zero groups / zero join rows):
+    Plan choice comes from ``max_pop`` — the stored index's band-bucket
+    census sidecar (zero Spark jobs; a None falls back to one driver-side
+    census aggregate, the build-path-only cost):
 
-    - cold buckets (pop <= cap): bucket-equality self-join folded
-      map-side into min() partials;
-    - hot buckets (cap < pop <= scan_cap): one early-exit Arrow scan
-      task per bucket;
-    - mega buckets (pop > scan_cap): grid-salted exact join.
+    - all-cold corpus (max_pop <= cap, the overwhelmingly common case):
+      ONE bucket-equality self-join folded map-side into min() partials
+      — no census broadcast, no tier machinery in the plan at all;
+    - hot corpus: rows join the (|buckets|-sized, broadcast, reused
+      across tiers) census once and split by population — cold rows
+      take the min-fold join, hot buckets (pop <= scan_cap) one
+      early-exit Arrow scan task each, and degenerate mega buckets a
+      grid-salted exact join. Every tier is exact, so tiering is a plan
+      choice, never a semantic one.
 
     A doc's candidates can span tiers across its MINHASH_BANDS buckets,
     so tier outputs union into one final |docs|-bounded min."""
+    if max_pop is None:  # pre-sidecar index / in-session fallback path
+        row = (banded.groupBy("band", "bucket")
+               .agg(F.count(F.lit(1)).alias("c"))
+               .agg(F.max("c").alias("m")).first())
+        max_pop = int((row or {"m": 0})["m"] or 0)
+    if max_pop <= cap:
+        rep = _text_rep_fold(_text_pairs_projected(banded, banded))
+        return _assemble_text_verdict(ids, rep)
     pops = (banded.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("_pop")))
-    hotset = pops.where(F.col("_pop") > cap)
-    scanset = hotset.where(F.col("_pop") <= scan_cap)
-    megaset = hotset.where(F.col("_pop") > scan_cap)
-    keys = ["band", "bucket"]
-    cold = banded.join(F.broadcast(hotset.select(*keys)), keys,
-                       "left_anti")
-    hot = banded.join(F.broadcast(scanset.select(*keys)), keys,
-                      "left_semi")
-    mega = banded.join(F.broadcast(megaset.select(*keys)), keys,
-                       "left_semi")
+    # ONE census broadcast shared by every tier filter: the broadcast
+    # exchanges below are identical subtrees, so the runtime reuses one
+    # build instead of re-censusing per tier (ReusedExchange)
+    sized = banded.join(F.broadcast(pops), ["band", "bucket"])
+    cold = sized.where(F.col("_pop") <= cap)
+    hot = sized.where((F.col("_pop") > cap)
+                      & (F.col("_pop") <= scan_cap))
     rep = (_text_rep_fold(_text_pairs_projected(cold, cold))
            .unionByName(_text_verdict_hot_scan(hot)
-                        .where(F.col("_rep") >= 0))
-           .unionByName(_text_verdict_mega(mega, megaset, scan_cap))
-           .groupBy("doc_id").agg(F.min("_rep").alias("_rep")))
+                        .where(F.col("_rep") >= 0)))
+    if max_pop > scan_cap:
+        rep = rep.unionByName(
+            _text_verdict_mega(sized.where(F.col("_pop") > scan_cap),
+                               scan_cap))
+    return _assemble_text_verdict(
+        ids, rep.groupBy("doc_id").agg(F.min("_rep").alias("_rep")))
+
+
+def _assemble_text_verdict(ids: DataFrame, rep: DataFrame) -> DataFrame:
+    """Left-join the (doc_id, _rep) drop table onto the full doc list:
+    docs without a smaller matching neighbor keep themselves."""
     return (ids.join(rep, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("_rep", F.col("doc_id")).cast("long")
@@ -1557,6 +1575,23 @@ def q_text_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     appends cannot change any min() and are dropped inside the hot
     scan, so the verdict is replay-tolerant between compactions.
     """
+    from tigerbeetle_cdc_nats_spark.sources import dedup_index as di
+
     docs = load_table(spark, sf_dir, "documents")
-    return text_verdict_from_banded(docs.select("doc_id"),
-                                    corpus_banded(spark, sf_dir))
+    max_pop = None
+    try:
+        path = stored_index_dir("minhash", sf_dir)
+        if not iv.index_ready(path):
+            di.write_minhash_index(docs, path)
+        banded = di.read_minhash_index(spark, path).select(
+            "doc_id", "band", "bucket", "sig")
+        mp = di.read_index_meta(path).get("max_pop")
+        max_pop = int(mp) if mp is not None else None
+    except Exception:
+        # unwritable scratch: in-session banded build, BIT-IDENTICAL by
+        # construction (both paths share dd.banded_buckets — unlike the
+        # embedding verdict's divergent hot fallback); max_pop stays
+        # None, so one census aggregate replaces the sidecar read
+        banded = dd.banded_buckets(dd.minhash_signatures(docs))
+    return text_verdict_from_banded(docs.select("doc_id"), banded,
+                                    max_pop=max_pop)

@@ -54,12 +54,39 @@ def shards_for_corpus(n_docs: int, *, docs_per_shard: int = 50_000,
     return max(1, min(max_shards, int(n_docs) // docs_per_shard + 1))
 
 
-def _write_meta(path: str, n_shards: int) -> None:
+def _write_meta(path: str, n_shards: int,
+                max_pop: int | None = None) -> None:
     """Write shard metadata into the given PHYSICAL directory (callers
-    resolve snapshots; the builders write flat roots directly)."""
+    resolve snapshots; the builders write flat roots directly).
+    ``max_pop`` (round 11) is the band-bucket population census maximum
+    — the text verdict's zero-Spark-jobs plan-choice sidecar, refreshed
+    on every build/append/compaction like the ANN skew sidecar."""
     os.makedirs(path, exist_ok=True)
+    meta: dict = {"n_shards": int(n_shards)}
+    if max_pop is not None:
+        meta["max_pop"] = int(max_pop)
     with open(os.path.join(path, _META), "w", encoding="utf-8") as fh:
-        json.dump({"n_shards": int(n_shards)}, fh)
+        json.dump(meta, fh)
+
+
+def read_index_meta(path: str) -> dict:
+    """Live-snapshot index metadata ({} when unreadable/pre-metadata)."""
+    try:
+        with open(os.path.join(iv.current_dir(path), _META),
+                  encoding="utf-8") as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def _census_max_pop(spark: SparkSession, physical_dir: str) -> int:
+    """MAX band-bucket population over a written index directory — a
+    2-column pruned scan + map-side-combinable count, run once per index
+    mutation so every later verdict plans with zero Spark jobs."""
+    pop = (spark.read.parquet(physical_dir)
+           .groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("c"))
+           .agg(F.max("c").alias("m")).first())
+    return int(pop["m"] or 0)
 
 
 def _read_meta_shards(path: str) -> int:
@@ -92,7 +119,10 @@ def write_minhash_index(docs: DataFrame, path: str, *,
     banded = dd.banded_buckets(dd.minhash_signatures(docs))
     (banded.withColumn("shard", _bucket_shard(F.col("bucket"), n_shards))
      .write.mode(mode).partitionBy("band", "shard").parquet(dest))
-    _write_meta(dest, n_shards)
+    # sidecar: census the WRITTEN directory (append mode: the whole live
+    # snapshot), so the stored max_pop always reflects index contents
+    _write_meta(dest, n_shards,
+                max_pop=_census_max_pop(docs.sparkSession, dest))
 
 
 def append_minhash_index(delta_docs: DataFrame, path: str) -> None:
@@ -253,11 +283,15 @@ def _swap_in(spark: SparkSession, path: str, rows: DataFrame,
     asserts it); the streaming pipeline runs appends + compactions in
     one foreachBatch thread under its writer lock."""
     n_shards = _read_meta_shards(path)
+    # only the minhash layout carries the band-bucket census sidecar
+    with_pop = {"band", "shard"} == set(partition_cols)
 
     def write(vdir: str) -> None:
         rows.write.mode("overwrite").partitionBy(
             *partition_cols).parquet(vdir)
-        _write_meta(vdir, n_shards)
+        _write_meta(vdir, n_shards,
+                    max_pop=(_census_max_pop(spark, vdir)
+                             if with_pop else None))
         open(os.path.join(vdir, "_SUCCESS"), "a").close()
 
     iv.publish_version(path, write)
