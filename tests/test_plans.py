@@ -822,3 +822,22 @@ def test_mad_outliers_windows_over_histograms_only(spark, sf_dir):
                     break
             assert seen_agg, f"Window over raw rows at tree line {i}"
     assert n_windows >= 1  # the CDF windows are present in the tree
+
+
+def test_text_verdict_folds_pairs_map_side(spark, sf_dir):
+    """Round-11: text_dedup_verdict's min() must consume the candidate
+    self-join where pairs are GENERATED — partial_min runs directly on
+    the join output, so only |docs| partials ever cross an exchange and
+    the pair list is never materialized or shuffled. All-cold testdata
+    additionally compiles with zero tier machinery (sidecar plan
+    choice): no row_number, no pair-key exchange, no Arrow scan node."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "text_dedup_verdict")
+    assert "partial_min" in plan
+    assert "row_number" not in plan
+    assert "FlatMapGroupsInPandas" not in plan  # hot tier absent when cold
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert not ("a_id" in keys and "b_id" in keys), (
+            f"pair-level shuffle found: {keys}")
