@@ -516,3 +516,86 @@ def test_note_batch_missing_marker_is_suspected_replay(tmp_path):
     assert sc._note_batch(idx, 2, suspect_if_missing=True) is True
     # ...and the marker is restored by that call
     assert sc._note_batch(idx, 3, suspect_if_missing=True) is False
+
+
+def test_streamed_text_verdict_equals_batch_at_each_phase(spark, tmp_path):
+    """Round-11 twin of the embedding-verdict lifecycle pin: the TEXT
+    dedup verdict served from the stream-maintained MinHash index (with
+    its max_pop census sidecar refreshed per append) must equal the
+    batch recompute after bootstrap, after a crash-replay re-append
+    (duplicate banded rows present), and after compaction."""
+    import time
+
+    from tigerbeetle_cdc_nats_spark.operators import dedup as dd
+    from tigerbeetle_cdc_nats_spark.queries_dedup import (
+        text_verdict_from_banded,
+    )
+    from tigerbeetle_cdc_nats_spark.sources import dedup_index as di
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    chk = str(tmp_path / "chk")
+    os.makedirs(src)
+    batch1 = [(1, GOOD, 1), (2, GOOD + " extra tokens here", 2)]
+    batch2 = [(3, GOOD, 3),
+              (4, "totally different words entirely distinct phrase", 4)]
+
+    def served_verdict():
+        meta = di.read_index_meta(idx)
+        return sorted(map(tuple, text_verdict_from_banded(
+            all_docs.select("doc_id"),
+            di.read_minhash_index(spark, idx)
+            .select("doc_id", "band", "bucket", "sig"),
+            max_pop=int(meta["max_pop"])).collect()))
+
+    def batch_verdict(docs):
+        return sorted(map(tuple, text_verdict_from_banded(
+            docs.select("doc_id"),
+            dd.banded_buckets(dd.minhash_signatures(docs))).collect()))
+
+    def _index_docs():
+        try:
+            return {r["doc_id"] for r in
+                    spark.read.parquet(iv.current_dir(idx))
+                    .select("doc_id").distinct().collect()}
+        except Exception:
+            return set()
+
+    _write_docs(spark, src, batch1)
+    _write_docs(spark, src, batch2)
+    stream = (spark.readStream.schema(DOC_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .select("doc_id", "text"))
+    q = sc.maintain_minhash_index(stream, idx, checkpoint_dir=chk,
+                                  trigger_seconds=0.2)
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and _index_docs() != {1, 2, 3, 4}:
+            time.sleep(0.5)
+        assert _index_docs() == {1, 2, 3, 4}
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    all_docs = spark.createDataFrame(
+        [(i, t) for i, t, _s in batch1 + batch2],
+        "doc_id long, text string")
+    want = batch_verdict(all_docs)
+    assert any(r[2] == 0 for r in want)  # the planted dup is dropped
+    # phase 1: post-bootstrap+appends, sidecar present and fresh
+    assert di.read_index_meta(idx).get("max_pop") is not None
+    assert served_verdict() == want
+    # phase 2: crash-replay re-append -> duplicate banded rows; the
+    # sidecar census now counts them (max_pop rises), and the verdict
+    # must be unchanged on every tier (force the hot scan too)
+    di.append_minhash_index(
+        spark.createDataFrame([(i, t) for i, t, _s in batch2],
+                              "doc_id long, text string"), idx)
+    assert served_verdict() == want
+    banded = (di.read_minhash_index(spark, idx)
+              .select("doc_id", "band", "bucket", "sig"))
+    assert sorted(map(tuple, text_verdict_from_banded(
+        all_docs.select("doc_id"), banded, cap=0,
+        scan_cap=10**9).collect())) == want
+    # phase 3: compaction drops the duplicates and re-censuses
+    di.compact_minhash_index(spark, idx)
+    assert served_verdict() == want
