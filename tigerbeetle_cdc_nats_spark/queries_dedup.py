@@ -1575,6 +1575,9 @@ def q_text_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     appends cannot change any min() and are dropped inside the hot
     scan, so the verdict is replay-tolerant between compactions.
     """
+    from tigerbeetle_cdc_nats_spark.queries_similarity import (
+        VERDICT_SERVED,
+    )
     from tigerbeetle_cdc_nats_spark.sources import dedup_index as di
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1587,7 +1590,9 @@ def q_text_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "band", "bucket", "sig")
         mp = di.read_index_meta(path).get("max_pop")
         max_pop = int(mp) if mp is not None else None
+        VERDICT_SERVED["text_dedup_verdict"] = "stored"
     except Exception:
+        VERDICT_SERVED["text_dedup_verdict"] = "computed"
         # unwritable scratch: in-session banded build, BIT-IDENTICAL by
         # construction (both paths share dd.banded_buckets — unlike the
         # embedding verdict's divergent hot fallback); max_pop stays
