@@ -87,6 +87,7 @@ DOC_OPS = [
     # attribution rollup; training_data_pipeline (above) now consumes
     # the composed verdict, so its time tracks these.
     "text_dedup_verdict", "corpus_dedup_verdict", "corpus_verdict_stats",
+    "delta_dedup_verdict",
 ]
 EMB_OPS = [
     "knn_bruteforce_cosine", "ann_lsh_cosine", "embedding_near_dup",

@@ -1600,3 +1600,38 @@ def q_text_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         banded = dd.banded_buckets(dd.minhash_signatures(docs))
     return text_verdict_from_banded(docs.select("doc_id"), banded,
                                     max_pop=max_pop)
+
+
+@register(
+    "delta_dedup_verdict",
+    f"""WITH {_MINHASH_CTES},
+{_TEXT_VERDICT_CTES}
+SELECT doc_id, rep_id, is_kept FROM tv WHERE doc_id % 5 = 4""",
+    doc="the DAILY-INCREMENT verdict: per-doc keep/drop + representative "
+        "for the 20% delta batch (doc_id % 5 = 4) against the FULL "
+        "corpus, served from the stored banded index via the delta "
+        "probe — only the probed (band, shard) partitions are read, so "
+        "cost tracks |delta|, not |corpus|. Semantically the full "
+        "text_dedup_verdict restricted to the delta rows (one-step "
+        "greedy keep-first-by-id), which is what a production pipeline "
+        "runs per ingest batch instead of re-verdicting the corpus",
+)
+def q_delta_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|delta|-sized verdict from the stored-index probe.
+
+    Scale shape: corpus_minhash_probe bands ONLY the delta and
+    equality-joins it against the pruned index partitions; the min()
+    fold consumes probe rows map-side (same argument as
+    _text_rep_fold), so the per-batch product is |delta| rows and the
+    corpus is touched only through file-pruned index reads. The
+    keep-first-by-id rule needs only smaller-id neighbors, so
+    restricting the full verdict to delta rows equals folding the
+    delta probe — pinned by the shared oracle CTE chain.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pred = (F.col("doc_id") % 5) == 4
+    probe = corpus_minhash_probe(spark, sf_dir)
+    rep = (probe.where((F.col("est_jaccard") >= DUP_CLUSTER_THRESHOLD)
+                       & (F.col("other_id") < F.col("doc_id")))
+           .groupBy("doc_id").agg(F.min("other_id").alias("_rep")))
+    return _assemble_text_verdict(docs.where(pred).select("doc_id"), rep)
