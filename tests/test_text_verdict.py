@@ -103,3 +103,20 @@ def test_verdict_is_docs_sized_and_covers_unsigned_docs(spark):
     assert len(rows) == 62
     for d in (1000, 1001):
         assert rows[d]["is_kept"] == 1 and rows[d]["rep_id"] == d
+
+
+def test_delta_verdict_is_restricted_full_verdict(spark):
+    """delta_dedup_verdict must equal text_dedup_verdict restricted to
+    the delta rows: keep-first-by-id needs only smaller-id neighbors, so
+    folding the delta-vs-corpus probe equals restricting the full
+    verdict (the shared oracle CTE chain pins this cross-engine; this
+    pins it engine-side)."""
+    from tigerbeetle_cdc_nats_spark.registry import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    full = (qs["text_dedup_verdict"].fn(spark, sf)
+            .where(F.col("doc_id") % 5 == 4))
+    delta = qs["delta_dedup_verdict"].fn(spark, sf)
+    assert _rows(delta) == _rows(full)
+    assert delta.count() > 0
