@@ -120,6 +120,8 @@ EMB_OPS = [
     # round 10: the |docs|-sized dedup verdict + its one-row rollup
     # (early-exit hot-bucket scan; wall decoupled from pair volume).
     "embedding_dedup_verdict", "dedup_verdict_stats",
+    # round 11: the per-ingest-batch delta verdict (bucket-pruned probe).
+    "embedding_delta_verdict",
 ]
 #: events-table window/aggregation family (time-series scale risks:
 #: per-user window sorts, global percentile sorts, self-join rollups).

@@ -120,3 +120,18 @@ def test_delta_verdict_is_restricted_full_verdict(spark):
     delta = qs["delta_dedup_verdict"].fn(spark, sf)
     assert _rows(delta) == _rows(full)
     assert delta.count() > 0
+
+
+def test_embedding_delta_verdict_is_restricted_full_verdict(spark):
+    """embedding_delta_verdict must equal embedding_dedup_verdict
+    restricted to the delta rows — the vector twin of the text delta
+    restriction pin."""
+    from tigerbeetle_cdc_nats_spark.registry import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    full = (qs["embedding_dedup_verdict"].fn(spark, sf)
+            .where(F.col("vec_id") % 5 == 4))
+    delta = qs["embedding_delta_verdict"].fn(spark, sf)
+    assert _rows(delta) == _rows(full)
+    assert delta.count() > 0

@@ -3310,3 +3310,97 @@ def q_ann_multiprobe_indexed(spark: SparkSession,
         .withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("knn_rank") <= 5)
     )
+
+
+def delta_verdict_from_index(spark: SparkSession, path: str, dim: int,
+                             pred) -> DataFrame:
+    """|delta|-sized dedup verdict served from the stored ANN index: the
+    delta rows (``pred`` over vec_id) probe the FULL corpus for smaller
+    matching neighbors — the embedding twin of the text delta probe.
+
+    Scale shape: the delta side comes from the index itself (it already
+    carries bucket + norm, so no signature pass), and a bounded
+    driver-side probe set (<= 2^planes bucket values) becomes an IN
+    filter on the partition column — file-pruning bucket-dir indexes,
+    plain pushdown on flat ones; semantically neutral since non-delta
+    buckets cannot join. Candidates are FULL buckets (exact — no
+    residual splits), the cosine gate reuses the cold path's exact
+    expression tree, and the min() fold consumes probe pairs map-side,
+    so the per-batch product is |delta| rows."""
+    from pyspark.sql import functions as F
+
+    from tigerbeetle_cdc_nats_spark.sources import ann_index as ai
+
+    idx = ai.read_ann_index(spark, path)
+    b = idx.select("vec_id", "embedding", "bucket",
+                   ai.index_norm(idx, "embedding", dim).alias("norm"))
+    delta = b.where(pred)
+    buckets = [r["bucket"] for r in
+               delta.select("bucket").distinct().collect()]
+    q = (b.where(F.col("bucket").isin(buckets))
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.col("bucket").alias("q_bucket"),
+                 F.col("norm").alias("q_n")))
+    c = delta.select(F.col("vec_id").alias("c_id"),
+                     F.col("embedding").alias("c_emb"),
+                     F.col("bucket").alias("c_bucket"),
+                     F.col("norm").alias("c_n"))
+    # the measured-faster interpreted fold, identical expression tree to
+    # _skewsafe_pairs_core's cold branch (oracle bit-compatibility)
+    s = sim.cosine_sim_e6_prenorm("q_emb", "c_emb",
+                                  F.col("q_n"), F.col("c_n"), None)
+    rep = (q.join(c, (F.col("q_bucket") == F.col("c_bucket"))
+                  & (F.col("q_id") < F.col("c_id")))
+           .select("q_id", "c_id", s.alias("sim_e6"))
+           .where(F.col("sim_e6") >= 300000)
+           .groupBy(F.col("c_id").alias("vec_id"))
+           .agg(F.min("q_id").alias("_rep")))
+    return _assemble_verdict(delta.select("vec_id").distinct(), rep)
+
+
+@register(
+    "embedding_delta_verdict",
+    f"""WITH {_VERDICT_CTES}
+SELECT v.vec_id, v.rep_id, v.is_kept
+FROM v, n, mp
+WHERE v.vec_id % 5 = 4 AND n.n_vec <= 16384 AND mp.maxpop <= 256
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+FROM n, mp WHERE n.n_vec > 16384 OR mp.maxpop > 256""",
+    doc="the daily-increment EMBEDDING verdict: per-doc keep/drop + "
+        "representative for the 20% delta batch (vec_id % 5 = 4) "
+        "against the full corpus, probed from the stored ANN index "
+        "with a bounded bucket IN filter — the vector twin of "
+        "delta_dedup_verdict; semantically the full "
+        "embedding_dedup_verdict restricted to the delta rows, with "
+        "EXACT full-bucket candidates on the stored path",
+)
+def q_embedding_delta_verdict(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """|delta|-sized embedding verdict (see delta_verdict_from_index)."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _dim(sf_dir)
+    pred = (F.col("vec_id") % 5) == 4
+    try:
+        path, _n_planes = ensure_near_dup_index(spark, sf_dir)
+        df = delta_verdict_from_index(spark, path, dim, pred)
+        VERDICT_SERVED["embedding_delta_verdict"] = "stored"
+        return df
+    except Exception as exc:
+        if not _expected_index_env_error(exc):
+            raise
+        VERDICT_SERVED["embedding_delta_verdict"] = "computed"
+        _log.warning("embedding_delta_verdict: stored-index path "
+                     "unavailable (%s); serving the computed path", exc)
+    # computed fallback: fold the skew-safe pair set restricted to the
+    # delta on the larger-id side — same hot-corpus recall caveat as the
+    # full verdict's fallback (residual splits vs exact full buckets)
+    ids = emb.where(pred).select("vec_id")
+    pairs = near_dup_pairs_skewsafe(emb, dim, corpus_size=emb.count())
+    rep = (pairs.where((F.col("vec_b") % 5) == 4)
+           .groupBy(F.col("vec_b").alias("vec_id"))
+           .agg(F.min("vec_a").alias("_rep")))
+    return _assemble_verdict(ids, rep)
