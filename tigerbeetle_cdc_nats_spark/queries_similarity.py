@@ -35,19 +35,15 @@ def _expected_index_env_error(exc: Exception) -> bool:
     """True only for errors a healthy deployment can legitimately hit
     when the index scratch is unusable — unwritable/missing/full
     filesystem (OSError incl. PermissionError) or the deliberate
-    foreign-ownership refusal in stored_index_dir. JVM-side writes
-    surface the same conditions as Py4J errors, so the message is
-    checked for the exact OS strings. Everything else (corrupt
-    snapshot, bad sidecar, layout regression) is a real bug and must
-    propagate."""
-    if isinstance(exc, OSError):
-        return True
-    msg = str(exc)
-    return any(s in msg for s in (
-        "refusing to trust",  # stored_index_dir ownership check
-        "Read-only file system", "Permission denied",
-        "No space left on device",
-    ))
+    foreign-ownership refusal in stored_index_dir. Round-12: the
+    classification now lives in ``errors.expected_index_env_error``
+    and matches JVM-side (Py4J) payloads by the exception CLASS
+    carrying the message, not by free text anywhere in the stack.
+    Everything else (corrupt snapshot, bad sidecar, layout regression)
+    is a real bug and must propagate."""
+    from tigerbeetle_cdc_nats_spark.errors import expected_index_env_error
+
+    return expected_index_env_error(exc)
 
 
 @functools.lru_cache(maxsize=8)
@@ -3319,14 +3315,19 @@ def delta_verdict_from_index(spark: SparkSession, path: str, dim: int,
     matching neighbors — the embedding twin of the text delta probe.
 
     Scale shape: the delta side comes from the index itself (it already
-    carries bucket + norm, so no signature pass), and a bounded
-    driver-side probe set (<= 2^planes bucket values) becomes an IN
-    filter on the partition column — file-pruning bucket-dir indexes,
-    plain pushdown on flat ones; semantically neutral since non-delta
-    buckets cannot join. Candidates are FULL buckets (exact — no
-    residual splits), the cosine gate reuses the cold path's exact
-    expression tree, and the min() fold consumes probe pairs map-side,
-    so the per-batch product is |delta| rows."""
+    carries bucket + norm, so no signature pass), and the corpus side is
+    restricted to the delta's buckets by a BROADCAST equality join on
+    the distinct probe-bucket set — never a driver-side collect+IN
+    (under adaptive geometry the bucket space grows ~n/64 with the
+    corpus, so a literal list would bloat the plan and driver; the
+    round-6 ann_lsh_indexed lesson). On bucket-dir layouts the optimizer
+    compiles the broadcast probe to dynamic partition pruning on the
+    index's partition column; on flat layouts it is a plain broadcast
+    filter — either way the probe set never round-trips the driver.
+    Candidates are FULL buckets (exact — no residual splits), the
+    cosine gate reuses the cold path's exact expression tree, and the
+    min() fold consumes probe pairs map-side, so the per-batch product
+    is |delta| rows."""
     from pyspark.sql import functions as F
 
     from tigerbeetle_cdc_nats_spark.sources import ann_index as ai
@@ -3335,9 +3336,9 @@ def delta_verdict_from_index(spark: SparkSession, path: str, dim: int,
     b = idx.select("vec_id", "embedding", "bucket",
                    ai.index_norm(idx, "embedding", dim).alias("norm"))
     delta = b.where(pred)
-    buckets = [r["bucket"] for r in
-               delta.select("bucket").distinct().collect()]
-    q = (b.where(F.col("bucket").isin(buckets))
+    probe = delta.select(F.col("bucket").alias("probe_bucket")).distinct()
+    q = (b.join(F.broadcast(probe),
+                F.col("bucket") == F.col("probe_bucket"))
          .select(F.col("vec_id").alias("q_id"),
                  F.col("embedding").alias("q_emb"),
                  F.col("bucket").alias("q_bucket"),
@@ -3371,7 +3372,8 @@ FROM n, mp WHERE n.n_vec > 16384 OR mp.maxpop > 256""",
     doc="the daily-increment EMBEDDING verdict: per-doc keep/drop + "
         "representative for the 20% delta batch (vec_id % 5 = 4) "
         "against the full corpus, probed from the stored ANN index "
-        "with a bounded bucket IN filter — the vector twin of "
+        "via a broadcast probe-bucket join (DPP on bucket-dir "
+        "layouts; no driver-side collect) — the vector twin of "
         "delta_dedup_verdict; semantically the full "
         "embedding_dedup_verdict restricted to the delta rows, with "
         "EXACT full-bucket candidates on the stored path",

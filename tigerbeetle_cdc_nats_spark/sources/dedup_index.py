@@ -140,6 +140,30 @@ def read_minhash_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(iv.current_dir(path))
 
 
+def read_minhash_snapshot(spark: SparkSession,
+                          path: str) -> tuple[DataFrame, dict]:
+    """(banded rows, metadata) from ONE resolved physical snapshot.
+
+    ``read_minhash_index`` + ``read_index_meta`` each resolve
+    ``CURRENT`` independently; a compaction flipping the pointer
+    between the two reads would pair one snapshot's data with
+    another's sidecar — and a stale ``max_pop`` understating the live
+    census mis-tiers the verdict plan (round-11 advice). Resolving the
+    snapshot once pins data and meta to the same immutable version
+    directory (versioned snapshots are never mutated in place, so the
+    pair stays coherent even if a flip lands mid-scan)."""
+    from tigerbeetle_cdc_nats_spark.session import configure
+
+    configure(spark)
+    snap = iv.current_dir(path)
+    try:
+        with open(os.path.join(snap, _META), encoding="utf-8") as fh:
+            meta = json.load(fh)
+    except (OSError, ValueError):
+        meta = {}
+    return spark.read.parquet(snap), meta
+
+
 def minhash_pairs_from_index(index: DataFrame) -> DataFrame:
     """Full candidate-pair query against the stored index — identical
     output to operators/dedup.minhash_candidate_pairs, minus the
