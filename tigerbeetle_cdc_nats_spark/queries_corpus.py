@@ -17,12 +17,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+import logging
+
+from tigerbeetle_cdc_nats_spark import errors as errmod
 from tigerbeetle_cdc_nats_spark.operators import dedup as dd
 from tigerbeetle_cdc_nats_spark.operators import text as tx
 from tigerbeetle_cdc_nats_spark.queries_dedup import _MINHASH_CTES
 from tigerbeetle_cdc_nats_spark.registry import register
 from tigerbeetle_cdc_nats_spark.session import load_table
 from tigerbeetle_cdc_nats_spark.sources import index_versioning as iv
+
+_log = logging.getLogger(__name__)
 
 #: Source partition held out as the "benchmark" set for decontamination.
 BENCHMARK_SOURCE = "src19"
@@ -1403,8 +1408,13 @@ def q_winnow_candidates_indexed(spark: SparkSession,
             di.write_winnow_index(docs, path)
         return di.winnow_candidates_from_index(
             di.read_winnow_index(spark, path))
-    except Exception:
-        # read-only scratch fallback: identical result in-session
+    except Exception as exc:
+        # read-only scratch fallback: identical result in-session.
+        # Env errors only — a corrupt index must raise (round-11 advice).
+        if not errmod.expected_index_env_error(exc):
+            raise
+        _log.warning("winnow indexed: stored index unavailable (%s); "
+                     "serving the computed path", exc)
         return winnow_candidates_from_fp(winnow_fingerprints(docs))
 
 
@@ -1952,8 +1962,13 @@ def q_winnow_probe_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not iv.index_ready(path):
             di.write_winnow_index(docs, path)
         return di.probe_winnow_index(spark, path, docs.where(pred))
-    except Exception:
-        # read-only scratch fallback: identical counts in-session
+    except Exception as exc:
+        # read-only scratch fallback: identical counts in-session.
+        # Env errors only — a corrupt index must raise (round-11 advice).
+        if not errmod.expected_index_env_error(exc):
+            raise
+        _log.warning("winnow probe: stored index unavailable (%s); "
+                     "serving the computed path", exc)
         fp = winnow_fingerprints(docs).persist()
         a = fp.where(pred).select("wm", F.col("doc_id").alias("doc_id"))
         b = fp.select("wm", F.col("doc_id").alias("other_id"))

@@ -1184,7 +1184,12 @@ def corpus_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             di.write_minhash_index(docs, path)
         return di.read_minhash_index(spark, path).select(
             "doc_id", "band", "bucket", "sig")
-    except Exception:
+    except Exception as exc:
+        # env errors only — a corrupt index must raise (round-11 advice)
+        if not errmod.expected_index_env_error(exc):
+            raise
+        _log.warning("corpus_banded: stored index unavailable (%s); "
+                     "serving the in-session build", exc)
         return dd.banded_buckets(dd.minhash_signatures(docs))
 
 

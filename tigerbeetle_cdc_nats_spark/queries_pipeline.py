@@ -233,3 +233,91 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.lang_pred(score_cols).alias("pred_lang"),
     )
     return scored.where(F.col("quality") >= 0.6)
+
+
+# -- stored composed verdict (round-12) ---------------------------------------
+
+import hashlib  # noqa: E402
+import logging  # noqa: E402
+import os  # noqa: E402
+
+_log = logging.getLogger(__name__)
+
+
+def _verdict_store_kind(sf_dir: str) -> str:
+    """Index kind for the corpus-verdict store, additionally keyed on
+    the EMBEDDINGS table fingerprint: stored_index_dir keys on the
+    documents table, but the composed verdict also depends on the
+    embeddings — a regenerated embeddings.parquet with unchanged
+    documents must rotate the store, never serve a stale composition."""
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(p)
+        tag = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        tag = "absent"
+    return "cverdict" + hashlib.md5(tag.encode()).hexdigest()[:8]
+
+
+def ensure_corpus_verdict_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-or-open the stored composed corpus verdict for ``sf_dir``,
+    returning its store path. The batch build materializes
+    corpus_verdict once (each stage already stored-index served) plus
+    the exact-stage hash index; every later consumer reads the
+    |docs|-sized artifact instead of re-running three stage verdicts.
+    Streaming ingest keeps it fresh via
+    streaming/corpus.maintain_corpus_verdict (delta-fold, the
+    progress-record pattern of runner.go:412-423)."""
+    from tigerbeetle_cdc_nats_spark.queries_dedup import stored_index_dir
+    from tigerbeetle_cdc_nats_spark.sources import index_versioning as iv
+    from tigerbeetle_cdc_nats_spark.sources import verdict_store as vs
+
+    path = stored_index_dir(_verdict_store_kind(sf_dir), sf_dir)
+    if not iv.index_ready(path):
+        docs = load_table(spark, sf_dir, "documents")
+        hashes = (docs.select(F.md5("text").alias("h"), "doc_id")
+                  .groupBy("h").agg(F.min("doc_id").alias("rep")))
+        vs.write_verdict_store(corpus_verdict(spark, sf_dir), hashes,
+                               path)
+    return path
+
+
+@register(
+    "corpus_verdict_indexed",
+    f"""WITH {_CORPUS_VERDICT_CTES}
+SELECT comp.doc_id, comp.rep_id, comp.is_kept, comp.stage
+FROM comp, n, mp
+WHERE n.n_vec <= 16384 AND mp.maxpop <= 256
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       'out_of_bounds'
+FROM n, mp WHERE n.n_vec > 16384 OR mp.maxpop > 256""",
+    doc="corpus_dedup_verdict served from the PERSISTED verdict store "
+        "(sources/verdict_store): the composed per-doc decision is "
+        "materialized once (build) and then maintained from per-batch "
+        "delta-verdict folds (streaming/corpus.maintain_corpus_verdict) "
+        "— consumers read the |docs|-sized artifact instead of "
+        "re-running all three stage verdicts per query; identical "
+        "output by the rehearsal pin (stored == full recompute across "
+        "build/append/replay/compaction)",
+)
+def q_corpus_verdict_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-artifact serving path for the composed corpus verdict."""
+    from tigerbeetle_cdc_nats_spark.queries_similarity import (
+        VERDICT_SERVED,
+        _expected_index_env_error,
+    )
+    from tigerbeetle_cdc_nats_spark.sources import verdict_store as vs
+
+    try:
+        path = ensure_corpus_verdict_store(spark, sf_dir)
+        out = vs.read_corpus_verdict(spark, path)
+        VERDICT_SERVED["corpus_verdict_indexed"] = "stored"
+        return out.select("doc_id", "rep_id", "is_kept", "stage")
+    except Exception as exc:
+        if not _expected_index_env_error(exc):
+            raise
+        VERDICT_SERVED["corpus_verdict_indexed"] = "computed"
+        _log.warning("corpus_verdict_indexed: stored verdict "
+                     "unavailable (%s); serving the computed path", exc)
+        return corpus_verdict(spark, sf_dir)

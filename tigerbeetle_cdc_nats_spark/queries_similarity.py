@@ -156,9 +156,14 @@ def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ai.write_ann_index(load_table(spark, sf_dir, "embeddings"),
                                path, planes, dim=dim)
         idx = ai.read_ann_index(spark, path)
-    except Exception:
+    except Exception as exc:
         # read-only scratch fallback: identical result from a per-session
-        # bucketing of the corpus (loses only the file-level pruning)
+        # bucketing of the corpus (loses only the file-level pruning).
+        # Env errors only — a corrupt index must raise (round-11 advice).
+        if not _expected_index_env_error(exc):
+            raise
+        _log.warning("ann_lsh_indexed: stored index unavailable (%s); "
+                     "serving the computed path", exc)
         return sim.ann_lsh(load_table(spark, sf_dir, "embeddings"),
                            QUERY_IDS, planes, k=5,
                            dim=dim).withColumnRenamed("rank", "knn_rank")
@@ -474,8 +479,13 @@ def q_embedding_near_dup_indexed(spark: SparkSession,
         path, n_planes = ensure_near_dup_index(spark, sf_dir)
         return near_dup_pairs_from_index(spark, path, dim,
                                          n_planes=n_planes)
-    except Exception:
-        pass  # read-only scratch: identical result from the computed path
+    except Exception as exc:
+        # read-only scratch: identical result from the computed path.
+        # Env errors only — a corrupt index must raise (round-11 advice).
+        if not _expected_index_env_error(exc):
+            raise
+        _log.warning("near-dup indexed pairs: stored index unavailable "
+                     "(%s); serving the computed path", exc)
     return near_dup_pairs_skewsafe(emb, dim, corpus_size=emb.count())
 
 
@@ -3206,8 +3216,13 @@ def q_ivf_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                                path, dim=dim)
         idx = ai.read_ivf_index(spark, path)
         centv = ai.read_ivf_centroids(spark, path)
-    except Exception:
-        # read-only scratch fallback: identical result in-session
+    except Exception as exc:
+        # read-only scratch fallback: identical result in-session.
+        # Env errors only — a corrupt index must raise (round-11 advice).
+        if not _expected_index_env_error(exc):
+            raise
+        _log.warning("ivf indexed: stored index unavailable (%s); "
+                     "serving the computed path", exc)
         return q_ivf_ann(spark, sf_dir)
     qsrc = (load_table(spark, sf_dir, "embeddings")
             .where(F.col("vec_id").isin(list(QUERY_IDS))))
@@ -3276,8 +3291,13 @@ def q_ann_multiprobe_indexed(spark: SparkSession,
             ai.write_ann_index(load_table(spark, sf_dir, "embeddings"),
                                path, planes, dim=dim)
         idx = ai.read_ann_index(spark, path)
-    except Exception:
-        # read-only scratch fallback: identical result in-session
+    except Exception as exc:
+        # read-only scratch fallback: identical result in-session.
+        # Env errors only — a corrupt index must raise (round-11 advice).
+        if not _expected_index_env_error(exc):
+            raise
+        _log.warning("multiprobe indexed: stored index unavailable "
+                     "(%s); serving the computed path", exc)
         return q_ann_multiprobe(spark, sf_dir)
     qsrc = (load_table(spark, sf_dir, "embeddings")
             .where(F.col("vec_id").isin(list(QUERY_IDS))))
@@ -3311,8 +3331,12 @@ def q_ann_multiprobe_indexed(spark: SparkSession,
 def delta_verdict_from_index(spark: SparkSession, path: str, dim: int,
                              pred) -> DataFrame:
     """|delta|-sized dedup verdict served from the stored ANN index: the
-    delta rows (``pred`` over vec_id) probe the FULL corpus for smaller
-    matching neighbors — the embedding twin of the text delta probe.
+    delta rows probe the FULL corpus for smaller matching neighbors —
+    the embedding twin of the text delta probe. ``pred`` selects the
+    delta: either a Column predicate over the index's vec_id, or a
+    one-column DataFrame of delta ids (broadcast-semi-joined — the form
+    the streaming verdict fold uses, where the delta is a micro-batch,
+    not an id-expressible slice).
 
     Scale shape: the delta side comes from the index itself (it already
     carries bucket + norm, so no signature pass), and the corpus side is
@@ -3335,7 +3359,12 @@ def delta_verdict_from_index(spark: SparkSession, path: str, dim: int,
     idx = ai.read_ann_index(spark, path)
     b = idx.select("vec_id", "embedding", "bucket",
                    ai.index_norm(idx, "embedding", dim).alias("norm"))
-    delta = b.where(pred)
+    if isinstance(pred, DataFrame):
+        ids = pred.select(F.col(pred.columns[0]).alias("d_id")).distinct()
+        delta = (b.join(F.broadcast(ids),
+                        F.col("vec_id") == F.col("d_id")).drop("d_id"))
+    else:
+        delta = b.where(pred)
     probe = delta.select(F.col("bucket").alias("probe_bucket")).distinct()
     q = (b.join(F.broadcast(probe),
                 F.col("bucket") == F.col("probe_bucket"))
