@@ -141,7 +141,11 @@ def test_corpus_pairs_fall_back_when_cache_untrusted(spark, docs,
     from tigerbeetle_cdc_nats_spark import queries_dedup as qd
 
     def boom(kind, sf_dir, table="documents"):
-        raise RuntimeError("cache untrusted (test)")
+        # the production ownership-check refusal (stored_index_dir);
+        # round-12 narrowed fallbacks recognize exactly this message —
+        # arbitrary RuntimeErrors now propagate as index bugs
+        raise RuntimeError("index cache is owned by uid 0, not 1; "
+                           "refusing to trust or write it")
 
     monkeypatch.setattr(qd, "stored_index_dir", boom)
     got = _pairs(qd.corpus_minhash_pairs(spark, SF_DIR))

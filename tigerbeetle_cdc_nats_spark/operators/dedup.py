@@ -164,6 +164,26 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     )
 
 
+def sig_agreement_count(k: int = MINHASH_K,
+                        sig_a: str = "sig_a",
+                        sig_b: str = "sig_b") -> F.Column:
+    """Number of agreeing MinHash signature slots, as an UNROLLED sum of
+    k integer equality casts. Bit-identical to the
+    ``size(filter(zip_with(...)))`` form, but ~4.5x faster on the pair
+    hot path (measured round 12, 2.7e8-pair mega-bucket volume: 40.4 s
+    -> 9.0 s warm): the higher-order chain allocates a zipped array plus
+    a filtered array PER PAIR, while the unrolled sum stays inside
+    whole-stage codegen with no allocation. 16 int terms is far under
+    the codegen term budget — this is the opposite trade from the dim-64
+    FLOAT cosine, where the unrolled form lost to the interpreted fold
+    (operators/similarity, round-9 measurement)."""
+    total = None
+    for i in range(1, k + 1):
+        c = (F.element_at(sig_a, i) == F.element_at(sig_b, i)).cast("int")
+        total = c if total is None else total + c
+    return total
+
+
 def minhash_candidate_pairs(sigs: DataFrame, bands: int = MINHASH_BANDS,
                             k: int = MINHASH_K) -> DataFrame:
     """LSH banding: bucket = md5 of each band's signature slice; candidate
@@ -200,11 +220,7 @@ def pairs_est_from_banded(banded: DataFrame, k: int = MINHASH_K) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                        lambda v: v))
-        / F.lit(float(k))
-    )
+    est = sig_agreement_count(k) / F.lit(float(k))
     return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
 
 
@@ -538,10 +554,6 @@ def minhash_incremental_pairs(sigs: DataFrame, delta: Column,
         )
         .dropDuplicates(["doc_id", "other_id"])
     )
-    est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                        lambda v: v))
-        / F.lit(float(k))
-    )
+    est = sig_agreement_count(k) / F.lit(float(k))
     return pairs.select("doc_id", "other_id", "other_is_delta",
                         est.alias("est_jaccard"))

@@ -210,11 +210,7 @@ def probe_minhash_index(spark: SparkSession, path: str,
                 F.col("b.sig").alias("sig_b"))
         .dropDuplicates(["doc_id", "other_id"])
     )
-    est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                        lambda v: v))
-        / F.lit(float(dd.MINHASH_K))
-    )
+    est = dd.sig_agreement_count() / F.lit(float(dd.MINHASH_K))
     return pairs.select("doc_id", "other_id", est.alias("est_jaccard"))
 
 
