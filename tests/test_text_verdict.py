@@ -138,14 +138,17 @@ def test_embedding_delta_verdict_is_restricted_full_verdict(spark):
 
 
 def test_stale_sidecar_understating_census_still_exact(spark):
-    """Round-11 advice (medium): the mega tier must be part of EVERY
-    tiered plan, not gated on the sidecar's max_pop — a sidecar written
-    one snapshot ago can understate the live census (concurrent append
-    or compaction between the meta read and the data read), and a
-    max_pop-gated mega tier would then silently drop every bucket whose
-    fresh population exceeds scan_cap from all tiers, KEEPING its docs
-    with no candidates. Here the sidecar claims max_pop=3 (under
-    scan_cap=4) while the one real bucket holds 20 docs."""
+    """Round-11 advice (medium): the tiers must cover EVERY bucket
+    population regardless of sidecar staleness — a sidecar written one
+    mutation ago can understate the live census (streaming appends
+    land in the live snapshot between the meta write and a reader's
+    file listing), and a plan whose hot tier is capped at scan_cap
+    with the mega tier gated on the stale max_pop would silently drop
+    every bucket whose fresh population exceeds scan_cap from all
+    tiers, KEEPING its docs with no candidates. The fix: with no
+    reported mega bucket the hot scan has no upper bound (slow exact
+    scan, never a dropped tier). Here the sidecar claims max_pop=3
+    (under scan_cap=4) while the one real bucket holds 20 docs."""
     docs = spark.createDataFrame(
         [(i, "alpha beta gamma delta epsilon zeta eta theta kappa")
          for i in range(20)],

@@ -1504,10 +1504,14 @@ def text_verdict_from_banded(ids: DataFrame, banded: DataFrame, *,
       — no census broadcast, no tier machinery in the plan at all;
     - hot corpus: rows join the (|buckets|-sized, broadcast, reused
       across tiers) census once and split by population — cold rows
-      take the min-fold join, hot buckets (pop <= scan_cap) one
-      early-exit Arrow scan task each, and degenerate mega buckets a
-      grid-salted exact join. Every tier is exact, so tiering is a plan
-      choice, never a semantic one.
+      take the min-fold join, hot buckets one early-exit Arrow scan
+      task each, and degenerate mega buckets (sidecar reports pop >
+      scan_cap) a grid-salted exact join. Every tier is exact, so
+      tiering is a plan choice, never a semantic one — and the tiers
+      cover EVERY population regardless of sidecar staleness: with no
+      reported mega bucket the hot scan has no upper bound, so a
+      census the sidecar understates degrades to a slower exact scan,
+      never a silently dropped tier (round-11 advice).
 
     A doc's candidates can span tiers across its MINHASH_BANDS buckets,
     so tier outputs union into one final |docs|-bounded min."""
@@ -1526,22 +1530,32 @@ def text_verdict_from_banded(ids: DataFrame, banded: DataFrame, *,
     # build instead of re-censusing per tier (ReusedExchange)
     sized = banded.join(F.broadcast(pops), ["band", "bucket"])
     cold = sized.where(F.col("_pop") <= cap)
-    hot = sized.where((F.col("_pop") > cap)
-                      & (F.col("_pop") <= scan_cap))
-    rep = (_text_rep_fold(_text_pairs_projected(cold, cold))
-           .unionByName(_text_verdict_hot_scan(hot)
-                        .where(F.col("_rep") >= 0)))
-    # The mega branch is ALWAYS part of the tiered plan (it is lazy and
-    # empty when no bucket exceeds scan_cap): the tier filters use the
+    # Round-11 advice (stale-sidecar safety): the tier filters use the
     # fresh in-plan census `pops`, while ``max_pop`` may come from a
-    # sidecar written one snapshot ago — if a concurrent append grew a
-    # bucket past scan_cap between the meta read and the data read, a
-    # max_pop-gated mega tier would silently drop those rows from every
-    # tier (hot requires _pop <= scan_cap) and KEEP their docs with no
-    # candidates — a wrong verdict, not a slow one (round-11 advice).
-    rep = rep.unionByName(
-        _text_verdict_mega(sized.where(F.col("_pop") > scan_cap),
-                           scan_cap))
+    # sidecar one mutation behind the data (streaming appends land in
+    # the live snapshot; data files can be newer than the meta read).
+    # A bucket grown past scan_cap under a max_pop-gated 3-tier plan
+    # would then match NO tier and its docs would be silently KEPT with
+    # no candidates — a wrong verdict. So the tiers must cover every
+    # population under either gate value: when the sidecar reports no
+    # mega bucket, the hot scan takes everything above `cap` with NO
+    # upper bound — a stale-census bucket degrades to one slow exact
+    # early-exit scan task, never a dropped tier — and the common hot
+    # plan carries zero mega machinery (an always-on mega branch costs
+    # two extra banded scans per query: measured cd64 10.6 -> 16.0 s).
+    if max_pop <= scan_cap:
+        hot = sized.where(F.col("_pop") > cap)
+        rep = (_text_rep_fold(_text_pairs_projected(cold, cold))
+               .unionByName(_text_verdict_hot_scan(hot)
+                            .where(F.col("_rep") >= 0)))
+    else:
+        hot = sized.where((F.col("_pop") > cap)
+                          & (F.col("_pop") <= scan_cap))
+        rep = (_text_rep_fold(_text_pairs_projected(cold, cold))
+               .unionByName(_text_verdict_hot_scan(hot)
+                            .where(F.col("_rep") >= 0))
+               .unionByName(_text_verdict_mega(
+                   sized.where(F.col("_pop") > scan_cap), scan_cap)))
     return _assemble_text_verdict(
         ids, rep.groupBy("doc_id").agg(F.min("_rep").alias("_rep")))
 
