@@ -149,10 +149,13 @@ def _record_age() -> dict[str, int] | None:
 #: Queries whose REGISTERED semantics changed after their latest green
 #: CORRECTNESS record: their artifact reflects the old definition, so
 #: they must re-record immediately (age 0) instead of aging out on the
-#: normal rotation. Round 11: training_data_pipeline's dedup stage now
-#: consumes corpus_dedup_verdict (exact + MinHash + embedding) instead
-#: of the exact-hash-only window.
-_SEMANTICS_CHANGED = frozenset({"training_data_pipeline"})
+#: normal rotation. A name leaves this set once the driver has recorded
+#: it green under the new semantics (round 11 demoted
+#: training_data_pipeline for its verdict-consuming dedup stage; its
+#: r11 record is green, so round 12 clears it). Round 12 changed no
+#: registered query's semantics — the stored-verdict serving rewires
+#: are bit-identical and rehearsal-pinned.
+_SEMANTICS_CHANGED = frozenset()
 
 
 def _rotated(items):
