@@ -101,10 +101,16 @@ def test_q3_filters_pushed_to_scans(spark, sf_dir):
 
 def test_q1_single_shuffle_partial_agg(spark, sf_dir):
     """Q1 must partial-aggregate map-side: two HashAggregates around exactly
-    one Exchange — at 100 TB the shuffle carries 6 groups, not 600M rows."""
+    one HASH exchange — at 100 TB the shuffle carries 6 groups, not 600M
+    rows. A single guarded ROUND-ROBIN spread below the partial aggregate
+    is allowed: ensure_parallelism inserts it only when the scan has fewer
+    splits than cores (the local single-row-group file), and it vanishes at
+    scale — the partial-aggregation invariant is the hash exchange's."""
     df = QUERIES["q1_pricing_summary"].fn(spark, sf_dir)
+    plan = physical_plan(df)
     assert count_nodes(df, "HashAggregate") == 2
-    assert count_nodes(df, "Exchange") == 1
+    assert plan.count("hashpartitioning") == 1
+    assert count_nodes(df, "Exchange") <= 2  # hash + optional round-robin
 
 
 def test_scan_prunes_columns(spark, sf_dir):

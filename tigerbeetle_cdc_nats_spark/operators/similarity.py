@@ -34,6 +34,12 @@ SIM_SCALE = 1_000_000
 EMBEDDING_DIM = 64
 
 
+#: embedding_dim probe memo keyed on (path, mtime_ns, size): dozens of
+#: registered queries probe the same file per bench pass; the pyarrow
+#: footer+first-row read is ~10 ms each, pure repeated driver work.
+_DIM_MEMO: dict = {}
+
+
 def embedding_dim(sf_dir: str, default: int = EMBEDDING_DIM) -> int:
     """Probe the corpus's embedding width from the parquet file itself —
     one row via pyarrow, driver-side, no Spark job.
@@ -45,6 +51,14 @@ def embedding_dim(sf_dir: str, default: int = EMBEDDING_DIM) -> int:
     file can't be probed (remote FS, empty table)."""
     import os
 
+    try:
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+        memo_key = (os.path.abspath(sf_dir), st.st_mtime_ns, st.st_size,
+                    default)
+    except OSError:
+        memo_key = None
+    if memo_key is not None and memo_key in _DIM_MEMO:
+        return _DIM_MEMO[memo_key]
     try:
         import pyarrow.parquet as pq
 
@@ -61,7 +75,10 @@ def embedding_dim(sf_dir: str, default: int = EMBEDDING_DIM) -> int:
                 return default
             path = os.path.join(path, parts[0])
         batch = next(pq.ParquetFile(path).iter_batches(batch_size=1))
-        return len(batch.column("embedding")[0])
+        dim = len(batch.column("embedding")[0])
+        if memo_key is not None:
+            _DIM_MEMO[memo_key] = dim
+        return dim
     except Exception:
         return default
 

@@ -290,6 +290,14 @@ def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = ensure_parallelism(events_table(spark, sf_dir))
     cents = agg.cents()
+    # min/max over a STRING column makes the aggregation buffer
+    # variable-width, which disqualifies HashAggregate — with them inline
+    # the whole Expand-multiplied aggregate (rows x 6) planned as a
+    # 3-SortAggregate chain with two full sorts (round-12 guide §2.3:
+    # measured 1.33 s). The string min/max is instead taken over the
+    # DISTINCT event_type values (identical result; the distinct set is
+    # the enum domain, a handful of rows), so the big aggregate keeps a
+    # fixed-width buffer and plans hash-based end to end.
     g = ev.agg(
         F.count("*").alias("n"),
         F.countDistinct("event_id").alias("d_id"),
@@ -302,12 +310,14 @@ def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("user_id").cast("string").alias("mn_u"),
         F.max("user_id").cast("string").alias("mx_u"),
         F.countDistinct("event_type").alias("d_t"),
-        F.min("event_type").alias("mn_t"),
-        F.max("event_type").alias("mx_t"),
         F.countDistinct(cents).alias("d_c"),
         F.min(cents).cast("string").alias("mn_c"),
         F.max(cents).cast("string").alias("mx_c"),
     )
+    tg = (ev.select("event_type").distinct()
+          .agg(F.min("event_type").alias("mn_t"),
+               F.max("event_type").alias("mx_t")))
+    g = g.join(F.broadcast(tg))
     stack = F.expr(
         "stack(5,"
         " 'event_id', d_id, mn_id, mx_id,"

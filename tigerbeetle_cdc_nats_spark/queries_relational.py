@@ -331,7 +331,15 @@ GROUP BY l_returnflag, l_linestatus""",
         "aggregation, map-side combine",
 )
 def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").where(
+    # The decimal partial aggregate runs where the scan runs; the local
+    # single-row-group lineitem file yields ONE scan task, serializing
+    # 600k decimal(28,*) accumulations on one core (measured 1.2-1.7 s,
+    # ~90% of this query). ensure_parallelism round-robins the (6-column
+    # pruned) rows across cores first — a no-op at scale, where the scan
+    # already has >= cores splits and the map-side combine stays local.
+    from tigerbeetle_cdc_nats_spark.session import ensure_parallelism
+
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem")).where(
         F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
     )
     qty = F.col("l_quantity").cast("decimal(18,2)")

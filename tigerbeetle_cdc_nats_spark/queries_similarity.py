@@ -785,22 +785,31 @@ def q_dedup_verdict_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    # ONE pass over the verdict (round 12): the previous two global
+    # aggregates (count/sum rollup + dropped-only fan-out census) each
+    # re-executed the whole verdict plan — index scan, cold pair fold,
+    # hot scans — twice per query (measured 1.1 s vs 0.75 s for the
+    # verdict alone). A rep_id-keyed partial aggregate feeds every
+    # output: totals are sums of group sums, n_reps counts groups with a
+    # dropped member, and the fan-out max is the max group drop count.
     v = q_embedding_dedup_verdict(spark, sf_dir)
-    s = v.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("is_kept").cast("long").alias("n_kept"),
-        F.sum(1 - F.col("is_kept")).cast("long").alias("n_dropped"),
-        F.countDistinct(F.when(F.col("is_kept") == 0, F.col("rep_id")))
-        .cast("long").alias("n_reps"))
-    fan = (v.where(F.col("is_kept") == 0)
-           .groupBy("rep_id").agg(F.count(F.lit(1)).alias("cnt"))
-           .agg(F.coalesce(F.max("cnt"), F.lit(0)).cast("long")
-                .alias("max_rep_fanout")))
-    return (s.join(F.broadcast(fan))
-            .select("n_docs", "n_kept", "n_dropped",
+    per = v.groupBy("rep_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_kept").alias("kept"),
+        F.sum(1 - F.col("is_kept")).alias("drop_cnt"))
+    s = per.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.sum("drop_cnt").cast("long").alias("n_dropped"),
+        F.sum(F.when(F.col("drop_cnt") > 0, 1).otherwise(0))
+        .cast("long").alias("n_reps"),
+        F.coalesce(F.max(F.when(F.col("drop_cnt") > 0,
+                                F.col("drop_cnt"))), F.lit(0))
+        .cast("long").alias("max_rep_fanout"))
+    return s.select("n_docs", "n_kept", "n_dropped",
                     F.expr("(n_dropped * 1000000) div n_docs")
                     .cast("long").alias("dup_rate_e6"),
-                    "n_reps", "max_rep_fanout"))
+                    "n_reps", "max_rep_fanout")
 
 
 def near_dup_pairs_pinned(emb, planes, dim: int):

@@ -142,7 +142,11 @@ def write_skew_sidecar(spark: SparkSession, path: str, *,
     if cap is None:
         cap = HOT_CAP
     live = iv.current_dir(path)
-    idx = read_ann_index(spark, path)
+    # DIRECT read, not read_ann_index's memo: this census runs right
+    # after rows were appended and BEFORE the sidecar marker is
+    # rewritten, so the memo would serve the pre-append file listing
+    # here and the census would miss the new rows.
+    idx = spark.read.parquet(live)
     if n_planes is None:
         # compaction doesn't know the plane set; carry it over from the
         # previous sidecar generation (the plane set is fixed per index
@@ -252,10 +256,21 @@ def append_ann_index(new_vectors: DataFrame, path: str,
 
 
 def read_ann_index(spark: SparkSession, path: str) -> DataFrame:
-    from tigerbeetle_cdc_nats_spark.session import configure
+    import os
+
+    from tigerbeetle_cdc_nats_spark.session import (
+        configure,
+        memo_read_parquet_snapshot,
+    )
 
     configure(spark)
-    return spark.read.parquet(iv.current_dir(path))
+    snap = iv.current_dir(path)
+    # keyed on the skew sidecar: write_ann_index (build AND append) and
+    # compact_ann_index each finish by rewriting it, so the memoized
+    # listing is invalidated on every mutation; a pre-sidecar index
+    # falls through to a direct read
+    return memo_read_parquet_snapshot(spark, snap,
+                                      os.path.join(snap, _SKEW_META))
 
 
 def probe_buckets(index: DataFrame, buckets: list[int]) -> DataFrame:

@@ -134,10 +134,17 @@ def append_minhash_index(delta_docs: DataFrame, path: str) -> None:
 
 
 def read_minhash_index(spark: SparkSession, path: str) -> DataFrame:
-    from tigerbeetle_cdc_nats_spark.session import configure
+    from tigerbeetle_cdc_nats_spark.session import (
+        configure,
+        memo_read_parquet_snapshot,
+    )
 
     configure(spark)
-    return spark.read.parquet(iv.current_dir(path))
+    snap = iv.current_dir(path)
+    # keyed on the meta sidecar: every build/append/compaction rewrites
+    # it last, so the memo can never serve a stale file listing
+    return memo_read_parquet_snapshot(spark, snap,
+                                      os.path.join(snap, _META))
 
 
 def read_minhash_snapshot(spark: SparkSession,
@@ -161,7 +168,10 @@ def read_minhash_snapshot(spark: SparkSession,
             meta = json.load(fh)
     except (OSError, ValueError):
         meta = {}
-    return spark.read.parquet(snap), meta
+    from tigerbeetle_cdc_nats_spark.session import memo_read_parquet_snapshot
+
+    return (memo_read_parquet_snapshot(spark, snap,
+                                       os.path.join(snap, _META)), meta)
 
 
 def minhash_pairs_from_index(index: DataFrame) -> DataFrame:
@@ -239,10 +249,15 @@ def append_winnow_index(delta_docs: DataFrame, path: str) -> None:
 
 
 def read_winnow_index(spark: SparkSession, path: str) -> DataFrame:
-    from tigerbeetle_cdc_nats_spark.session import configure
+    from tigerbeetle_cdc_nats_spark.session import (
+        configure,
+        memo_read_parquet_snapshot,
+    )
 
     configure(spark)
-    return spark.read.parquet(iv.current_dir(path))
+    snap = iv.current_dir(path)
+    return memo_read_parquet_snapshot(spark, snap,
+                                      os.path.join(snap, _META))
 
 
 def winnow_candidates_from_index(index: DataFrame) -> DataFrame:
