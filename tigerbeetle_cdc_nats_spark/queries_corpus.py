@@ -1761,11 +1761,11 @@ selu{i} AS (SELECT * FROM selu{p} UNION ALL SELECT * FROM sel{i})""")
 def q_rag_retrieve_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tigerbeetle_cdc_nats_spark.operators.similarity import mmr_rerank
 
-    docs = load_table(spark, sf_dir, "documents")
-    sets = (dd.gram_hash_rows(docs).groupBy("doc_id")
-            .agg(F.collect_set("h").alias("sh"))
-            .withColumn("n_sh", F.size("sh").cast("bigint"))
-            .persist())
+    from tigerbeetle_cdc_nats_spark.queries_dedup import corpus_shingle_sets
+
+    # shared session-memoized shingle sets (round 12) — one gram-explode
+    # + collect_set pass serves this query and minhash_containment
+    sets = corpus_shingle_sets(spark, sf_dir)
     qs = sets.where(F.col("doc_id").isin(list(RAG_QUERY_DOCS))).select(
         F.col("doc_id").alias("q_id"), F.col("sh").alias("qsh"),
         F.col("n_sh").alias("qn"))

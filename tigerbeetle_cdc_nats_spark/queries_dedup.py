@@ -227,6 +227,29 @@ def corpus_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+def corpus_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc shingle-hash sets ``(doc_id, sh, n_sh)`` for the corpus,
+    session-memoized (round 12): the gram explode + one md5 per gram
+    occurrence + collect_set is the dominant cost of every exact-set
+    consumer, and minhash_containment and rag_retrieve_diverse each
+    recomputed it per query. Shares _PAIRS_CACHE's lifecycle (an
+    invalidation drops it with the pairs)."""
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir, "shingle_sets")
+    hit = _PAIRS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents")
+    sets = (dd.gram_hash_rows(docs).groupBy("doc_id")
+            .agg(F.collect_set("h").alias("sh"))
+            .select("doc_id", "sh",
+                    F.size("sh").cast("bigint").alias("n_sh"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    _PAIRS_CACHE[key] = sets
+    return sets
+
+
 def corpus_minhash_probe(spark: SparkSession, sf_dir: str,
                          delta_mod: int = 5,
                          delta_rem: int = 4) -> DataFrame:
@@ -499,8 +522,11 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifacts themselves need.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(docs)
-    pairs = dd.minhash_candidate_pairs(sigs).where(
+    # round 12: the pair stage now ALSO rides the session pairs memo —
+    # this was the one non-twin consumer still rebuilding signatures +
+    # banding in-session per query (identical candidates by the
+    # stored/fresh bit-equality contract of corpus_minhash_pairs)
+    pairs = corpus_minhash_pairs(spark, sf_dir).where(
         F.col("est_jaccard") >= DUP_CLUSTER_THRESHOLD)
     comp = _dup_components(spark, sf_dir)
     n_docs = docs.agg(
@@ -970,12 +996,11 @@ WHERE n_inter * 1000000 // n_a >= 500000
         "integer-e6 floor division on both engines.",
 )
 def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
     pairs = corpus_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    sets = (dd.gram_hash_rows(docs).groupBy("doc_id")
-            .agg(F.collect_set("h").alias("shset"))
-            .select("doc_id", "shset",
-                    F.size("shset").cast("bigint").alias("n_sh")))
+    # shared session-memoized shingle sets (round 12) — the gram explode
+    # + collect_set pass was recomputed here and in rag_retrieve_diverse
+    sets = corpus_shingle_sets(spark, sf_dir).select(
+        "doc_id", F.col("sh").alias("shset"), "n_sh")
     sa = sets.select(F.col("doc_id").alias("doc_a"),
                      F.col("shset").alias("sh_a"),
                      F.col("n_sh").alias("n_a"))
