@@ -113,6 +113,19 @@ def test_q1_single_shuffle_partial_agg(spark, sf_dir):
     assert count_nodes(df, "Exchange") <= 2  # hash + optional round-robin
 
 
+def test_q18_single_lineitem_pass(spark, sf_dir):
+    """Q18 must aggregate lineitem ONCE (round 12): the HAVING gate and the
+    final per-order rollup share one groupBy(l_orderkey) — legal because
+    o_orderkey is the orders primary key, so the post-join (o_orderkey,
+    o_orderdate) group is functionally the orderkey. Two lineitem scans /
+    two hash exchanges here would re-ship the fact table at 100 TB."""
+    df = QUERIES["q18_large_orders"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") == 1  # one fact scan
+    assert plan.count("hashpartitioning") == 1  # one aggregate exchange
+    assert count_nodes(df, "HashAggregate") == 2  # partial + final
+
+
 def test_scan_prunes_columns(spark, sf_dir):
     """A 2-column projection must not read all 16 lineitem columns."""
     df = QUERIES["q1_pricing_summary"].fn(spark, sf_dir)

@@ -649,20 +649,25 @@ def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     qty = F.col("l_quantity").cast("decimal(18,2)")
+    # One aggregate serves both the HAVING gate and the final rollup
+    # (round 12, guide §2.4): the final group key (o_orderkey,
+    # o_orderdate) is functionally l_orderkey because o_orderkey is the
+    # orders primary key, so SUM/COUNT per joined (o_orderkey,
+    # o_orderdate) group == SUM/COUNT per l_orderkey. Aggregating before
+    # the join removes the second lineitem scan, the second full-fact
+    # aggregate, and shrinks the join input from |lineitem| rows to
+    # |orderkeys over threshold|.
     big = (
-        li.groupBy("l_orderkey").agg(F.sum(qty).alias("tq"))
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("tq"), F.count("*").alias("n_lines"))
         .where(F.col("tq") > 150)
-        .select("l_orderkey")
     )
     return (
-        li.join(big, "l_orderkey", "left_semi")
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.sum(qty).cast("double").alias("total_qty"),
-             F.count("*").alias("n_lines"))
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
         .select("o_orderkey",
                 F.col("o_orderdate").cast("date").alias("o_orderdate"),
-                "total_qty", "n_lines")
+                F.col("tq").cast("double").alias("total_qty"),
+                "n_lines")
     )
 
 
