@@ -236,26 +236,49 @@ def _plane_dot(vec: Column | str, plane: list[float],
     if dim is not None:
         if not isinstance(vec, str):
             raise TypeError("static-dim plane dot requires a column name")
-        terms = " + ".join(
-            f"(CAST({vec}[{i}] AS DOUBLE) * {float(plane[i])!r}D)"
-            for i in range(dim)
-        )
-        return F.expr(f"0.0D + {terms}")
+        return F.expr(_plane_dot_sql(vec, plane, dim))
     vec = F.col(vec) if isinstance(vec, str) else vec
     return _fold_dot(vec, F.array(*[F.lit(x) for x in plane]))
+
+
+def _plane_dot_sql(vec: str, plane: list[float], dim: int) -> str:
+    """The unrolled SQL text behind the static-dim _plane_dot (shared by
+    bucket_col's fused single-expression form)."""
+    terms = " + ".join(
+        f"(CAST({vec}[{i}] AS DOUBLE) * {float(plane[i])!r}D)"
+        for i in range(dim)
+    )
+    return f"0.0D + {terms}"
 
 
 def bucket_col(planes: list[list[float]], vec_col: str = "embedding",
                dim: int | None = None) -> Column:
     """Sign-random-projection bucket id: bit j = (v . plane_j) > 0.
-    Zero planes degenerate to the single bucket 0."""
+    Zero planes degenerate to the single bucket 0.
+
+    With ``dim`` known the whole bucket is ONE ``F.expr`` string (round
+    12): the per-plane ``F.when(...) + ...`` chain cost ~5 py4j round
+    trips per plane at plan-construction time, repeated for every
+    signature column of every ANN/near-dup query. The CASE WHEN terms
+    and left-associative integer adds are the same expressions the
+    Column chain produced, so bucket ids are bit-identical."""
+    if not planes:
+        return F.lit(0).cast("long")
+    if dim is not None:
+        if not isinstance(vec_col, str):
+            raise TypeError("static-dim bucket requires a column name")
+        terms = " + ".join(
+            f"(CASE WHEN ({_plane_dot_sql(vec_col, plane, dim)}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j, plane in enumerate(planes)
+        )
+        return F.expr(f"CAST({terms} AS BIGINT)")
     bucket = None
     for j, plane in enumerate(planes):
-        bit = F.when(_plane_dot(vec_col if dim is not None else F.col(vec_col),
-                                plane, dim) > 0,
+        bit = F.when(_plane_dot(F.col(vec_col), plane, dim) > 0,
                      F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return (bucket if bucket is not None else F.lit(0)).cast("long")
+    return bucket.cast("long")
 
 
 def lsh_buckets(embeddings: DataFrame, planes: list[list[float]],

@@ -78,11 +78,20 @@ def q_ledger_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_table(spark, sf_dir)
-    return ev.agg(
+    # round 12 (guide §1.2 per-task work): ONE quantile sketch queried at
+    # three points instead of three identical sketches over the same
+    # column — same accuracy parameter, same per-partition update order,
+    # so all three outputs are bit-identical (verified row-equal); the
+    # per-row sketch-update work drops 3x.
+    return (ev.agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.approx_count_distinct("event_id", rsd=0.01).alias("approx_events"),
-        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
-        F.percentile_approx("value", 0.9, 10000).alias("approx_p90"),
-        F.percentile_approx("value", 0.99, 10000).alias("approx_p99"),
-        F.count("*").alias("n_events"),
-    )
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+            F.lit(10000)).alias("_pp"),
+        F.count("*").alias("n_events"))
+        .select("approx_users", "approx_events",
+                F.col("_pp")[0].alias("approx_p50"),
+                F.col("_pp")[1].alias("approx_p90"),
+                F.col("_pp")[2].alias("approx_p99"),
+                "n_events"))

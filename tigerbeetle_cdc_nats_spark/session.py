@@ -61,6 +61,20 @@ def configure(spark: SparkSession) -> SparkSession:
     if spark in _CONFIGURED:
         return spark
     _CONFIGURED.add(spark)
+    # PySpark 4 wraps every DataFrame/Column API call with error call-site
+    # capture: 2 extra py4j round-trips per call (a conf read + a JVM
+    # origin set), ~35% of measured plan-construction time across the
+    # bench. The toggle conf is STATIC (settable only at session build,
+    # done in get_spark's builder), so for driver-provided bare sessions
+    # flip the python-side cache directly — it only disables the
+    # call-site line in error messages, never behavior.
+    try:
+        import pyspark.errors.utils as _perr
+
+        if hasattr(_perr, "_enable_debugging_cache"):
+            _perr._enable_debugging_cache = False
+    except Exception:
+        pass  # future pyspark layout: keep the (slower) default
     spark.conf.set(NANOS_AS_LONG, "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
@@ -107,6 +121,9 @@ def get_spark(app_name: str = "tigerbeetle-cdc-nats-spark",
         # with CANNOT_OPEN_SOCKET — a load flake, not a product error
         # (round-10 judge item #8). Generous timeout, zero cost when idle.
         .config("spark.python.authenticate.socketTimeout", "120s")
+        # Static conf behind the per-API-call error call-site capture (2
+        # py4j round-trips per DataFrame/Column call); see configure().
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if master:
         builder = builder.config("spark.master", master)
