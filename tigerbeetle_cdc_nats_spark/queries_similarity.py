@@ -990,6 +990,43 @@ def centroid_vectors(emb: DataFrame) -> DataFrame:
     )
 
 
+#: Session memo of the IVF coarse quantization, keyed on (application id,
+#: embeddings file identity): centroid_vectors + the full-corpus
+#: ivf_assign pass are byte-identical plans across the 8 IVF-family
+#: consumers, but each query used to re-pay ivf_assign's construction-time
+#: centroid collect (a blocking Spark job) and its own persist round
+#: trips; CacheManager's plan-equality substitution also hinged on
+#: cloudpickle byte stability of the per-call mapInPandas closure. One
+#: explicit memo removes all of that (round 12, guide §2.4/§5). The
+#: mtime/size key drops the entry if the embeddings file ever changes;
+#: nothing mutates it in-session (streaming maintains separate indexes).
+_IVF_CACHE: dict = {}
+
+
+def ivf_assigned(spark: SparkSession,
+                 sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(centv, assigned) for the corpus — persisted, session-memoized."""
+    import os
+
+    from pyspark import StorageLevel
+
+    from tigerbeetle_cdc_nats_spark.session import table_path
+
+    p = table_path(sf_dir, "embeddings")
+    st = os.stat(p)
+    key = (spark.sparkContext.applicationId, os.path.abspath(p),
+           st.st_mtime_ns, st.st_size)
+    hit = _IVF_CACHE.get(key)
+    if hit is not None:
+        return hit
+    emb = load_table(spark, sf_dir, "embeddings")
+    centv = centroid_vectors(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    assigned = ivf_assign(emb, centv, dim=_dim(sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    _IVF_CACHE[key] = (centv, assigned)
+    return centv, assigned
+
+
 def ivf_assign_expr(emb: DataFrame, centv: DataFrame,
                     dim: int = _DIM) -> DataFrame:
     """Pure-Column IVF assignment (reference path): broadcast nested-loop
@@ -1153,22 +1190,14 @@ SELECT q_id, c_id, sim_e6, knn_rank FROM r WHERE knn_rank <= 5""",
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window, functions as F
 
-    from pyspark import StorageLevel
-
     emb = load_table(spark, sf_dir, "embeddings")
-    # centv is k tiny rows but costs a full corpus pass (grouped Arrow
-    # means) — persist it so the candidate and query assignments don't run
-    # the centroid pass twice.
-    centv = centroid_vectors(emb).persist(StorageLevel.MEMORY_AND_DISK)
-    # Candidate side: full-corpus assignment, computed once. Query side:
-    # assignment of the 5 query vectors only — filtering BEFORE assignment
-    # avoids referencing the heavy full-assignment subtree twice (the
-    # minhash double-compute lesson).
-    # persisted: the full-corpus assignment plan is IDENTICAL across
-    # ivf_ann / kmeans_refine / semdedup, so one materialization serves all
-    # three in a session (CacheManager substitutes cached subtrees by plan)
-    c = ivf_assign(emb, centv, dim=_dim(sf_dir)).persist(
-        StorageLevel.MEMORY_AND_DISK).select(
+    # Candidate side: full-corpus assignment from the session memo (one
+    # centroid pass + one assignment pass serve the whole IVF family).
+    # Query side: assignment of the 5 query vectors only — filtering
+    # BEFORE assignment avoids referencing the heavy full-assignment
+    # subtree twice (the minhash double-compute lesson).
+    centv, assigned = ivf_assigned(spark, sf_dir)
+    c = assigned.select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
         F.col("cell").alias("c_cell"), F.col("norm").alias("c_n"),
     )
@@ -1289,12 +1318,7 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     from pyspark.sql import types as T
 
-    from pyspark import StorageLevel
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    centv = centroid_vectors(emb).persist(StorageLevel.MEMORY_AND_DISK)
-    assigned = ivf_assign(emb, centv, dim=_dim(sf_dir)).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    centv, assigned = ivf_assigned(spark, sf_dir)
 
     schema = T.StructType([
         T.StructField("cell", T.LongType()),
@@ -1369,12 +1393,9 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     — and total pair volume — stays bounded as the corpus grows
     (round-7 judge item: no registered query quadratic-under-growth).
     """
-    from pyspark import StorageLevel
-
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
-    centv = centroid_vectors(emb).persist(StorageLevel.MEMORY_AND_DISK)
-    assigned = ivf_assign(emb, centv, dim=_dim(sf_dir))
+    _centv, assigned = ivf_assigned(spark, sf_dir)
     n_sub = (0 if n <= SEMDEDUP_WIDEN_N else
              sim.planes_for_corpus(max(n // 10, 1), target_bucket=64))
     return sim.semdedup_scaled(assigned, n, dim=_dim(sf_dir),
@@ -1409,8 +1430,7 @@ def q_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    centv = centroid_vectors(emb)
+    centv, _assigned = ivf_assigned(spark, sf_dir)
     a = centv.select(F.col("cell").alias("cell_a"),
                      F.col("c_arr").alias("arr_a"))
     b = centv.select(F.col("cell").alias("cell_b"),
@@ -1648,12 +1668,9 @@ def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality-join key is (cell, sub_bucket) with ~constant expected
     population, making total pair volume linear in corpus size.
     """
-    from pyspark import StorageLevel
-
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
-    centv = centroid_vectors(emb).persist(StorageLevel.MEMORY_AND_DISK)
-    assigned = ivf_assign(emb, centv, dim=_dim(sf_dir))
+    _centv, assigned = ivf_assigned(spark, sf_dir)
     return sim.semdedup_scaled(assigned, n, dim=_dim(sf_dir))
 
 
@@ -2800,8 +2817,7 @@ def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dim = _dim(sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    centv = centroid_vectors(emb)
-    assigned = ivf_assign(emb, centv, dim).persist()
+    _centv, assigned = ivf_assigned(spark, sf_dir)
     cb = sim.pq_codebook(emb)
     codes = sim.pq_encode(emb, cb, dim)
     index = codes.join(assigned.select("vec_id", "cell"), "vec_id")
@@ -3016,9 +3032,8 @@ def q_ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _dim(sf_dir)
-    centv = centroid_vectors(emb).persist(StorageLevel.MEMORY_AND_DISK)
-    c = ivf_assign(emb, centv, dim=dim).persist(
-        StorageLevel.MEMORY_AND_DISK).select(
+    centv, assigned = ivf_assigned(spark, sf_dir)
+    c = assigned.select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"),
         F.col("cell").alias("c_cell"), F.col("norm").alias("c_n"))
     qv = emb.where(F.col("vec_id").isin(list(QUERY_IDS))).select(
@@ -3104,13 +3119,10 @@ def q_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometry, so per-cell populations stay bounded; a deployment with
     deliberately few, huge cells would salt the rank by sim-bucket
     before the final within-cell ordering."""
-    from pyspark import StorageLevel
     from pyspark.sql import Window, functions as F
 
-    emb = load_table(spark, sf_dir, "embeddings")
     dim = _dim(sf_dir)
-    centv = centroid_vectors(emb).persist(StorageLevel.MEMORY_AND_DISK)
-    assigned = ivf_assign(emb, centv, dim=dim)
+    centv, assigned = ivf_assigned(spark, sf_dir)
     cw = F.broadcast(centv.withColumn("_cn", sim.norm_col("c_arr", dim)))
     scored = assigned.join(cw, "cell").select(
         "vec_id", "cell",
@@ -3167,8 +3179,7 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from tigerbeetle_cdc_nats_spark.operators import dedup as dd
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    assigned = ivf_assign(emb, centroid_vectors(emb), dim=_dim(sf_dir))
+    _centv, assigned = ivf_assigned(spark, sf_dir)
     hk = dd.hash60(F.concat(F.lit("cbs:"), F.col("vec_id").cast("string")))
     w = Window.partitionBy("cell").orderBy(F.col("_hk"), F.col("vec_id"))
     return (

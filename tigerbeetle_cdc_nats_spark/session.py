@@ -188,18 +188,33 @@ def memo_read_parquet_snapshot(spark: SparkSession, data_dir: str,
     the live snapshot, compaction flip — rewrites its marker
     (``_index_meta.json`` / ``_skew_meta.json`` / ``_store_meta.json``)
     as its last step, so (marker mtime_ns, size) changes whenever the
-    directory's contents do. A missing marker (legacy pre-metadata
-    layout, or an index whose appends don't refresh one — IVF) gets a
-    direct uncached read. Same memo store and off-switch as
-    memo_read_parquet."""
+    directory's contents do. The key ALSO folds in a stat fingerprint of
+    every data file under the snapshot (sorted relpath/mtime_ns/size,
+    hashed): an out-of-band rewrite that does NOT go through the
+    build/append/compaction protocol — e.g. a corrupted part file —
+    must fall out of the memo so the next action re-reads (and raises
+    on) the real bytes instead of serving blocks the first action
+    cached (pinned by test_corrupt_text_index_raises_not_silent_
+    fallback; the walk is a local-FS stat pass, ~1 ms for a few hundred
+    part files, vs the 0.1-0.26 s JVM re-analyze it replaces). A
+    missing marker (legacy pre-metadata layout, or an index whose
+    appends don't refresh one — IVF) gets a direct uncached read. Same
+    memo store and off-switch as memo_read_parquet."""
     if os.environ.get("SPARK_GRAFT_NO_SCAN_MEMO"):
         return spark.read.parquet(data_dir)
     try:
         st = os.stat(marker_path)
+        fp = []
+        for root, _dirs, files in os.walk(data_dir):
+            for f in files:
+                fst = os.stat(os.path.join(root, f))
+                fp.append((os.path.relpath(os.path.join(root, f), data_dir),
+                           fst.st_mtime_ns, fst.st_size))
+        files_key = hash(tuple(sorted(fp)))
     except OSError:
         return spark.read.parquet(data_dir)
     key = (os.path.abspath(data_dir), os.path.abspath(marker_path),
-           st.st_mtime_ns, st.st_size)
+           st.st_mtime_ns, st.st_size, files_key)
     try:
         per = _SCAN_MEMO.setdefault(spark, {})
     except TypeError:
