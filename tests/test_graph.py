@@ -95,3 +95,32 @@ def test_triangle_census_empty_graph(spark):
     row = triangle_census(e).first()
     assert (row["n_wedges"], row["n_triangles"], row["closure_ratio"]) == \
         (0, 0, 0.0)
+
+
+def test_pagerank_first_step_join_free(spark):
+    """The unrolled first iteration (constant init folded into a projection
+    of the edge+degree table) must emit exactly what the generic
+    rank-join step emits from the uniform start."""
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (2, 4)],
+        "doc_a long, doc_b long")
+    edges = undirect(pairs)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = edges.join(deg, "src")
+    r0 = deg.select(F.col("src").alias("node"),
+                    F.lit(1000000).cast("long").alias("pr_e6"))
+    generic = (
+        ed.join(r0, ed["src"] == r0["node"])
+        .select("dst", F.expr("pr_e6 div deg").alias("c"))
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("c").alias("s"))
+        .select("node",
+                (F.lit(150000)
+                 + F.floor(0.85 * F.col("s").cast("double")).cast("long"))
+                .alias("pr_e6")))
+    got = {r["node"]: r["pr_e6"] for r in generic.collect()}
+    one_iter = {r["doc_id"]: r["pr_e6"]
+                for r in pagerank_e6(edges, iterations=1).collect()}
+    assert one_iter == got

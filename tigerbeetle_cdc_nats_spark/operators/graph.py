@@ -34,21 +34,35 @@ def pagerank_e6(edges: DataFrame, iterations: int = 2) -> DataFrame:
     uniform 1.0 (= 1e6) start. Output: (doc_id, degree, pr_e6).
 
     The edge list with degrees is materialized once (it is read by every
-    iteration); ranks stay (node, BIGINT) rows — the only per-iteration
-    state, linear in node count.
+    iteration), and so is the degree table (read by the rank init, the
+    first iteration, and the final attach); ranks stay (node, BIGINT)
+    rows — the only per-iteration state, linear in node count.
+
+    The FIRST iteration never joins: the uniform init gives every source
+    the same rank (1e6), and the init node set IS the source set the
+    degree table was aggregated from, so joining it back onto the edges
+    attaches a constant — contribution = 1000000 div deg is a pure
+    projection of the persisted edge+degree table. Identical integer
+    arithmetic to the generic step (pinned by
+    tests/test_graph.py::test_pagerank_first_step_join_free).
     """
     from pyspark import StorageLevel
 
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    deg = edges.groupBy("src").agg(
+        F.count("*").alias("deg")).persist(StorageLevel.MEMORY_AND_DISK)
     ed = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
 
     ranks = deg.select(F.col("src").alias("node"),
                        F.lit(1000000).cast("long").alias("pr_e6"))
-    for _ in range(iterations):
-        contrib = (
-            ed.join(ranks, ed["src"] == ranks["node"])
-            .select("dst", F.expr("pr_e6 div deg").alias("c"))
-        )
+    for it in range(iterations):
+        if it == 0:
+            # uniform init: rank is the constant 1e6 for every src
+            contrib = ed.select("dst", F.expr("1000000 div deg").alias("c"))
+        else:
+            contrib = (
+                ed.join(ranks, ed["src"] == ranks["node"])
+                .select("dst", F.expr("pr_e6 div deg").alias("c"))
+            )
         ranks = (
             contrib.groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("s"))
@@ -77,12 +91,19 @@ def degree_oriented(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     instead of the id-ordered form's C(deg, 2) = O(deg^2). dst_deg rides
     along so the wedge join can order its two endpoints by the SAME
     (degree, id) total order without re-joining degrees.
+
+    The degree table is persisted: it is read at least three times (the
+    two orientation joins here plus every caller's final attach or wedge
+    rollup), and each recompute was a full union + two-level aggregate
+    over the edge list.
     """
+    from pyspark import StorageLevel
+
     deg = edges.groupBy(F.col("doc_a").alias("node")).agg(
         F.count("*").alias("d")).unionByName(
         edges.groupBy(F.col("doc_b").alias("node")).agg(
             F.count("*").alias("d"))).groupBy("node").agg(
-        F.sum("d").alias("deg"))
+        F.sum("d").alias("deg")).persist(StorageLevel.MEMORY_AND_DISK)
     da = deg.select(F.col("node").alias("doc_a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("doc_b"), F.col("deg").alias("deg_b"))
     e = edges.join(da, "doc_a").join(db, "doc_b")
@@ -169,6 +190,10 @@ def local_clustering_e6(edges: DataFrame) -> DataFrame:
 
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     oriented, deg = degree_oriented(edges)
+    # triangle_corners reads `oriented` three times (both wedge sides and
+    # the closing-edge probe) — materialize it once, as triangle_census
+    # already does
+    oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
     corners = triangle_corners(oriented).select(
         F.explode(F.array("src", "v1", "v2")).alias("node"))
     tri = corners.groupBy("node").agg(F.count("*").alias("n_tri"))

@@ -1139,34 +1139,46 @@ LEFT JOIN nd ON nd.min_agree = t.min_agree""",
 def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair/doc counts per candidate threshold, from the stored index.
 
-    Scale shape: the candidate-pair set (LSH equality join, linear under
-    calibrated geometry) is scanned ONCE; the 5-way threshold explode
-    multiplies only that bounded pair set, and the doc-side distinct is
-    keyed on (threshold, doc_id). The threshold spine left-joins the two
-    aggregates so every cut appears even with zero survivors.
+    Scale shape (round 13): the thresholds are NESTED (sw at t+1 is a
+    subset of sw at t), so neither side needs the 9-way threshold explode
+    of the raw pair set the oracle spells out:
+
+    - n_pairs(t) = count of pairs with m >= t — one CONDITIONAL column
+      per threshold inside a single global aggregate over the pair set;
+    - a doc appears among sw(t)'s endpoints iff ANY pair touching it has
+      m >= t, i.e. iff max(m) over its pairs >= t, so n_docs(t) counts
+      the per-doc MAX-agreement table (one doc-keyed aggregate, linear)
+      the same conditional way, instead of dropping
+      2 x |pairs| x |thresholds| rows through a global distinct.
+
+    Both rollups are map-side-combined single passes over the
+    session-persisted pairs memo; the two 1-row results cross join (1x1)
+    and a stack() projection emits the 9-row sweep — no threshold-spine
+    join, no explode, and two fewer exchanges than the sw form
+    (interleaved A/B at sf0.1: 0.46 -> 0.30 s; rows verified equal).
+    Empty pair set: the global aggregates still return one row (NULL
+    sums), and the coalesce inside the stack keeps every threshold row
+    at 0 — exactly the spine the oracle's LEFT JOIN guarantees.
     """
     pairs = corpus_minhash_pairs(spark, sf_dir).select(
         "doc_a", "doc_b",
         (F.col("est_jaccard") * dd.MINHASH_K).cast("int").alias("m"))
-    sw = (pairs.withColumn(
-        "min_agree",
-        F.explode(F.array(*[F.lit(t) for t in SWEEP_MIN_AGREE])))
-        .where(F.col("m") >= F.col("min_agree")))
-    np_ = sw.groupBy("min_agree").agg(
-        F.count("*").cast("bigint").alias("n_pairs"))
-    nd = (sw.select("min_agree",
-                    F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
-          .distinct()
-          .groupBy("min_agree")
-          .agg(F.count("*").cast("bigint").alias("n_docs")))
-    th = spark.createDataFrame([(t,) for t in SWEEP_MIN_AGREE],
-                               "min_agree int")
-    return (th.join(np_, "min_agree", "left").join(nd, "min_agree", "left")
-            .select(F.col("min_agree").cast("bigint").alias("min_agree"),
-                    F.coalesce("n_pairs", F.lit(0)).cast("bigint")
-                    .alias("n_pairs"),
-                    F.coalesce("n_docs", F.lit(0)).cast("bigint")
-                    .alias("n_docs")))
+    np_ = pairs.agg(*[
+        F.sum(F.when(F.col("m") >= t, 1).otherwise(0)).cast("bigint")
+        .alias(f"p{t}") for t in SWEEP_MIN_AGREE])
+    dm = (pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id"), "m")
+        .groupBy("doc_id").agg(F.max("m").alias("mm")))
+    nd = dm.agg(*[
+        F.sum(F.when(F.col("mm") >= t, 1).otherwise(0)).cast("bigint")
+        .alias(f"d{t}") for t in SWEEP_MIN_AGREE])
+    return np_.crossJoin(nd).select(F.expr(
+        "stack({n}, {args}) AS (min_agree, n_pairs, n_docs)".format(
+            n=len(SWEEP_MIN_AGREE),
+            args=", ".join(
+                f"CAST({t} AS BIGINT), coalesce(p{t}, CAST(0 AS BIGINT)), "
+                f"coalesce(d{t}, CAST(0 AS BIGINT))"
+                for t in SWEEP_MIN_AGREE))))
 
 
 @register(
