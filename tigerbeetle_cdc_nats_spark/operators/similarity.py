@@ -83,6 +83,51 @@ def embedding_dim(sf_dir: str, default: int = EMBEDDING_DIM) -> int:
         return default
 
 
+#: table_rows memo keyed on (path, mtime_ns, size): ~a dozen registered
+#: queries sized their adaptive LSH geometry with a blocking `df.count()`
+#: Spark job at PLAN-BUILD time (30-80 ms of scheduler + scan each, per
+#: query per bench pass). The parquet footer's num_rows is authoritative
+#: for a static file, so the count is a ~1 ms driver-side metadata read.
+_ROWS_MEMO: dict = {}
+
+
+def table_rows(sf_dir: str, table: str = "embeddings") -> int | None:
+    """Exact row count of a testdata table from parquet FOOTER metadata —
+    driver-side, no Spark job; equals ``df.count()`` on the same file(s)
+    by the parquet spec (num_rows is required and exact). Memoized on
+    file identity (mtime_ns/size), so a rewritten file re-probes. Returns
+    None when the path can't be probed locally (remote FS, missing file);
+    callers fall back to the Spark count."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    if key in _ROWS_MEMO:
+        return _ROWS_MEMO[key]
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            # directory datasets can gain part files without changing the
+            # top-level stat (same hazard memo_read_parquet documents):
+            # compute, but never memoize
+            parts = sorted(
+                os.path.join(path, f) for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith((".", "_")))
+            if not parts:
+                return None
+            return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+        n = pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+    _ROWS_MEMO[key] = n
+    return n
+
+
 def _unrolled_dot_sql(a: str, b: str, dim: int) -> str:
     """Spark-SQL text of the unrolled dot product. Left-assoc additions from
     a 0.0D accumulator — the exact operation order of the interpreted fold,

@@ -51,6 +51,15 @@ def _dim(sf_dir: str) -> int:
     return sim.embedding_dim(sf_dir)
 
 
+def _corpus_n(emb, sf_dir: str) -> int:
+    """Embeddings row count for adaptive-geometry sizing: the parquet
+    footer's num_rows (memoized driver-side metadata read — no Spark job
+    at plan-construction time, guide §5) with the Spark count as the
+    remote-FS fallback. Identical value by the parquet spec."""
+    n = sim.table_rows(sf_dir)
+    return n if n is not None else emb.count()
+
+
 @functools.lru_cache(maxsize=8)
 def _planes(sf_dir: str):
     d = _dim(sf_dir)
@@ -238,7 +247,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return near_dup_pairs_skewsafe(emb, _dim(sf_dir),
-                                   corpus_size=emb.count())
+                                   corpus_size=_corpus_n(emb, sf_dir))
 
 
 def near_dup_pairs_from_index(spark: SparkSession, path: str, dim: int, *,
@@ -396,7 +405,7 @@ def ensure_near_dup_index(spark: SparkSession,
     # cost paid once per index generation, never by warm serving (with
     # parquet aggregate pushdown off — Spark's default — count(*) is a
     # real scan, not a footer read)
-    n = int(meta["n_rows"]) if meta else emb.count()
+    n = int(meta["n_rows"]) if meta else _corpus_n(emb, sf_dir)
     adaptive = max(len(PLANES), sim.planes_for_corpus(n, target_bucket=64))
     if adaptive == len(planes):
         if not iv.index_ready(path):
@@ -486,7 +495,7 @@ def q_embedding_near_dup_indexed(spark: SparkSession,
             raise
         _log.warning("near-dup indexed pairs: stored index unavailable "
                      "(%s); serving the computed path", exc)
-    return near_dup_pairs_skewsafe(emb, dim, corpus_size=emb.count())
+    return near_dup_pairs_skewsafe(emb, dim, corpus_size=_corpus_n(emb, sf_dir))
 
 
 #: Largest hot-bucket population the per-bucket early-exit Arrow scan will
@@ -743,7 +752,7 @@ def q_embedding_dedup_verdict(spark: SparkSession,
     # scratch changes which docs are dropped there (round-10 advice).
     # Cold corpora (every registered SF) are bit-identical either way.
     ids = emb.select("vec_id")
-    pairs = near_dup_pairs_skewsafe(emb, dim, corpus_size=emb.count())
+    pairs = near_dup_pairs_skewsafe(emb, dim, corpus_size=_corpus_n(emb, sf_dir))
     return _verdict_from_pairs(ids, pairs)
 
 
@@ -920,7 +929,7 @@ FROM n WHERE n.n_vec > 16384""",
 def q_embedding_near_dup_adaptive(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return near_dup_pairs_adaptive(emb, emb.count(), _dim(sf_dir))
+    return near_dup_pairs_adaptive(emb, _corpus_n(emb, sf_dir), _dim(sf_dir))
 
 
 @register(
@@ -1394,7 +1403,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round-7 judge item: no registered query quadratic-under-growth).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n = _corpus_n(emb, sf_dir)
     _centv, assigned = ivf_assigned(spark, sf_dir)
     n_sub = (0 if n <= SEMDEDUP_WIDEN_N else
              sim.planes_for_corpus(max(n // 10, 1), target_bucket=64))
@@ -1515,7 +1524,7 @@ def q_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quadratic under GROWTH nor the hot-bucket quadratic under CLUSTER
     # skew (SCALE.md round-7 clustered soak) when the corpus scales.
     e = (near_dup_pairs_skewsafe(emb, _dim(sf_dir),
-                                 corpus_size=emb.count())
+                                 corpus_size=_corpus_n(emb, sf_dir))
          .select(F.col("vec_a").alias("e_a"), F.col("vec_b").alias("e_b")))
 
     j = t.join(e, (F.col("t_a") == F.col("e_a"))
@@ -1669,7 +1678,7 @@ def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     population, making total pair volume linear in corpus size.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n = _corpus_n(emb, sf_dir)
     _centv, assigned = ivf_assigned(spark, sf_dir)
     return sim.semdedup_scaled(assigned, n, dim=_dim(sf_dir))
 
@@ -1869,7 +1878,8 @@ def q_embedding_near_dup_multitable(spark: SparkSession,
     """
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _dim(sf_dir)
-    return multitable_pairs(emb, dim, _adaptive_mt_tables(emb.count(), dim))
+    return multitable_pairs(emb, dim,
+                            _adaptive_mt_tables(_corpus_n(emb, sf_dir), dim))
 
 
 @register(
@@ -1918,7 +1928,8 @@ def q_embedding_near_dup_multitable_adaptive(spark: SparkSession,
     """
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _dim(sf_dir)
-    return multitable_pairs(emb, dim, _adaptive_mt_tables(emb.count(), dim))
+    return multitable_pairs(emb, dim,
+                            _adaptive_mt_tables(_corpus_n(emb, sf_dir), dim))
 
 
 def bucket_centroids(members: DataFrame, key: str = "bucket",
@@ -3450,7 +3461,7 @@ def q_embedding_delta_verdict(spark: SparkSession,
     # delta on the larger-id side — same hot-corpus recall caveat as the
     # full verdict's fallback (residual splits vs exact full buckets)
     ids = emb.where(pred).select("vec_id")
-    pairs = near_dup_pairs_skewsafe(emb, dim, corpus_size=emb.count())
+    pairs = near_dup_pairs_skewsafe(emb, dim, corpus_size=_corpus_n(emb, sf_dir))
     rep = (pairs.where((F.col("vec_b") % 5) == 4)
            .groupBy(F.col("vec_b").alias("vec_id"))
            .agg(F.min("vec_a").alias("_rep")))
