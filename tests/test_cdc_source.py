@@ -309,3 +309,41 @@ def test_unsorted_backlog_warns_once(spark, tmp_path):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         reader2.latestOffset()
+
+
+def test_batch_top_k_prunes_per_partition_not_result(spark, tmp_path):
+    """topK pushdown: a multi-row-group file must yield the same global
+    ORDER BY ts LIMIT k rows with per-partition pruning on, while each
+    partition ships at most k rows."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tigerbeetle_cdc_nats_spark.sources.cdc_source import read_cdc_batch
+
+    n = 1000
+    tbl = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        # interleave timestamps across row groups so the global top-k
+        # draws from both partitions
+        "ts": pa.array([1_000 + ((i * 7919) % n) * 1_000 for i in range(n)],
+                       pa.int64()),
+        "user_id": pa.array([i % 10 for i in range(n)], pa.int64()),
+        "event_type": pa.array(["t"] * n, pa.string()),
+        "value": pa.array([float(i) for i in range(n)], pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    path = os.path.join(tmp_path, "events.parquet")
+    pq.write_table(tbl, path, row_group_size=250)  # 4 partitions
+
+    k = 37
+    plain = read_cdc_batch(spark, path, start_ts=0)
+    pruned = read_cdc_batch(spark, path, start_ts=0, top_k=k)
+    want = sorted((r["ts"], r["event_id"])
+                  for r in plain.orderBy("ts").limit(k).collect())
+    got = sorted((r["ts"], r["event_id"])
+                 for r in pruned.orderBy("ts").limit(k).collect())
+    assert got == want
+    # each of the 4 partitions ships at most k rows
+    assert pruned.count() <= 4 * k

@@ -335,7 +335,8 @@ def q_cdc_native_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tigerbeetle_cdc_nats_spark.sources.cdc_source import read_cdc_batch
 
     ev = read_cdc_batch(
-        spark, os.path.join(sf_dir, "events.parquet"), start_ts=CURSOR_NS)
+        spark, os.path.join(sf_dir, "events.parquet"), start_ts=CURSOR_NS,
+        top_k=4096)  # limit pushdown: the global LIMIT below re-applies it
     return (ev.orderBy("ts").limit(4096)
             .select("event_id", "ts", "user_id", "event_type",
                     F.col("value").cast("double").alias("value"), "props"))

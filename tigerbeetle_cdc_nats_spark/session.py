@@ -91,6 +91,16 @@ def configure(spark: SparkSession) -> SparkSession:
         # distributed listing is genuinely the right tool.
         spark.conf.set(
             "spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
+        # OptimizeCsvJsonExprs rewrites every from_json(x).field access
+        # into its own schema-PRUNED from_json — event_json_decode's five
+        # envelope fields become five full tokenizations of the same
+        # ~1.5 KB payload per row. Our two from_json consumers extract
+        # several fields from one payload, so ONE full-schema parse wins
+        # (measured sf0.1 interleaved A/B: event_json_decode 0.64->0.57 s,
+        # json_roundtrip 0.53->0.32 s). Re-enable if a query ever extracts
+        # a single field from a much wider document.
+        spark.conf.set(
+            "spark.sql.optimizer.enableJsonExpressionOptimization", "false")
     except Exception:
         pass  # non-settable on some deployments; defaults are fine
     return spark
