@@ -446,7 +446,8 @@ def _signature_arrow(df: DataFrame, tables, vec_col: str,
 
 def ann_lsh(embeddings: DataFrame, query_ids, planes: list[list[float]],
             k: int = 5, id_col: str = "vec_id",
-            vec_col: str = "embedding", dim: int | None = None) -> DataFrame:
+            vec_col: str = "embedding", dim: int | None = None, *,
+            bucketed: DataFrame | None = None) -> DataFrame:
     """Approximate top-k: exact cosine, but only within the query's LSH
     bucket (equality join on bucket — the scale path).
 
@@ -455,10 +456,14 @@ def ann_lsh(embeddings: DataFrame, query_ids, planes: list[list[float]],
     whole signature subtree per side — the same double-computation the
     minhash banded side had (round-1 judge item #2). At scale this is the
     standard index-build trade: signatures are computed once per corpus
-    and reused across queries."""
+    and reused across queries — callers holding such a shared signature
+    pass (queries_similarity.signed_corpus) hand it in via ``bucketed``
+    (columns id_col, vec_col, bucket, _n; same bucket_col/norm_col
+    expressions, so results are bit-identical)."""
     from pyspark import StorageLevel
 
-    b = lsh_buckets(embeddings, planes, id_col, vec_col, dim).withColumn(
+    b = bucketed if bucketed is not None else lsh_buckets(
+        embeddings, planes, id_col, vec_col, dim).withColumn(
         "_n", norm_col(vec_col, dim)).persist(StorageLevel.MEMORY_AND_DISK)
     q = b.where(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb"),

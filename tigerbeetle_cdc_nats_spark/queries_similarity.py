@@ -111,9 +111,9 @@ SELECT q_id, c_id, sim_e6, knn_rank FROM r WHERE knn_rank <= 5""",
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.ann_lsh(emb, QUERY_IDS, _planes(sf_dir), k=5,
-                       dim=_dim(sf_dir)).withColumnRenamed(
-        "rank", "knn_rank"
-    )
+                       dim=_dim(sf_dir),
+                       bucketed=_signed_ann_side(spark, sf_dir)
+                       ).withColumnRenamed("rank", "knn_rank")
 
 
 @register(
@@ -174,8 +174,9 @@ def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _log.warning("ann_lsh_indexed: stored index unavailable (%s); "
                      "serving the computed path", exc)
         return sim.ann_lsh(load_table(spark, sf_dir, "embeddings"),
-                           QUERY_IDS, planes, k=5,
-                           dim=dim).withColumnRenamed("rank", "knn_rank")
+                           QUERY_IDS, planes, k=5, dim=dim,
+                           bucketed=_signed_ann_side(spark, sf_dir)
+                           ).withColumnRenamed("rank", "knn_rank")
     qsrc = (load_table(spark, sf_dir, "embeddings")
             .where(F.col("vec_id").isin(list(QUERY_IDS))))
     q = (sim.signature_cols(qsrc, [planes], "embedding", dim,
@@ -246,8 +247,8 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     both validity bounds, so growth past them mismatches loudly.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    return near_dup_pairs_skewsafe(emb, _dim(sf_dir),
-                                   corpus_size=_corpus_n(emb, sf_dir))
+    return near_dup_pairs_skewsafe(
+        emb, _dim(sf_dir), census=signed_corpus_census(spark, sf_dir))
 
 
 def near_dup_pairs_from_index(spark: SparkSession, path: str, dim: int, *,
@@ -495,7 +496,8 @@ def q_embedding_near_dup_indexed(spark: SparkSession,
             raise
         _log.warning("near-dup indexed pairs: stored index unavailable "
                      "(%s); serving the computed path", exc)
-    return near_dup_pairs_skewsafe(emb, dim, corpus_size=_corpus_n(emb, sf_dir))
+    return near_dup_pairs_skewsafe(
+        emb, dim, census=signed_corpus_census(spark, sf_dir))
 
 
 #: Largest hot-bucket population the per-bucket early-exit Arrow scan will
@@ -752,7 +754,8 @@ def q_embedding_dedup_verdict(spark: SparkSession,
     # scratch changes which docs are dropped there (round-10 advice).
     # Cold corpora (every registered SF) are bit-identical either way.
     ids = emb.select("vec_id")
-    pairs = near_dup_pairs_skewsafe(emb, dim, corpus_size=_corpus_n(emb, sf_dir))
+    pairs = near_dup_pairs_skewsafe(
+        emb, dim, census=signed_corpus_census(spark, sf_dir))
     return _verdict_from_pairs(ids, pairs)
 
 
@@ -857,7 +860,8 @@ def near_dup_pairs_pinned(emb, planes, dim: int):
     )
 
 
-def near_dup_pairs_adaptive(emb, corpus_size: int, dim: int):
+def near_dup_pairs_adaptive(emb, corpus_size: int, dim: int, *,
+                            bucketed=None):
     """Embedding near-dup candidate pairs with CORPUS-SCALED LSH geometry.
 
     ``embedding_near_dup`` pins 8 planes / 256 buckets, so with a growing
@@ -882,11 +886,13 @@ def near_dup_pairs_adaptive(emb, corpus_size: int, dim: int):
                    sim.planes_for_corpus(corpus_size, target_bucket=64))
     planes = sim.hyperplanes(n_planes, dim)
     # One scan computes buckets + norms; persisted because both join
-    # sides read it (same rationale as embedding_near_dup).
-    b = sim.signature_cols(emb, [planes], "embedding", dim,
-                           bucket_names=["bucket"],
-                           norm_name="norm").persist(
-        StorageLevel.MEMORY_AND_DISK)
+    # sides read it (same rationale as embedding_near_dup). Callers
+    # holding the session-memoized signed corpus at this geometry hand
+    # it in via ``bucketed`` (same signature_cols expressions).
+    b = bucketed if bucketed is not None else sim.signature_cols(
+        emb, [planes], "embedding", dim,
+        bucket_names=["bucket"],
+        norm_name="norm").persist(StorageLevel.MEMORY_AND_DISK)
     q = b.select(F.col("vec_id").alias("q_id"),
                  F.col("embedding").alias("q_emb"),
                  F.col("bucket").alias("q_bucket"),
@@ -929,7 +935,9 @@ FROM n WHERE n.n_vec > 16384""",
 def q_embedding_near_dup_adaptive(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return near_dup_pairs_adaptive(emb, _corpus_n(emb, sf_dir), _dim(sf_dir))
+    return near_dup_pairs_adaptive(
+        emb, _corpus_n(emb, sf_dir), _dim(sf_dir),
+        bucketed=signed_corpus(spark, sf_dir))
 
 
 @register(
@@ -1012,20 +1020,138 @@ def centroid_vectors(emb: DataFrame) -> DataFrame:
 _IVF_CACHE: dict = {}
 
 
-def ivf_assigned(spark: SparkSession,
-                 sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """(centv, assigned) for the corpus — persisted, session-memoized."""
+def _emb_identity(sf_dir: str):
+    """Embeddings dataset identity for memo keys: (abspath, mtime_ns,
+    size) for a single file, or a stat fingerprint of every data file
+    for a directory dataset (the per-file walk
+    memo_read_parquet_snapshot uses — a top-level stat alone cannot see
+    an in-place part-file rewrite, round-12 advice)."""
     import os
-
-    from pyspark import StorageLevel
 
     from tigerbeetle_cdc_nats_spark.session import table_path
 
     p = table_path(sf_dir, "embeddings")
     st = os.stat(p)
-    key = (spark.sparkContext.applicationId, os.path.abspath(p),
-           st.st_mtime_ns, st.st_size)
-    hit = _IVF_CACHE.get(key)
+    if os.path.isfile(p):
+        return (os.path.abspath(p), st.st_mtime_ns, st.st_size)
+    fp = []
+    for root, _dirs, files in os.walk(p):
+        for f in files:
+            fst = os.stat(os.path.join(root, f))
+            fp.append((os.path.relpath(os.path.join(root, f), p),
+                       fst.st_mtime_ns, fst.st_size))
+    return (os.path.abspath(p), hash(tuple(sorted(fp))))
+
+
+def _memo_swap(cache: dict, key: tuple):
+    """Memo lookup with stale-entry release. Keys are
+    (app_id, path, fingerprint, *params): on a miss, pop and unpersist
+    every entry for the same (app_id, path) whose FINGERPRINT differs —
+    a changed embeddings file must not leave superseded materializations
+    pinning executor storage for the session lifetime (round-12 advice
+    on _IVF_CACHE). Same-fingerprint entries with other params (e.g. a
+    different plane count) stay valid. Returns the hit or None."""
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    app_path, fp = key[:2], key[2]
+    for k in [k for k in cache if k[:2] == app_path and k[2] != fp]:
+        stale = cache.pop(k)
+        for df in (stale if isinstance(stale, (tuple, list)) else (stale,)):
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # plain value or stopped session: nothing to release
+    return None
+
+
+#: Session memo of the SRP-signed corpus (vec_id, embedding, bucket,
+#: norm) + its bucket-population census, keyed on (application id,
+#: embeddings identity, n_planes, dim). FIVE query families built and
+#: persisted their own copy of this exact frame per call (ann_lsh x3
+#: consumers, multiprobe, bucket stats, the adaptive and skew-safe pair
+#: generators x7 consumers) — same data, different column aliases, so
+#: CacheManager's byte-equality reuse could not even dedup the storage.
+#: One memo = one signature pass, one persisted copy, and the skew-safe
+#: census (a blocking .first() job per consumer) paid once. Same
+#: key/invalidation discipline as _IVF_CACHE.
+_SIGNED_CACHE: dict = {}
+
+
+def signed_corpus(spark: SparkSession, sf_dir: str,
+                  n_planes: int | None = None) -> DataFrame:
+    """The persisted signed corpus for ``hyperplanes(n_planes, dim)``
+    geometry (default: the adaptive resolution every registered
+    consumer uses — max(pinned 8, planes_for_corpus(n, 64)))."""
+    return _signed_corpus_entry(spark, sf_dir, n_planes)[0]
+
+
+def signed_corpus_census(spark: SparkSession, sf_dir: str,
+                         n_planes: int | None = None):
+    """(b, pop, max_pop, n_planes) — the signed corpus plus its
+    bucket-population table and max population (the skew-safe hot-bucket
+    trigger). The census job runs once per (session, corpus, geometry)
+    instead of once per consumer; the tuple feeds
+    ``near_dup_pairs_skewsafe(census=...)`` directly."""
+    entry = _signed_corpus_entry(spark, sf_dir, n_planes)
+    if entry[2] is None:
+        from pyspark.sql import functions as F
+
+        row = entry[1].agg(F.max("_pop").alias("m")).first()
+        entry[2] = int((row or {"m": 0})["m"] or 0)
+    return entry[0], entry[1], entry[2], entry[3]
+
+
+def _signed_ann_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signed corpus projected to ann_lsh's bucketed-side contract
+    (vec_id, embedding, bucket, _n) at the PINNED 8-plane geometry its
+    oracles bake in."""
+    from pyspark.sql import functions as F
+
+    return signed_corpus(spark, sf_dir, n_planes=len(PLANES)).select(
+        "vec_id", "embedding", "bucket", F.col("norm").alias("_n"))
+
+
+def _signed_corpus_entry(spark: SparkSession, sf_dir: str,
+                         n_planes: int | None):
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _dim(sf_dir)
+    if n_planes is None:
+        n_planes = max(len(PLANES),
+                       sim.planes_for_corpus(_corpus_n(emb, sf_dir),
+                                             target_bucket=64))
+    ident = _emb_identity(sf_dir)
+    key = (spark.sparkContext.applicationId, ident[0], ident[1:],
+           n_planes, dim)
+    hit = _memo_swap(_SIGNED_CACHE, key)
+    if hit is not None:
+        return hit
+    planes = (_planes(sf_dir) if n_planes == len(PLANES)
+              else sim.hyperplanes(n_planes, dim))
+    b = sim.signature_cols(emb.select("vec_id", "embedding"), [planes],
+                           "embedding", dim, bucket_names=["bucket"],
+                           norm_name="norm").persist(
+        StorageLevel.MEMORY_AND_DISK)
+    pop = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_pop")).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    entry = _SIGNED_CACHE[key] = [b, pop, None, n_planes]
+    return entry
+
+
+def ivf_assigned(spark: SparkSession,
+                 sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(centv, assigned) for the corpus — persisted, session-memoized.
+    Keyed on the full dataset identity (per-file fingerprint for
+    directory corpora) with stale-entry unpersist on key change
+    (round-12 advice items #1/#2)."""
+    from pyspark import StorageLevel
+
+    ident = _emb_identity(sf_dir)
+    key = (spark.sparkContext.applicationId, ident[0], ident[1:])
+    hit = _memo_swap(_IVF_CACHE, key)
     if hit is not None:
         return hit
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1523,8 +1649,8 @@ def q_dup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # agreement audit inherits neither embedding_near_dup's fixed-bucket
     # quadratic under GROWTH nor the hot-bucket quadratic under CLUSTER
     # skew (SCALE.md round-7 clustered soak) when the corpus scales.
-    e = (near_dup_pairs_skewsafe(emb, _dim(sf_dir),
-                                 corpus_size=_corpus_n(emb, sf_dir))
+    e = (near_dup_pairs_skewsafe(
+        emb, _dim(sf_dir), census=signed_corpus_census(spark, sf_dir))
          .select(F.col("vec_a").alias("e_a"), F.col("vec_b").alias("e_b")))
 
     j = t.join(e, (F.col("t_a") == F.col("e_a"))
@@ -1725,10 +1851,10 @@ def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window, functions as F
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    dim, planes = _dim(sf_dir), _planes(sf_dir)
-    b = sim.lsh_buckets(emb, planes, dim=dim).withColumn(
-        "norm", sim.norm_col("embedding", dim)).persist()
+    dim = _dim(sf_dir)
+    # the memoized signed corpus IS this query's bucketed+normed side at
+    # the pinned geometry (same bucket_col/norm_col expressions)
+    b = signed_corpus(spark, sf_dir, n_planes=len(PLANES))
     masks = F.array(*[F.lit(m) for m in _PROBE_MASKS])
     q = (
         b.where(F.col("vec_id").isin(list(QUERY_IDS)))
@@ -1995,7 +2121,8 @@ SEC_PLANES = 6
 
 def near_dup_pairs_skewsafe(emb, dim: int, *, n_planes: int | None = None,
                             corpus_size: int | None = None,
-                            cap: int = HOT_CAP, sec: int = SEC_PLANES):
+                            cap: int = HOT_CAP, sec: int = SEC_PLANES,
+                            census=None):
     """Near-dup candidate pairs with HOT-BUCKET residual splitting.
 
     The adaptive geometry (near_dup_pairs_adaptive) holds the AVERAGE
@@ -2014,6 +2141,13 @@ def near_dup_pairs_skewsafe(emb, dim: int, *, n_planes: int | None = None,
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
+    if census is not None:
+        # shared signature pass + census from signed_corpus_census: the
+        # same signature_cols expressions over the same corpus, so pairs
+        # are bit-identical; the max-pop trigger job ran once per session
+        b, pop, max_pop, n_planes = census
+        return _skewsafe_pairs_core(b, dim, n_planes, max_pop or 0,
+                                    pop=pop, cap=cap, sec=sec)
     if n_planes is None:
         n_planes = max(len(PLANES),
                        sim.planes_for_corpus(corpus_size or emb.count(),
@@ -2435,7 +2569,9 @@ def q_embedding_near_dup_skewsafe(spark: SparkSession,
     clusters, and real corpora need both.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    return near_dup_pairs_skewsafe(emb, _dim(sf_dir), n_planes=8)
+    return near_dup_pairs_skewsafe(
+        emb, _dim(sf_dir),
+        census=signed_corpus_census(spark, sf_dir, n_planes=8))
 
 
 @register(
@@ -2528,7 +2664,8 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     exact5 = sim.knn_bruteforce(emb, QUERY_IDS, k=5, dim=dim).select(
         "q_id", "c_id")
-    ann5 = sim.ann_lsh(emb, QUERY_IDS, _planes(sf_dir), k=5, dim=dim).select(
+    ann5 = sim.ann_lsh(emb, QUERY_IDS, _planes(sf_dir), k=5, dim=dim,
+                       bucketed=_signed_ann_side(spark, sf_dir)).select(
         "q_id", "c_id")
     ann_cnt = ann5.groupBy("q_id").agg(F.count("*").alias("n_ann"))
     hit = F.sum(F.when(F.col("a_cid").isNotNull(), 1).otherwise(0))
@@ -2867,9 +3004,13 @@ def q_ann_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    occ = (sim.lsh_buckets(emb, _planes(sf_dir), dim=_dim(sf_dir))
-           .groupBy("bucket").agg(F.count("*").alias("c")))
+    # the memoized census table IS this query's occ CTE (bucket, count)
+    # at the same pinned geometry — serve it instead of re-running the
+    # signature pass + groupBy per call (entry access, not the census
+    # wrapper: this query aggregates occ itself and must not trigger
+    # the skew path's separate max-pop job)
+    pop = _signed_corpus_entry(spark, sf_dir, len(PLANES))[1]
+    occ = pop.select("bucket", F.col("_pop").alias("c"))
     return occ.agg(
         F.count("*").cast("bigint").alias("n_buckets"),
         F.sum("c").cast("bigint").alias("n_vectors"),
@@ -3461,7 +3602,8 @@ def q_embedding_delta_verdict(spark: SparkSession,
     # delta on the larger-id side — same hot-corpus recall caveat as the
     # full verdict's fallback (residual splits vs exact full buckets)
     ids = emb.where(pred).select("vec_id")
-    pairs = near_dup_pairs_skewsafe(emb, dim, corpus_size=_corpus_n(emb, sf_dir))
+    pairs = near_dup_pairs_skewsafe(
+        emb, dim, census=signed_corpus_census(spark, sf_dir))
     rep = (pairs.where((F.col("vec_b") % 5) == 4)
            .groupBy(F.col("vec_b").alias("vec_id"))
            .agg(F.min("vec_a").alias("_rep")))
