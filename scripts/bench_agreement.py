@@ -69,7 +69,10 @@ def min_over(passes: list[dict[str, float]]) -> dict[str, float]:
 def main() -> int:
     import bench
     from tigerbeetle_cdc_nats_spark.session import get_spark
-    from tigerbeetle_cdc_nats_spark.sources.prebuild import ensure_indexes
+    from tigerbeetle_cdc_nats_spark.sources.prebuild import (
+        ensure_indexes,
+        ensure_session_memos,
+    )
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
@@ -82,6 +85,7 @@ def main() -> int:
     # must measure warm serving, not one-time build cost
     t0 = time.perf_counter()
     index_build = ensure_indexes(spark, sf_dir)
+    memo_build = ensure_session_memos(spark, sf_dir)  # same warm state as bench.py
     warm_s = time.perf_counter() - t0
 
     queries = __import__(
@@ -189,6 +193,7 @@ def main() -> int:
             "unit": "sec",
             "queries": {k: round(v, 4) for k, v in sorted(pooled.items())},
             "index_build": index_build,
+            "memo_build": memo_build,
             "sf": sf,
             # provenance: this map pools min over MORE samples than
             # bench.py's min-over-BENCH_REPEATS, so round-over-round

@@ -246,6 +246,7 @@ def corpus_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "sh",
                     F.size("sh").cast("bigint").alias("n_sh"))
             .persist(StorageLevel.MEMORY_AND_DISK))
+    sets.count()  # eager: concurrent consumers read one materialization
     _PAIRS_CACHE[key] = sets
     return sets
 
