@@ -546,12 +546,13 @@ def test_quality_tertiles_no_global_sort(spark, sf_dir):
 
 
 def test_dsir_importance_single_fit_pass(spark, sf_dir):
-    """Both LMs (target + corpus) fit in ONE explode+groupBy pass — the
-    plan scans documents exactly twice (fit + scoring join), like the
-    perplexity scorer, with no cartesian pair plan."""
+    """The corpus token stream is exploded ONCE into the persisted
+    (doc_id, tok) count table; the vocab fit AND the scoring join both
+    read that table (round 13) — the plan scans documents exactly once,
+    with no cartesian pair plan."""
     df = QUERIES["dsir_importance"].fn(spark, sf_dir)
     plan = physical_plan(df)
-    assert plan.count("documents.parquet") == 2
+    assert plan.count("documents.parquet") == 1
     assert "CartesianProduct" not in plan
 
 

@@ -1153,13 +1153,32 @@ def ivf_assigned(spark: SparkSession,
     key = (spark.sparkContext.applicationId, ident[0], ident[1:])
     hit = _memo_swap(_IVF_CACHE, key)
     if hit is not None:
-        return hit
+        return hit[0], hit[1]
     emb = load_table(spark, sf_dir, "embeddings")
     centv = centroid_vectors(emb).persist(StorageLevel.MEMORY_AND_DISK)
     assigned = ivf_assign(emb, centv, dim=_dim(sf_dir)).persist(
         StorageLevel.MEMORY_AND_DISK)
-    _IVF_CACHE[key] = (centv, assigned)
+    _IVF_CACHE[key] = [centv, assigned, None]
     return centv, assigned
+
+
+def ivf_centroid_rows(spark: SparkSession, sf_dir: str) -> list:
+    """The collected (cell, c_arr) centroid rows, memoized alongside the
+    IVF memo: every QUERY-SIDE ivf_assign call re-collected the (tiny,
+    persisted) centroid table — a blocking Spark job per consumer at
+    plan-construction time. One collect per (session, corpus)."""
+    from tigerbeetle_cdc_nats_spark.operators.similarity import (
+        _bounded_collect,
+    )
+
+    centv, _assigned = ivf_assigned(spark, sf_dir)
+    ident = _emb_identity(sf_dir)
+    entry = _IVF_CACHE[
+        (spark.sparkContext.applicationId, ident[0], ident[1:])]
+    if entry[2] is None:
+        entry[2] = _bounded_collect(centv.select("cell", "c_arr"),
+                                    "ivf_assign centroids")
+    return entry[2]
 
 
 def ivf_assign_expr(emb: DataFrame, centv: DataFrame,
@@ -1198,7 +1217,7 @@ def ivf_assign_expr(emb: DataFrame, centv: DataFrame,
 
 
 def ivf_assign(emb: DataFrame, centv: DataFrame,
-               dim: int = _DIM) -> DataFrame:
+               dim: int = _DIM, *, cent_rows: list | None = None) -> DataFrame:
     """IVF coarse quantization, MAP-SIDE: assign each vector to its
     argmax-cosine centroid in one Arrow pass — zero shuffle.
 
@@ -1222,8 +1241,9 @@ def ivf_assign(emb: DataFrame, centv: DataFrame,
     )
     from tigerbeetle_cdc_nats_spark.session import ensure_parallelism
 
-    cent_rows = _bounded_collect(centv.select("cell", "c_arr"),
-                                 "ivf_assign centroids")
+    if cent_rows is None:
+        cent_rows = _bounded_collect(centv.select("cell", "c_arr"),
+                                     "ivf_assign centroids")
     cents = []
     for r in sorted(cent_rows, key=lambda r: int(r["cell"])):
         c = np.array(list(r["c_arr"]), dtype=np.float64)
@@ -1337,7 +1357,8 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").alias("c_cell"), F.col("norm").alias("c_n"),
     )
     q = ivf_assign(emb.where(F.col("vec_id").isin(list(QUERY_IDS))),
-                   centv, dim=_dim(sf_dir)).select(
+                   centv, dim=_dim(sf_dir),
+                   cent_rows=ivf_centroid_rows(spark, sf_dir)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
         F.col("cell").alias("q_cell"), F.col("norm").alias("q_n"),
     )
@@ -2826,12 +2847,16 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     diag = cand.select("q_id", F.col("c_id").alias("i_id"),
                        F.col("c_id").alias("j_id"),
                        F.col("rel").alias("s_e6"))
-    ei = emb.select(F.col("vec_id").alias("i_id"),
-                    F.col("embedding").alias("i_emb"),
-                    sim.norm_col("embedding", dim).alias("i_n"))
-    ej = emb.select(F.col("vec_id").alias("j_id"),
-                    F.col("embedding").alias("j_emb"),
-                    sim.norm_col("embedding", dim).alias("j_n"))
+    # pair-side norms from the session's signed corpus (same norm_col
+    # expression — bit-identical) instead of re-analyzing two dim-unrolled
+    # norm projections per call
+    signed = signed_corpus(spark, sf_dir, n_planes=len(PLANES))
+    ei = signed.select(F.col("vec_id").alias("i_id"),
+                       F.col("embedding").alias("i_emb"),
+                       F.col("norm").alias("i_n"))
+    ej = signed.select(F.col("vec_id").alias("j_id"),
+                       F.col("embedding").alias("j_emb"),
+                       F.col("norm").alias("j_n"))
     s = sim.cosine_sim_e6_prenorm("i_emb", "j_emb",
                                   F.col("i_n"), F.col("j_n"), dim)
     pairs = (cand.select("q_id", F.col("c_id").alias("i_id"))
